@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.canon.Canon
+import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
+  * for every SQL-expressible one. Cross-engine discipline:
+  *   - integer outputs are BIGINT on both sides (Spark counts are long;
+  *     `size`/`row_number` get explicit casts);
+  *   - no raw double aggregates in compared output — money/value sums go
+  *     through `round(x*100) :: bigint` (cents), ratios through integer
+  *     mills, similarities through ranks;
+  *   - cross-engine hashing is md5 (DuckDB has no xxhash64); the engine's
+  *     own frontier key stays xxhash64 internally.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  // Shared constants (also interpolated into the oracle SQL so the two
+  // sides can never drift).
+  private val stop = TextOps.StopwordsEn
+  private val stopSqlList = stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1 — scan + trim/empty filter + predicate pushdown
+    "q01_scan_filter" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .where(length(trim(col("text"))) > 0 && col("lang") === "en")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // A1-shape — hash aggregate with map-side combine (TPC-H Q1-ish)
+    "q02_agg_pricing" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // J1 — broadcast dimension joins (GeoIP-annotate analog)
+    "q03_join_regions" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_bal_cents"))
+    }),
+
+    // J2-shape — explode + re-aggregate (NS→IP expansion analog)
+    "q04_explode_tokens" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // D1 — exact dedup groups on normalized content hash
+    "q05_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDupGroups(T(s, dir, "documents"), "doc_id", "text")),
+
+    // W1 — last element per key (final_step analog)
+    "q06_last_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"))
+    }),
+
+    // W4 — bounded top-k per group (max_ips_per_domain analog)
+    "q07_topk_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+
+    // P2 — regex predicate (TXT v=spf filter analog)
+    "q08_regex_filter" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .where(col("text").rlike("scan\\s+\\w+\\s+join"))
+        .select(col("doc_id"))
+    }),
+
+    // F-family — field parse out of a raw payload (header/record parsing)
+    "q09_parse_props" -> ((s, dir) => {
+      T(s, dir, "events")
+        .where(col("props").rlike("\"k\":\\s*\\d+"))
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_val"))
+    }),
+
+    // D2 — union + distinct (A+AAAA union analog)
+    "q10_union_distinct" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.where(col("event_type") === "click").select(col("user_id"))
+        .union(e.where(col("event_type") === "view").select(col("user_id")))
+        .distinct()
+    }),
+
+    // Join shape — anti join (no-MX short-circuit analog)
+    "q11_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    // T-family — event-time bucket rollup
+    "q12_hourly_rollup" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    }),
+
+    // A5 — empty-aggregate → null collapse (SPF/TLSA null semantics)
+    "q13_null_collapse" -> ((s, dir) => {
+      val cnt = size(filter(TextOps.tokens(col("text")), t => t.startsWith("sp"))).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          when(cnt === 0, lit(null).cast("long")).otherwise(cnt).as("spf_like"))
+    }),
+
+    // Text analysis — token counting
+    "q14_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_chars"))
+    }),
+
+    // Text analysis — integer quality facets (stopword ratio in mills)
+    "q15_quality" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TextOps.stopwordCount(col("text")).cast("long").as("n_stop"),
+        TextOps.stopwordRatioMill(col("text")).cast("long").as("stop_mill"))
+    }),
+
+    // Text analysis — language ID heuristic (not SQL-expressible; rows-only)
+    "q16_langid" -> ((s, dir) => {
+      val lid = udf(TextOps.langId _)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lid(col("text")).as("lang_guess"))
+    }),
+
+    // Dedup — MinHash band signatures (LSH bucketing, oracle-checked)
+    "q17_minhash_bands" -> ((s, dir) =>
+      DedupOps.minhashBands(T(s, dir, "documents"), "doc_id", "text")
+        .withColumn("band", col("band").cast("long"))),
+
+    // Dedup — SimHash signature + band buckets (rows-only)
+    "q18_simhash" -> ((s, dir) =>
+      DedupOps.simhashBuckets(T(s, dir, "documents"), "doc_id", "text")
+        .withColumn("band", col("band").cast("long"))),
+
+    // Dedup — exact n-gram Jaccard on candidate pairs (verify stage)
+    "q19_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, minShared = 3)),
+
+    // Similarity — exact brute-force cosine top-k (rank output only)
+    "q20_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Similarity — SRP-LSH bucketed ANN (approximate; rows-only by design)
+    "q21_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.lshTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", dims = 64, k = 5, bits = 8, tables = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Dedup — embedding near-dup pairs above cosine threshold (exact)
+    "q22_embedding_neardup" -> ((s, dir) => {
+      val a = T(s, dir, "embeddings").select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = T(s, dir, "embeddings").select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .where(SimilarityOps.cosine(col("va"), col("vb")) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // Frontier — canonicalize→dedup admission (D1 + north-rule canon)
+    "q23_canon_domains" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(Canon.canonicalizeDomainCol(
+          concat(col("source"), lit(".Example.CZ."))).as("canonical"))
+        .distinct()
+        .withColumn("dom_key", md5(col("canonical").cast("binary")))
+    }),
+
+    // Frontier — deterministic pop order (W3: order independent of
+    // partitioning; priority derived from a stable key hash)
+    "q24_frontier_order" -> ((s, dir) => {
+      val w = Window.orderBy(md5(concat(col("source"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), row_number().over(w).cast("long").as("pop_seq"))
+    }),
+
+    // Multimodal — binary column + partition-batched decode (stubbed codec)
+    "q25_multimodal" -> ((s, dir) =>
+      MultiModalOps.demoPipeline(s, s"$dir/documents.parquet"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      "SELECT doc_id, source FROM documents WHERE length(trim(text)) > 0 AND lang = 'en'",
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q03_join_regions" ->
+      """SELECT r_name, count(*) AS n_cust,
+         SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS sum_bal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q04_explode_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents) t
+         WHERE token <> '' GROUP BY token""",
+
+    "q05_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "q06_last_event" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+         WHERE rn = 1""",
+
+    "q07_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) t
+         WHERE rnk <= 3""",
+
+    "q08_regex_filter" ->
+      """SELECT doc_id FROM documents WHERE regexp_matches(text, 'scan\s+\w+\s+join')""",
+
+    "q09_parse_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
+         FROM events WHERE regexp_matches(props, '"k":\s*\d+')""",
+
+    "q10_union_distinct" ->
+      """SELECT DISTINCT user_id FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id FROM events WHERE event_type = 'view') t""",
+
+    "q11_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "q12_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+         FROM events GROUP BY 1, 2""",
+
+    "q13_null_collapse" ->
+      """SELECT doc_id, CASE WHEN cnt = 0 THEN NULL ELSE cnt END AS spf_like FROM (
+           SELECT doc_id, CAST(len(list_filter(str_split(text, ' '),
+             t -> t <> '' AND t LIKE 'sp%')) AS BIGINT) AS cnt
+           FROM documents) t""",
+
+    "q14_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(str_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS text_chars
+         FROM documents""",
+
+    "q15_quality" ->
+      s"""SELECT doc_id, n_stop,
+         CASE WHEN n_tok = 0 THEN NULL
+              ELSE CAST(FLOOR(1000.0 * n_stop / n_tok) AS BIGINT) END AS stop_mill
+         FROM (
+           SELECT doc_id,
+             CAST(len(list_filter(str_split(lower(text), ' '),
+               t -> t <> '' AND t IN $stopSqlList)) AS BIGINT) AS n_stop,
+             len(list_filter(str_split(text, ' '), t -> t <> '')) AS n_tok
+           FROM documents) t""",
+
+    "q17_minhash_bands" -> {
+      val bands = (0 until 4).map { b =>
+        s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
+            md5(list_min(list_transform(shl, s -> md5('b${b}r0' || s)))
+             || list_min(list_transform(shl, s -> md5('b${b}r1' || s)))) AS bucket
+            FROM sh"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+            SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id, list_transform(range(len(tk) - 2),
+              i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
+            FROM toks WHERE len(tk) >= 3)
+          $bands"""
+    },
+
+    "q19_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id AS id, unnest(list_transform(range(len(tk) - 2),
+             i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+           FROM toks WHERE len(tk) >= 3),
+         d AS (SELECT DISTINCT id, s FROM sh),
+         sizes AS (SELECT id, count(*) AS n_sh FROM d GROUP BY id),
+         inter AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_inter
+           FROM d x JOIN d y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT i.id_a, i.id_b, i.n_inter,
+           sa.n_sh + sb.n_sh - i.n_inter AS n_union
+         FROM inter i
+         JOIN sizes sa ON sa.id = i.id_a
+         JOIN sizes sb ON sb.id = i.id_b""",
+
+    "q20_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8) t
+         WHERE rank <= 5""",
+
+    "q22_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+
+    "q23_canon_domains" ->
+      """SELECT canonical, md5(canonical) AS dom_key FROM (
+           SELECT DISTINCT regexp_replace(lower(trim(source || '.Example.CZ.')),
+             '\.$', '') AS canonical
+           FROM documents) t""",
+
+    "q24_frontier_order" ->
+      """SELECT doc_id,
+         row_number() OVER (ORDER BY md5(source || CAST(doc_id AS VARCHAR)), doc_id) AS pop_seq
+         FROM documents"""
+  )
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication at training-data scale. Five strategies, each a
+  * declarative transformation (scan → narrow ops → one shuffle on a short
+  * key) so Catalyst prunes columns and AQE handles skewed clusters:
+  *
+  *   - exact: hash-groupBy on a normalized md5 fingerprint;
+  *   - MinHash+LSH: shingle → salted-md5 minima → band signature →
+  *     bucket self-join → (optional) verified Jaccard;
+  *   - SimHash: 64-bit signature, near-dup = small Hamming distance within
+  *     band buckets;
+  *   - n-gram Jaccard: exact token-shingle overlap via explode + self-join
+  *     (the verification stage of MinHash candidates);
+  *   - embedding cosine: near-dup pairs above a cosine threshold via
+  *     SRP-LSH bucketing (reuses [[SimilarityOps]]).
+  *
+  * All signatures are deterministic functions of the row — no RNG state —
+  * so incremental re-runs over new partitions produce merge-compatible
+  * signatures (required for a 100 TB corpus deduped in daily increments).
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by normalized-text md5. Returns one row
+    * per distinct content hash with the kept (minimum) id and the group
+    * size — the classic map-side-combinable shape.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.normFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash band buckets: `bands` bands of `rowsPerBand`
+    * salted-md5 minima each, band bucket = md5 of the concatenated minima.
+    * Candidate near-dups collide on (band, bucket) — a short-key shuffle.
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), shingleK)
+    val withSig = docs.select(col(idCol), sh.as("sh")).where(size(col("sh")) > 0)
+    val bandCols = (0 until bands).map { b =>
+      val comps = (0 until rowsPerBand).map(r =>
+        TextOps.minhashComponent(col("sh"), s"b${b}r$r"))
+      struct(lit(b).as("band"), md5(concat(comps: _*).cast("binary")).as("bucket"))
+    }
+    withSig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bb = minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    val a = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of pairs (the verify stage): explode
+    * distinct shingles, self-join on shingle, |∩| via count, |∪| via
+    * inclusion–exclusion from per-doc distinct counts. Integer outputs only
+    * (numerator/denominator), so oracle comparison is float-free.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, minShared: Int = 1): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.as("x").join(ex.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .where(col("n_inter") >= minShared)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+  }
+
+  /** SimHash signatures + band buckets (4×16-bit bands): near-dups collide
+    * in ≥1 band when Hamming distance ≤ ~3 bits. Signature computed by a
+    * deterministic Scala function over tokens (one narrow map), bucketing
+    * and pairing stay relational.
+    */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sim = udf((text: String) =>
+      TextOps.simhash64(Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
+    val withSig = docs.select(col(idCol), sim(col(textCol)).as("simhash"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }
+    withSig.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, found via SRP-LSH
+    * bucketing (no corpus×corpus cross join at scale).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double, bits: Int = 10, tables: Int = 4): DataFrame = {
+    def bucketed(side: String) = {
+      val base = emb.select(col(idCol).as(side), col(vecCol).as(s"v_$side"))
+      (0 until tables).map { t =>
+        base.withColumn("tbl", lit(t))
+          .withColumn("bucket", SimilarityOps.srpBucket(col(s"v_$side"), dims, bits, t))
+      }.reduce(_ unionByName _)
+    }
+    bucketed("id_a").join(bucketed("id_b"), Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_id_a", "v_id_b").dropDuplicates("id_a", "id_b")
+      .withColumn("sim", SimilarityOps.cosine(col("v_id_a"), col("v_id_b")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Keep-one policy over exact groups: retain min id per fingerprint. */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.normFingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+}

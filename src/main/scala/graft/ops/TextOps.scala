@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling,
+  * MinHash and SimHash signatures.
+  *
+  * Everything row-wise is expressed as codegen'd `Column` trees built from
+  * `org.apache.spark.sql.functions` (higher-order array functions, no UDFs),
+  * so whole-stage codegen keeps the hot path fused and the Parquet scan only
+  * reads the referenced columns. Scala-side twins of the same algorithms
+  * exist for unit testing and for the imperative probe leaves.
+  */
+object TextOps {
+
+  /** Small multilingual stopword profile, used both by quality scoring and
+    * by the n-gram/stopword language-ID heuristic.
+    */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+      "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "como"),
+    "zh" -> Seq() // zh detected by CJK codepoint ratio, not stopwords
+  )
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokens, empties dropped. Codegen'd; mirrors DuckDB
+    * `str_split` + empty filter for oracle parity.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word tokens further split at letter/digit and
+    * case boundaries, approximating byte-pair tokenizer granularity without
+    * a vocab (a real BPE vocab is a broadcast dimension at scale).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(text, "([a-z])([A-Z])|([A-Za-z])(\\d)|(\\d)([A-Za-z])", "$1$3$5 $2$4$6"),
+      "[\\s\\p{Punct}]+"),
+      t => length(t) > lit(0)))
+
+  // ------------------------------------------------------------- quality
+
+  /** Integer-only quality facets (cross-engine hash-stable; no floats). */
+  def stopwordCount(text: Column): Column = {
+    val stops = array(StopwordsEn.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(stops, t)))
+  }
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Quality score in [0,1000], integer arithmetic end-to-end:
+    * floor(1000 * stopword_tokens / tokens) — the reference signal a
+    * Gopher/C4-style quality filter thresholds on.
+    */
+  def stopwordRatioMill(text: Column): Column =
+    when(tokenCount(text) === 0, lit(null))
+      .otherwise(floor(lit(1000.0) * stopwordCount(text) / tokenCount(text)).cast("int"))
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Oracle-expressible (DuckDB md5) and scan-friendly; the exact-dedup key.
+    */
+  def normFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Word k-shingles as space-joined strings (for MinHash / Jaccard). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < k, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** One MinHash component: min over shingles of md5(salt || shingle).
+    * Using salted md5 as the hash family keeps the signature reproducible
+    * in any engine (the DuckDB oracle computes the identical min).
+    */
+  def minhashComponent(shinglesCol: Column, salt: String): Column =
+    array_min(transform(shinglesCol, s => md5(concat(lit(salt), s).cast("binary"))))
+
+  /** Full MinHash signature as a struct of `n` salted-md5 minima. */
+  def minhashSignature(text: Column, shingleK: Int, n: Int): Column = {
+    val sh = shingles(text, shingleK)
+    struct((0 until n).map(i => minhashComponent(sh, s"s$i").as(s"mh$i")): _*)
+  }
+
+  // ------------------------------------------------- Scala-side twins
+
+  /** splitmix64 — deterministic 64-bit avalanche; the seedable hash used by
+    * SimHash / rolling fingerprints (library-internal, never cross-engine).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashToken(tok: String, seed: Long = 0L): Long = {
+    var h = seed
+    var i = 0
+    while (i < tok.length) { h = mix64(h ^ tok.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weight per occurrence). */
+  def simhash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hashToken(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Karp–Rabin rolling-hash winnowing fingerprint: min hash over all
+    * `window`-char substrings of the normalized text (robust to small edits
+    * anywhere outside the minimizing window).
+    */
+  def rollingFingerprint(text: String, window: Int = 16): Long = {
+    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < window) return hashToken(s)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + s.charAt(i); i += 1 }
+    var min = mix64(h)
+    i = window
+    while (i < s.length) {
+      h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+      val m = mix64(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+
+  /** Language ID: CJK codepoint ratio for zh, else stopword-marker voting
+    * with an 'unknown' floor — the classic fastText-free n-gram heuristic.
+    */
+  def langId(text: String): String = {
+    if (text.isEmpty) return "und"
+    val cjk = text.codePoints().filter(cp =>
+      java.lang.Character.UnicodeScript.of(cp) == java.lang.Character.UnicodeScript.HAN).count()
+    if (cjk * 5 >= text.length) return "zh"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val scores = langMarkers.collect { case (lang, markers) if markers.nonEmpty =>
+      lang -> toks.count(markers.contains)
+    }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score == 0) "und" else best
+  }
+}

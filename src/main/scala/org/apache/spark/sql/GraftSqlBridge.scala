@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so a
+  * library that injects its own Catalyst expressions needs this one-file
+  * shim in the `org.apache.spark.sql` package — same approach public Spark
+  * extension libraries use post-Connect-unification.
+  */
+object GraftSqlBridge {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+}
