@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.engine.Engine
+import graft.universe.Universe
+
+/** Per-round benchmark: headline operator queries on the driver's sf dir +
+  * the crawl engine's frontier throughput (domains resolved/sec — the
+  * BASELINE.md metric). Prints exactly one JSON line.
+  */
 object Bench {
+
+  /** Queries timed as the headline set (one per operator family that
+    * dominates cost at scale; rows-only extras excluded to keep the bench
+    * signal clean).
+    */
+  val headline: Seq[String] = Seq(
+    "q02_agg_pricing", "q03_join_regions", "q05_dedup_exact",
+    "q07_topk_orders", "q12_hourly_rollup", "q17_minhash_bands",
+    "q19_ngram_jaccard", "q20_cosine_topk", "q21_ann_lsh", "q25_multimodal")
+
+  def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
+    import spark.implicits._
+    val u = new Universe(42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 32,
+      seedChunkSize = nDomains)
+    val domains = spark.createDataset((0L until nDomains.toLong).map(u.seedDomain))
+    val t0 = System.nanoTime()
+    val n = eng.crawlDomains(domains).count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      // warm: plan + scan caches don't dominate the signal
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val nCrawl = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "4000").toInt
+    val (crawlSec, crawled) = crawlBench(spark, nCrawl)
+    val domPerSec = if (crawlSec > 0) crawled / crawlSec else 0.0
+
+    val qs = (results :+ ("crawl" -> crawlSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + crawlSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_domains":$crawled,"crawl_domains_per_sec":$domPerSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

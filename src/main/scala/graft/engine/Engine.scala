@@ -1,0 +1,375 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.canon.Canon
+import graft.frontier.{CuckooFilter, FrontierHeap, PolicyCache}
+import graft.model.Model._
+import graft.probes.{CrawlConfig, Probes}
+import graft.spans.SpanCodec
+import graft.tables.SnapTable
+import graft.universe.Universe
+
+/** The Spark-native crawl engine (north rule): typed Dataset pipeline over
+  * Iceberg-shaped tables of interleaved docs, with
+  *
+  *   - canonicalize → punycode → xxHash64 admission (Catalyst expressions:
+  *     [[graft.canon.CanonicalizeDomain]] + built-in `xxhash64`),
+  *   - a partitioned [[CuckooFilter]] domain-seen set co-partitioned with
+  *     the frontier (`pmod(key, P)`), checked and updated distributed —
+  *     never collected as raw keys,
+  *   - per-nameserver-bucket politeness budgets (token budget per round
+  *     from the zone-policy cache) with deterministic pop order
+  *     `(round, nsBucket, ttlPriority, seq)` — a pure function of the seed
+  *     list + budgets, independent of partition count (the N vs 4N
+  *     ordering-equality criterion),
+  *   - salted repartitioning of the probe stage to break hot-provider skew
+  *     (reference has no skew handling — its Redis queue hashes by domain;
+  *     here hot buckets are split `saltsForHotBucket` ways and probes of
+  *     one provider spread over executors),
+  *   - dedup-probe-join for shared nameserver IPs (the Redis probe cache
+  *     of `dns_utils.py:235-253` as `dropDuplicates` → probe once → join
+  *     back),
+  *   - MERGE-committed results / span / checkpoint tables with
+  *     per-partition lineage (partition id, offset watermark, seen-filter
+  *     snapshot ref, fetch counters) enabling bit-identical resume.
+  *
+  * Where the reference runs Redis/RQ + forked workers
+  * (`controller.py` / `workers.py`), this engine is one declarative plan
+  * per round; Spark's shuffle replaces the queue, Tungsten replaces pickle.
+  */
+object Engine {
+  case class ResultRow(domain: String, pop_round: Int, pop_rank: Long, result: DomainResult)
+  case class BacklogRow(domain: String, canonical: String, key: Long,
+      nsBucket: Int, priority: Int, seq: Long, active: Boolean)
+  case class NsIpRef(domain: String, nsIdx: Int, ns: String,
+      fam: Int, ipIdx: Int, ip: String)
+  case class RoundStats(round: Int, admitted: Long, crawled: Long,
+      deferred: Long, seconds: Double)
+}
+
+class Engine(
+    spark: SparkSession,
+    universe: Universe,
+    cfg: CrawlConfig = CrawlConfig(),
+    workDir: String,
+    frontierPartitions: Int = 32,
+    seedChunkSize: Int = 10000,
+    filterCapacityPerPartition: Long = 1L << 20,
+    saltsForHotBucket: Int = 8,
+    hotBucketThreshold: Int = 1000) {
+
+  import Engine._
+  import spark.implicits._
+
+  /** Injected deterministic clock (reference stamps wall time,
+    * `crawl.py:167`; determinism requires a fixed stamp).
+    */
+  val clock: String = "2026-01-01 00:00:00"
+
+  private val resultsT = new SnapTable(spark, s"$workDir/results", Seq("domain"))
+  private val spansT = new SnapTable(spark, s"$workDir/result_spans", Seq("doc_id"))
+  private val checkpointT = new SnapTable(spark, s"$workDir/checkpoint", Seq("partition_id"))
+  private val backlogT = new SnapTable(spark, s"$workDir/backlog", Seq("canonical"))
+
+  // ------------------------------------------------------------ seeds
+
+  /** Interleaved-docs → candidate domains with a stable global seq derived
+    * from (doc index, span offset) — no global zipWithIndex, so the seq is
+    * identical at any parallelism (doc ids carry their index digits).
+    */
+  def extractSeeds(docs: Dataset[Doc]): Dataset[(String, Long)] = {
+    docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "text")
+      .select(col("s.text").as("domain"),
+        (regexp_extract(col("doc_id"), "(\\d+)", 1).cast("long") * 1000000L
+          + col("s.offset")).as("seq"))
+      .where(col("domain").rlike("^[\\p{L}0-9.-]+\\.[\\p{L}]{2,}\\.?\\s*$"))
+      .as[(String, Long)]
+  }
+
+  /** Canonicalize → punycode → xxHash64 → first-enqueue dedup (D1: RQ
+    * job_id = domain; first occurrence wins) → scheduling attributes.
+    */
+  def toFrontier(seeds: Dataset[(String, Long)]): Dataset[FrontierEntry] = {
+    val u = universe
+    val canon = seeds.toDF("domain", "seq")
+      .withColumn("canonical", Canon.canonicalizeDomainCol(col("domain")))
+      .withColumn("key", xxhash64(col("canonical")))
+    val w = Window.partitionBy(col("canonical")).orderBy(col("seq"))
+    canon.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .as[(String, Long, String, Long)]
+      .map { case (domain, seq, canonical, key) =>
+        FrontierEntry(domain, canonical, key,
+          nsBucket = u.nsProvider(canonical),
+          priority = u.ttlFor(canonical), // TTL-derived priority
+          seq = seq)
+      }
+  }
+
+  // -------------------------------------------------- seen-set filters
+
+  private def filterDir(round: Int) = s"$workDir/filters/r$round"
+
+  private def loadFilterRefs(): Map[Int, String] =
+    checkpointT.read() match {
+      case None => Map.empty
+      case Some(df) => df.select("partition_id", "seen_filter_snapshot_ref")
+        .as[(Int, String)].collect().toMap
+    }
+
+  /** Distributed seen-check + filter update. Entries are co-partitioned
+    * with their filter (`pmod(key, P)`); each partition's filter is read,
+    * probed, updated with the admitted keys, and re-snapshotted — the raw
+    * key set never moves to the driver.
+    */
+  private def admitUnseen(entries: Dataset[FrontierEntry], round: Int)
+      : Dataset[FrontierEntry] = {
+    val refs = loadFilterRefs().filter(_._2.nonEmpty)
+    val refsB = spark.sparkContext.broadcast(refs)
+    val p = frontierPartitions
+    val cap = filterCapacityPerPartition
+    val outDir = filterDir(round)
+    Files.createDirectories(Paths.get(outDir))
+    entries
+      .groupByKey(e => Math.floorMod(e.key, p.toLong).toInt)
+      .flatMapGroups { (idx, it) =>
+        val filter = refsB.value.get(idx) match {
+          case Some(ref) => CuckooFilter.deserialize(Files.readAllBytes(Paths.get(ref)))
+          case None => CuckooFilter.create(cap)
+        }
+        val fresh = it.filter(e => !filter.contains(e.key)).toVector
+        if (!fresh.iterator.map(_.key).forall(filter.insert))
+          throw new IllegalStateException(s"seen-filter $idx saturated — size for the frontier")
+        // snapshot this partition's filter (executor-side write; shared FS)
+        val ref = s"$outDir/part$idx.bin"
+        Files.write(Paths.get(ref), filter.serialize())
+        fresh.iterator
+      }
+  }
+
+  /** Refs after a round: partitions touched this round point at the new
+    * snapshot files; untouched partitions keep their previous ref.
+    */
+  private def currentFilterRefs(round: Int): Map[Int, String] = {
+    val prev = loadFilterRefs().filter(_._2.nonEmpty)
+    val dir = Paths.get(filterDir(round))
+    val updated =
+      if (!Files.isDirectory(dir)) Map.empty[Int, String]
+      else {
+        val listing = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.flatMap { f =>
+            val name = f.getFileName.toString
+            "part(\\d+)\\.bin".r.findFirstMatchIn(name)
+              .map(m => m.group(1).toInt -> f.toString)
+          }.toMap
+        } finally listing.close()
+      }
+    prev ++ updated
+  }
+
+  // ------------------------------------------------------- politeness
+
+  /** Deterministic per-round admission under per-bucket budgets: the
+    * relational twin of [[FrontierHeap.popRound]] — row_number over
+    * (bucket → priority, seq) ≤ budget(bucket). Identical at any
+    * parallelism because every input is deterministic.
+    */
+  private def selectUnderBudget(frontier: Dataset[FrontierEntry],
+      budget: Int => Int): (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
+    val u = universe
+    val w = Window.partitionBy(col("nsBucket")).orderBy(col("priority"), col("seq"))
+    val ranked = frontier.withColumn("_rank", row_number().over(w)).cache()
+    val budgetUdf = udf((b: Int) => budget(b))
+    val sel = ranked.where(col("_rank") <= budgetUdf(col("nsBucket")))
+      .drop("_rank").as[FrontierEntry]
+    val deferred = ranked.where(col("_rank") > budgetUdf(col("nsBucket")))
+      .drop("_rank").as[FrontierEntry]
+    (sel, deferred)
+  }
+
+  // ------------------------------------------------------------ crawl
+
+  /** Crawl one admitted set. Probe stage is salted on hot buckets; shared
+    * nameserver IPs are deduped, probed once, and joined back (O1).
+    */
+  def crawlEntries(entries: Dataset[FrontierEntry]): Dataset[DomainResult] = {
+    val u = universe
+    val conf = cfg
+    val ts = clock
+    val hotSalts = saltsForHotBucket
+    // salted repartition: hot provider buckets split across `hotSalts`
+    // reducers; cold buckets keep one (salt = 0)
+    val salted = entries
+      .withColumn("_salt",
+        when(col("nsBucket") === 0, pmod(col("key"), lit(hotSalts)))
+          .otherwise(lit(0)))
+      .repartition(col("nsBucket"), col("_salt"))
+      .drop("_salt")
+      .as[FrontierEntry]
+      .cache()
+
+    // --- dedup-probe-join for nameserver IPs (cross-domain cache, J4/D3)
+    val nsRefs = salted.flatMap { e =>
+      u.nsFor(e.canonical).zipWithIndex.flatMap { case (ns, i) =>
+        u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
+          u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
+      }
+    }
+    val probedIps = nsRefs.select("ip").distinct().as[String]
+      .mapPartitions { ips =>
+        val p = new Probes(u, conf)
+        ips.map(ip => (ip, p.probeNsIp(ip)))
+      }.toDF("p_ip", "info")
+    val auth = nsRefs.toDF()
+      .join(probedIps, col("ip") === col("p_ip"))
+      .as[(String, Int, String, Int, Int, String, String, NsIp)]
+      .groupByKey(_._1)
+      .mapGroups { (domain, it) =>
+        val rows = it.toVector.sortBy(r => (r._2, r._4, r._5))
+        val nsAuth = rows.groupBy(r => (r._2, r._3)).toVector.sortBy(_._1._1).map {
+          case ((_, ns), rs) =>
+            NsAuth(ns, rs.filter(_._4 == 4).sortBy(_._5).map(_._8),
+              rs.filter(_._4 == 6).sortBy(_._5).map(_._8))
+        }
+        (domain, nsAuth)
+      }.toDF("a_domain", "auth")
+
+    // --- the rest of the per-domain pipeline (pure probe leaves)
+    val base = salted.mapPartitions { it =>
+      val p = new Probes(u, conf)
+      it.map { e =>
+        val dl = p.getDnsLocal(e.canonical)
+        val r = DomainResult(e.canonical, ts, dl, None,
+          p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
+          p.u.hstsPreload(e.canonical))
+        (e.canonical, r)
+      }
+    }.toDF("b_domain", "result")
+
+    base.join(auth, col("b_domain") === col("a_domain"), "left_outer")
+      .select(col("result"), col("auth"))
+      .as[(DomainResult, Option[Seq[NsAuth]])]
+      .map { case (r, a) => r.copy(DNS_AUTH = a.filter(_.nonEmpty)) }
+  }
+
+  // ------------------------------------------------------------- run
+
+  /** Batch-iterative frontier loop with MERGE checkpoints. Safe to stop
+    * after any round and re-invoke: resumes from the committed snapshot.
+    */
+  def run(docs: Dataset[Doc], maxRounds: Int = Int.MaxValue): Seq[RoundStats] = {
+    val u = universe
+    val policy = new PolicyCache(ttlRounds = 16)
+    val seeds = extractSeeds(docs).cache()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
+
+    var round = checkpointT.read()
+      .map(df => df.agg(max(element_at(col("fetch_counters"), "round"))).as[Long].head().toInt)
+      .getOrElse(0)
+    var watermark: Long = checkpointT.read()
+      .map(df => df.agg(max(col("offset_watermark"))).as[Long].head())
+      .getOrElse(-1L)
+
+    var done = false
+    while (!done && round < maxRounds) {
+      val t0 = System.nanoTime()
+      round += 1
+
+      // 1. next seed chunk past the watermark (controller.py:107-116 chunking)
+      val chunk = seeds.where(col("seq") > watermark)
+        .orderBy(col("seq")).limit(seedChunkSize).cache()
+      val newWatermark =
+        if (chunk.isEmpty) watermark
+        else chunk.agg(max(col("seq"))).as[Long].head()
+
+      // 2. canonical dedup + seen-filter admission
+      val fresh = toFrontier(chunk)
+      val admitted = admitUnseen(fresh, round).cache()
+      val nAdmitted = admitted.count() // materializes filter snapshots too
+      val filterRefs = currentFilterRefs(round)
+
+      // 3. frontier = fresh admissions + deferred backlog
+      val backlog = backlogT.read()
+        .map(_.as[BacklogRow].where(col("active")).drop("active").as[FrontierEntry])
+        .getOrElse(spark.emptyDataset[FrontierEntry])
+      val frontier = admitted.unionByName(backlog).cache()
+
+      // 4. politeness: budgets from the TTL'd zone-policy cache
+      val budgets = frontier.select("nsBucket").distinct().as[Int].collect()
+        .map(b => b -> policy.get(b, round, u.policyBudget)).toMap
+      val (selected0, deferred0) = selectUnderBudget(frontier, budgets.withDefaultValue(64))
+      val selected = selected0.cache()
+      val deferred = deferred0.cache()
+      val nSelected = selected.count()
+      val nDeferred = deferred.count()
+
+      if (nSelected == 0 && newWatermark == watermark) {
+        done = true
+      } else {
+        // 5. crawl + deterministic pop order
+        val results = crawlEntries(selected)
+        val rank = Window.orderBy(col("nsBucket"), col("priority"), col("seq"))
+        val popOrder = selected.toDF()
+          .withColumn("pop_rank", row_number().over(rank).cast("long"))
+          .select(col("canonical").as("o_domain"), col("pop_rank"))
+        val rows = results.toDF().withColumnRenamed("domain", "r_domain")
+          .join(popOrder, col("r_domain") === col("o_domain"))
+          .select(col("r_domain"), col("pop_rank"), struct(col("r_domain").as("domain"),
+            col("timestamp"), col("DNS_LOCAL"), col("DNS_AUTH"), col("MAIL"),
+            col("WEB"), col("HSTS")).as("result"))
+          .withColumn("pop_round", lit(round))
+          .select(col("r_domain").as("domain"), col("pop_round"),
+            col("pop_rank"), col("result"))
+          .as[ResultRow]
+          .cache()
+        val nCrawled = rows.count()
+
+        // 6. MERGE commits: results, span re-encoding, backlog, checkpoint
+        resultsT.mergeCommit(rows.toDF())
+        spansT.mergeCommit(rows.map(r => SpanCodec.encode(r.result)).toDF())
+        val backlogUpdates =
+          deferred.map(e => BacklogRow(e.domain, e.canonical, e.key,
+            e.nsBucket, e.priority, e.seq, active = true)).toDF()
+            .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
+              e.key, e.nsBucket, e.priority, e.seq, active = false)).toDF())
+        backlogT.mergeCommit(backlogUpdates)
+        val lineage = (0 until frontierPartitions).map { pid =>
+          PartitionLineage(pid, newWatermark,
+            filterRefs.getOrElse(pid, ""),
+            Map("round" -> round.toLong, "admitted" -> nAdmitted,
+              "crawled" -> nCrawled, "deferred" -> nDeferred))
+        }
+        checkpointT.mergeCommit(spark.createDataset(lineage).toDF())
+
+        watermark = newWatermark
+        stats += RoundStats(round, nAdmitted, nCrawled, nDeferred,
+          (System.nanoTime() - t0) / 1e9)
+      }
+      chunk.unpersist(); admitted.unpersist(); frontier.unpersist()
+      selected.unpersist(); deferred.unpersist()
+    }
+    seeds.unpersist()
+    stats.toSeq
+  }
+
+  /** Library one-shot API (reference `process_domain` import surface,
+    * README.md:166-191): crawl a plain domain dataset, no frontier state.
+    */
+  def crawlDomains(domains: Dataset[String]): Dataset[DomainResult] = {
+    val withSeq = domains.toDF("domain")
+      .withColumn("seq", monotonically_increasing_id())
+      .as[(String, Long)]
+    crawlEntries(toFrontier(withSeq))
+  }
+
+  def resultsTable: SnapTable = resultsT
+  def spansTable: SnapTable = spansT
+  def checkpointTable: SnapTable = checkpointT
+}

@@ -1,0 +1,197 @@
+package graft.model
+
+/** Typed result-document tree — the engine's `Dataset[DomainResult]` row.
+  *
+  * Mirrors the reference crawler's per-domain JSON result contract
+  * (reference `result-schema.json:499-819`, assembled in
+  * `crawl.py:165-182`): top level `{domain, timestamp, results:{DNS_LOCAL,
+  * DNS_AUTH, MAIL, WEB, HSTS}}`. Encoded with `Encoders.product`, so the
+  * whole tree is a Catalyst struct and Tungsten-serialized between stages
+  * (the reference pickles dicts through Redis; we get this for free).
+  *
+  * Null semantics are load-bearing (reference distinguishes null vs empty
+  * in `dns_utils.py:156-157,181-182,201-202`, `crawl.py:77-78,101-104`):
+  * `None` = probe answered "nothing" (NXDOMAIN / no records); empty Seq is
+  * never emitted for record arrays — empty parses collapse to None.
+  */
+object Model {
+
+  /** GeoIP annotation (reference `geoip_utils.py:57-79`,
+    * `result-schema.json:207-221`).
+    */
+  case class GeoIp(country: Option[String], org: Option[String], asn: Option[Int])
+
+  /** Generic DNS record (reference `result-schema.json:8-19`; cname fields
+    * `dns_utils.py:293-302`; algorithm `dns_utils.py:130-141`).
+    */
+  case class DnsRecord(
+      value: String,
+      cname: Option[String] = None,
+      from_cname: Option[String] = None,
+      algorithm: Option[String] = None,
+      geoip: Option[GeoIp] = None,
+      ttl: Option[Int] = None)
+
+  /** Parsed TLSA rdata (reference `dns_utils.py:186-203`). */
+  case class Tlsa(usage: Int, selector: Int, matchingtype: Int, data: String)
+
+  /** Parsed SPF (reference `dns_utils.py:161-183`): mechanism buckets +
+    * derived pass-ip lists + modifiers; `error` when the parse fails.
+    */
+  case class SpfParsed(
+      record: String,
+      pass: Option[Seq[String]],
+      fail: Option[Seq[String]],
+      softfail: Option[Seq[String]],
+      neutral: Option[Seq[String]],
+      include: Option[Seq[String]],
+      ip4: Option[Seq[String]],
+      ip6: Option[Seq[String]],
+      all: Option[String],
+      redirect: Option[String],
+      exp: Option[String],
+      error: Option[String])
+
+  /** Parsed DMARC tag map (reference `dns_utils.py:144-158`,
+    * `result-schema.json:101-143`).
+    */
+  case class DmarcParsed(
+      record: String,
+      v: Option[String], p: Option[String], sp: Option[String],
+      adkim: Option[String], aspf: Option[String], pct: Option[String],
+      fo: Option[String], ri: Option[String], rua: Option[String],
+      ruf: Option[String], rf: Option[String], error: Option[String])
+
+  /** DNSSEC verdict (reference `dns_utils.py:73-127`,
+    * `result-schema.json:671-695`): valid true/false/null + one of
+    * rrsig/message/error.
+    */
+  case class Dnssec(
+      valid: Option[Boolean],
+      rrsig: Option[Seq[String]],
+      message: Option[String],
+      error: Option[String])
+
+  /** CHAOS-class TXT probe result (reference `dns_utils.py:218-232`). */
+  case class ChaosTxt(value: Option[Seq[String]], error: Option[String])
+
+  /** Per-nameserver-IP info (reference `dns_utils.py:235-253`,
+    * `result-schema.json:171-201`). Cached per IP across domains.
+    */
+  case class NsIp(
+      ip: String,
+      geoip: Option[GeoIp],
+      hostnamebind: ChaosTxt,
+      versionbind: ChaosTxt,
+      authorsbind: ChaosTxt)
+
+  /** One authoritative NS entry (reference `crawl.py:80-105`). */
+  case class NsAuth(ns: String, ipv4: Seq[NsIp], ipv6: Seq[NsIp])
+
+  /** SMTP banner per port (reference `mail_utils.py:28-45`). */
+  case class MailBanner(banner: Option[String], error: Option[String])
+
+  /** Per-mailhost-IP banners (reference `mail_utils.py:60-92`): ports are
+    * genuine map keys in the reference JSON.
+    */
+  case class MailIpBanners(ip: String, banners: Map[Int, MailBanner], geoip: Option[GeoIp])
+
+  /** One MX host result (reference `mail_utils.py:48-107`). `tlsa` maps
+    * port → parsed TLSA records (None = no TLSA at that port).
+    */
+  case class MailHost(host: String, tlsa: Map[Int, Option[Seq[Tlsa]]], banners: Seq[MailIpBanners])
+
+  /** Parsed strict-transport-security header (reference `web_utils.py:75-86`). */
+  case class HstsHeader(
+      max_age: Option[Long], includeSubdomains: Option[Boolean],
+      preload: Option[Boolean], raw: String)
+
+  /** One hop of an HTTP(S) fetch (reference `web_utils.py:225-320`).
+    * The heterogeneous headers map is split per SURVEY §1.4: raw string map
+    * + typed sibling columns for the parsed headers.
+    */
+  case class WebStep(
+      url: String,
+      status: Option[Int],
+      is_redirect: Option[Boolean],
+      headers: Map[String, String],
+      hsts_header: Option[HstsHeader],
+      content_length: Option[Long],
+      ip: Option[String],
+      tls_version: Option[String],
+      tls_cipher: Option[String],
+      content: Option[String],
+      content_is_binary: Option[Boolean],
+      error: Option[String])
+
+  /** Fetch result for one (domain-variant, ip) pair
+    * (reference `web_utils.py:322-334`): full chain when
+    * save_intermediate_steps, else only the final step.
+    */
+  case class WebResult(
+      ip: String,
+      redirect_count: Int,
+      steps: Option[Seq[WebStep]],
+      final_step: Option[WebStep])
+
+  /** The 8 fixed web probe combos (reference `crawl.py:109-133`). */
+  case class WebObj(
+      WEB4_80: Option[Seq[WebResult]], WEB4_443: Option[Seq[WebResult]],
+      WEB6_80: Option[Seq[WebResult]], WEB6_443: Option[Seq[WebResult]],
+      WEB4_80_www: Option[Seq[WebResult]], WEB4_443_www: Option[Seq[WebResult]],
+      WEB6_80_www: Option[Seq[WebResult]], WEB6_443_www: Option[Seq[WebResult]])
+
+  /** DNS_LOCAL section (reference `crawl.py:39-69`,
+    * `result-schema.json:513-710`).
+    */
+  case class DnsLocal(
+      NS_AUTH: Option[Seq[DnsRecord]],
+      MAIL: Option[Seq[DnsRecord]],
+      WEB4: Option[Seq[DnsRecord]],
+      WEB6: Option[Seq[DnsRecord]],
+      WEB4_www: Option[Seq[DnsRecord]],
+      WEB6_www: Option[Seq[DnsRecord]],
+      WEB_TLSA: Option[Seq[Tlsa]],
+      WEB_TLSA_www: Option[Seq[Tlsa]],
+      TXT: Option[Seq[DnsRecord]],
+      TXT_SPF: Option[SpfParsed],
+      TXT_DMARC: Option[DmarcParsed],
+      DS: Option[Seq[DnsRecord]],
+      DNSKEY: Option[Seq[DnsRecord]],
+      DNSSEC: Dnssec)
+
+  /** Top-level per-domain result (reference `crawl.py:165-182`). */
+  case class DomainResult(
+      domain: String,
+      timestamp: String,
+      DNS_LOCAL: DnsLocal,
+      DNS_AUTH: Option[Seq[NsAuth]],
+      MAIL: Option[Seq[MailHost]],
+      WEB: WebObj,
+      HSTS: Boolean)
+
+  // ------------------------------------------------------------ frontier
+
+  /** Frontier admission row: canonical domain + seen-set key + scheduling
+    * attributes (north rule: nameserver bucket, TTL-derived priority,
+    * stable seq for deterministic ordering).
+    */
+  case class FrontierEntry(
+      domain: String,
+      canonical: String,
+      key: Long,
+      nsBucket: Int,
+      priority: Int,
+      seq: Long)
+
+  /** Interleaved-docs input row (`BASELINE.json.input_hint`). */
+  case class Span(kind: String, text: String, media_ref: String, offset: Int)
+  case class Doc(doc_id: String, spans: Seq[Span])
+
+  /** Checkpoint lineage row (north rule): one per frontier partition. */
+  case class PartitionLineage(
+      partition_id: Int,
+      offset_watermark: Long,
+      seen_filter_snapshot_ref: String,
+      fetch_counters: Map[String, Long])
+}

@@ -1,0 +1,159 @@
+package graft.parsers
+
+import graft.model.Model._
+
+/** Pure scalar parsers — the reference's record/header grammar, re-expressed
+  * as Scala functions used both inside probe leaves and (where useful) as
+  * column expressions. Each cites its semantic source in the reference.
+  */
+object Parsers {
+
+  /** Strip `"<name> <ttl> IN <TYPE> "` prefix from a zone-file line
+    * (reference `dns_utils.py:256-257`).
+    */
+  def valueFromRecord(line: String): String =
+    line.split("\\s+", 5).lastOption.getOrElse(line)
+
+  /** IANA DNSSEC algorithm mnemonics (reference `dns_utils.py:130-141`
+    * uses dnspython's table; this is the same public IANA registry).
+    */
+  val DnssecAlgorithms: Map[Int, String] = Map(
+    1 -> "RSAMD5", 3 -> "DSA", 5 -> "RSASHA1", 6 -> "DSANSEC3SHA1",
+    7 -> "RSASHA1NSEC3SHA1", 8 -> "RSASHA256", 10 -> "RSASHA512",
+    12 -> "ECCGOST", 13 -> "ECDSAP256SHA256", 14 -> "ECDSAP384SHA384",
+    15 -> "ED25519", 16 -> "ED448")
+
+  /** Annotate a DS/DNSKEY record's algorithm field: token index 1 for DS,
+    * 2 for DNSKEY (reference `dns_utils.py:130-141`, called from
+    * `crawl.py:58-59`).
+    */
+  def annotateAlgorithm(rdata: String, tokenIndex: Int): Option[String] = {
+    val toks = rdata.trim.split("\\s+")
+    if (toks.length <= tokenIndex) None
+    else toks(tokenIndex).toIntOption.flatMap(a =>
+      Some(DnssecAlgorithms.getOrElse(a, a.toString)))
+  }
+
+  /** Parse TLSA rdata "usage selector matchingtype data" (reference
+    * `dns_utils.py:186-203`); unparseable → None; empty input handled by
+    * the caller's null-collapse (`dns_utils.py:201-202`).
+    */
+  def parseTlsa(rdata: String): Option[Tlsa] = {
+    val t = rdata.trim.stripPrefix("\"").stripSuffix("\"").split("\\s+")
+    if (t.length < 4) None
+    else for {
+      u <- t(0).toIntOption
+      s <- t(1).toIntOption
+      m <- t(2).toIntOption
+    } yield Tlsa(u, s, m, t.drop(3).mkString(""))
+  }
+
+  private def noneIfEmpty(xs: Seq[String]): Option[Seq[String]] =
+    if (xs.isEmpty) None else Some(xs)
+
+  /** SPF parse — RFC 7208 subset as surfaced by the reference's checkdmarc
+    * call (`dns_utils.py:161-183`): mechanism qualifier buckets, derived
+    * pass-ip4/ip6 lists (`get_spf_pass_ips`, `dns_utils.py:161-163`), and
+    * all/redirect/exp modifiers. Not v=spf1 → error (mirrors checkdmarc's
+    * validation error surface).
+    */
+  def parseSpf(record: String): SpfParsed = {
+    val r = record.trim.stripPrefix("\"").stripSuffix("\"")
+    if (!r.toLowerCase.startsWith("v=spf1"))
+      return SpfParsed(record, None, None, None, None, None, None, None,
+        None, None, None, Some("Not a valid SPF record"))
+    var pass, fail, soft, neutral, include = Vector.empty[String]
+    var all, redirect, exp: Option[String] = None
+    r.split("\\s+").drop(1).foreach { term =>
+      val (qual, body) = term.headOption match {
+        case Some('+') => ("pass", term.tail)
+        case Some('-') => ("fail", term.tail)
+        case Some('~') => ("softfail", term.tail)
+        case Some('?') => ("neutral", term.tail)
+        case _ => ("pass", term)
+      }
+      val lower = body.toLowerCase
+      if (lower == "all") all = Some(qual)
+      else if (lower.startsWith("redirect=")) redirect = Some(body.substring(9))
+      else if (lower.startsWith("exp=")) exp = Some(body.substring(4))
+      else if (lower.startsWith("include:")) include :+= body.substring(8)
+      else qual match {
+        case "pass" => pass :+= body
+        case "fail" => fail :+= body
+        case "softfail" => soft :+= body
+        case "neutral" => neutral :+= body
+      }
+    }
+    val ip4 = pass.filter(_.toLowerCase.startsWith("ip4:")).map(_.substring(4))
+    val ip6 = pass.filter(_.toLowerCase.startsWith("ip6:")).map(_.substring(4))
+    SpfParsed(record, noneIfEmpty(pass), noneIfEmpty(fail), noneIfEmpty(soft),
+      noneIfEmpty(neutral), noneIfEmpty(include), noneIfEmpty(ip4),
+      noneIfEmpty(ip6), all, redirect, exp, None)
+  }
+
+  /** DMARC tag-map parse (reference `dns_utils.py:144-158`,
+    * `result-schema.json:101-143`): `k=v` pairs split on `;`.
+    */
+  def parseDmarc(record: String): DmarcParsed = {
+    val r = record.trim.stripPrefix("\"").stripSuffix("\"")
+    if (!r.toLowerCase.startsWith("v=dmarc1"))
+      return DmarcParsed(record, None, None, None, None, None, None, None,
+        None, None, None, None, Some("Not a valid DMARC record"))
+    val tags = r.split(";").iterator.map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim.toLowerCase, v.trim) }
+      .toMap
+    DmarcParsed(record, tags.get("v"), tags.get("p"), tags.get("sp"),
+      tags.get("adkim"), tags.get("aspf"), tags.get("pct"), tags.get("fo"),
+      tags.get("ri"), tags.get("rua"), tags.get("ruf"), tags.get("rf"), None)
+  }
+
+  /** Parse strict-transport-security header (reference `web_utils.py:75-86`). */
+  def parseHstsHeader(raw: String): HstsHeader = {
+    val parts = raw.split(";").map(_.trim.toLowerCase)
+    val maxAge = parts.collectFirst {
+      case p if p.startsWith("max-age=") =>
+        p.substring(8).takeWhile(_.isDigit)
+    }.flatMap(_.toLongOption)
+    HstsHeader(maxAge,
+      if (parts.contains("includesubdomains")) Some(true) else None,
+      if (parts.contains("preload")) Some(true) else None,
+      raw)
+  }
+
+  /** Leading digits of content-length → long (reference `web_utils.py:89-97`). */
+  def parseContentLength(raw: String): Option[Long] =
+    raw.trim.takeWhile(_.isDigit) match {
+      case "" => None
+      case d => d.toLongOption
+    }
+
+  /** Binary-content predicate over content-type (reference
+    * `web_utils.py:107-119`): application types except json/xml/javascript,
+    * audio/video, image minus svg, font.
+    */
+  def isBinaryContentType(contentType: String): Boolean = {
+    val ct = contentType.toLowerCase.split(";")(0).trim
+    if (ct.startsWith("application/"))
+      !(ct.contains("json") || ct.contains("xml") || ct.contains("javascript"))
+    else if (ct.startsWith("image/")) !ct.contains("svg")
+    else ct.startsWith("audio/") || ct.startsWith("video/") || ct.startsWith("font/")
+  }
+
+  /** MX rdata "pref host" → bare host token, skipping null and root "."
+    * (reference `mail_utils.py:95-103`).
+    */
+  def mxHost(rdata: String): Option[String] = {
+    val toks = rdata.trim.split("\\s+")
+    val host = toks.last.stripSuffix(".")
+    if (host.isEmpty || host == ".") None else Some(host)
+  }
+
+  /** Exception → normalized message, timeouts collapsed to "timeout"
+    * (reference `web_utils.py:122-127`).
+    */
+  def emsg(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    if (m.toLowerCase.contains("timed out") || m.toLowerCase.contains("timeout")) "timeout"
+    else m
+  }
+}

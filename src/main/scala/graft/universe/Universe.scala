@@ -1,0 +1,287 @@
+package graft.universe
+
+import graft.model.Model._
+import graft.ops.TextOps.mix64
+
+/** Deterministic synthetic probe universe — the stand-in for the network.
+  *
+  * Every leaf the reference crawler fetches over the wire (DNS answers
+  * `dns_utils.py:260-306`, CHAOS TXT `dns_utils.py:218-232`, HTTP steps
+  * `web_utils.py:173-320`, SMTP banners `mail_utils.py:28-45`, GeoIP
+  * `geoip_utils.py:57-79`) is here a pure function of `(seed, key)` via
+  * splitmix64 — identical on every executor, every partitioning, every
+  * rerun, which is what makes crawl ordering / seen-set / resume testable.
+  *
+  * The universe deliberately produces the reference's *shape* diversity:
+  * CNAME chains, NXDOMAIN, missing NS, no-MX fallback, signed/bogus/
+  * unsigned DNSSEC states, redirect chains up to the max, binary content,
+  * chaos-TXT refusals — plus a skewed nameserver-provider distribution
+  * (hot `.cz` providers) so the frontier's salting has real skew to break.
+  *
+  * `nic.cz` is special-cased to the golden values the reference e2e test
+  * asserts (`test/nic.cz.test.py:28-45`, `result-example.json`).
+  */
+class Universe(val seed: Long) extends Serializable {
+
+  private def h(parts: String*): Long =
+    parts.foldLeft(seed)((acc, p) => mix64(acc ^ graft.ops.TextOps.hashToken(p)))
+
+  private def pct(x: Long): Int = Math.floorMod(x, 100L).toInt
+
+  // ------------------------------------------------------------- DNS
+
+  /** Nameserver provider distribution: provider 0 is hot (~30% of the
+    * zone, the ".cz big-hoster" skew the north rule calls out), the rest
+    * spread over 39 providers.
+    */
+  def nsProvider(domain: String): Int = {
+    val x = h("nsprov", domain)
+    if (pct(x) < 30) 0 else 1 + Math.floorMod(x >>> 8, 39L).toInt
+  }
+
+  def nsFor(domain: String): Seq[String] = {
+    if (domain == "nic.cz") return Seq("a.ns.nic.cz", "b.ns.nic.cz", "d.ns.nic.cz")
+    val x = h("ns", domain)
+    if (pct(x) < 5) Seq.empty // no NS → DNS_AUTH null (reference crawl.py:77-78)
+    else {
+      val prov = nsProvider(domain)
+      val n = 1 + Math.floorMod(x >>> 16, 3L).toInt
+      (0 until n).map(i => s"ns$i.hoster$prov.cz")
+    }
+  }
+
+  /** TTL for the apex record set — the frontier's TTL-derived priority. */
+  def ttlFor(domain: String): Int = {
+    if (domain == "nic.cz") return 1800
+    300 + Math.floorMod(h("ttl", domain), 3600L).toInt
+  }
+
+  def cnameFor(name: String): Option[String] = {
+    if (name.startsWith("www.") && pct(h("cname", name)) < 15) {
+      val hop = Math.floorMod(h("cnhop", name), 40L)
+      Some(s"edge$hop.cdn${Math.floorMod(hop, 7L)}.example.net")
+    } else if (name.startsWith("edge") && pct(h("cname", name)) < 30) {
+      Some(s"origin${Math.floorMod(h("cnorig", name), 9L)}.example.net")
+    } else None
+  }
+
+  private def mkIp4(x: Long): String =
+    s"${10 + Math.floorMod(x, 200L)}.${Math.floorMod(x >>> 8, 250L)}." +
+      s"${Math.floorMod(x >>> 16, 250L)}.${1 + Math.floorMod(x >>> 24, 250L)}"
+
+  private def mkIp6(x: Long): String =
+    f"2001:db8:${Math.floorMod(x, 0xffffL)}%x:${Math.floorMod(x >>> 16, 0xffffL)}%x::${1 + Math.floorMod(x >>> 32, 0xfffL)}%x"
+
+  def aFor(name: String): Seq[String] = {
+    if (name == "nic.cz" || name == "www.nic.cz") return Seq("217.31.205.50")
+    val x = h("a", name)
+    if (pct(x) < 12) Seq.empty // NXDOMAIN / no A
+    else (0 until 1 + Math.floorMod(x >>> 8, 3L).toInt).map(i => mkIp4(mix64(x + i)))
+  }
+
+  def aaaaFor(name: String): Seq[String] = {
+    if (name == "nic.cz" || name == "www.nic.cz") return Seq("2001:1488:0:3::2")
+    val x = h("aaaa", name)
+    if (pct(x) < 35) Seq.empty
+    else (0 until 1 + Math.floorMod(x >>> 8, 2L).toInt).map(i => mkIp6(mix64(x + i)))
+  }
+
+  def nsIps4(ns: String): Seq[String] = {
+    if (ns.endsWith(".ns.nic.cz")) return Seq(mkIp4(h("nsip4", ns)))
+    val x = h("nsip4", ns)
+    (0 until 1 + Math.floorMod(x, 2L).toInt).map(i => mkIp4(mix64(x + i)))
+  }
+
+  def nsIps6(ns: String): Seq[String] = {
+    val x = h("nsip6", ns)
+    if (pct(x) < 40) Seq.empty else Seq(mkIp6(x))
+  }
+
+  def mxFor(domain: String): Seq[String] = {
+    if (domain == "nic.cz")
+      return Seq("10 mail.nic.cz.", "15 mx.nic.cz.", "20 bh.nic.cz.")
+    val x = h("mx", domain)
+    if (pct(x) < 30) Seq.empty // no MX → fallback to apex (crawl.py:149-152)
+    else {
+      val n = 1 + Math.floorMod(x >>> 8, 3L).toInt
+      (0 until n).map { i =>
+        val host =
+          if (pct(mix64(x + i)) < 40) s"mx${i}.mailhoster${Math.floorMod(x >>> 20, 12L)}.cz."
+          else s"mail$i.$domain."
+        s"${(i + 1) * 10} $host"
+      }
+    }
+  }
+
+  def txtFor(domain: String): Seq[String] = {
+    val x = h("txt", domain)
+    val base = scala.collection.mutable.ArrayBuffer[String]()
+    if (pct(x) < 60)
+      base += s"v=spf1 ip4=${mkIp4(x)}/24 include:_spf.hoster${nsProvider(domain)}.cz ~all"
+        .replace("ip4=", "ip4:")
+    if (pct(x >>> 8) < 25) base += s"google-site-verification=${java.lang.Long.toHexString(mix64(x))}"
+    if (pct(x >>> 16) < 15) base += s"MS=ms${Math.floorMod(x, 100000L)}"
+    base.toSeq
+  }
+
+  def dmarcFor(domain: String): Option[String] = {
+    val x = h("dmarc", domain)
+    if (pct(x) < 50) {
+      val p = Seq("none", "quarantine", "reject")(Math.floorMod(x >>> 8, 3L).toInt)
+      Some(s"v=DMARC1; p=$p; rua=mailto:dmarc@$domain; pct=100")
+    } else None
+  }
+
+  /** DNSSEC state: signed (valid), bogus (valid=false), or unsigned. */
+  def dnssecState(domain: String): String = {
+    if (domain == "nic.cz") return "signed"
+    val x = h("dnssec", domain)
+    if (pct(x) < 40) "signed" else if (pct(x) < 45) "bogus" else "unsigned"
+  }
+
+  /** DS rdata: "keytag algorithm digesttype digest" (alg 13 for nic.cz per
+    * the reference golden: ECDSAP256SHA256).
+    */
+  def dsFor(domain: String): Seq[String] = dnssecState(domain) match {
+    case "unsigned" => Seq.empty
+    case _ =>
+      val x = h("ds", domain)
+      val alg = if (domain == "nic.cz") 13 else Seq(8, 13, 14, 15)(Math.floorMod(x, 4L).toInt)
+      Seq(s"${Math.floorMod(x, 65536L)} $alg 2 ${java.lang.Long.toHexString(mix64(x))}${java.lang.Long.toHexString(mix64(x + 1))}")
+  }
+
+  def dnskeyFor(domain: String): Seq[String] = dnssecState(domain) match {
+    case "unsigned" => Seq.empty
+    case _ =>
+      val x = h("dnskey", domain)
+      val alg = if (domain == "nic.cz") 13 else Seq(8, 13, 14, 15)(Math.floorMod(x, 4L).toInt)
+      Seq(s"257 3 $alg ${java.lang.Long.toHexString(mix64(x))}==",
+        s"256 3 $alg ${java.lang.Long.toHexString(mix64(x + 7))}==")
+  }
+
+  def rrsigFor(domain: String): Seq[String] = {
+    val x = h("rrsig", domain)
+    Seq(s"A 13 2 1800 ${java.lang.Long.toHexString(mix64(x))}")
+  }
+
+  def tlsaFor(name: String): Seq[String] = {
+    val x = h("tlsa", name)
+    if (pct(x) < 20 || name.startsWith("_25.") && pct(x >>> 8) < 50)
+      Seq(s"3 1 1 ${java.lang.Long.toHexString(mix64(x))}${java.lang.Long.toHexString(mix64(x + 3))}")
+    else Seq.empty
+  }
+
+  // ----------------------------------------------------------- GeoIP
+
+  def geo(ip: String): GeoIp = {
+    if (ip == "217.31.205.50" || ip == "2001:1488:0:3::2")
+      return GeoIp(Some("CZ"), Some("CZ.NIC, z.s.p.o."), Some(25192))
+    val x = h("geo", ip)
+    val countries = Seq("CZ", "DE", "US", "SK", "FR", "NL", "AT", "PL")
+    val c = countries(Math.floorMod(x, countries.size.toLong).toInt)
+    val asn = 1000 + Math.floorMod(x >>> 16, 64000L).toInt
+    GeoIp(Some(c), Some(s"AS$asn Provider ${Math.floorMod(x >>> 8, 500L)}"), Some(asn))
+  }
+
+  // ------------------------------------------------------ CHAOS TXT
+
+  def chaosTxt(ip: String, qname: String): ChaosTxt = {
+    val x = h("chaos", ip, qname)
+    if (pct(x) < 25) ChaosTxt(None, Some("refused"))
+    else qname match {
+      case "version.bind" => ChaosTxt(Some(Seq(s"9.${Math.floorMod(x, 19L)}.${Math.floorMod(x >>> 8, 12L)}")), None)
+      case "hostname.bind" => ChaosTxt(Some(Seq(s"node${Math.floorMod(x, 40L)}.anycast.example")), None)
+      case "authors.bind" => ChaosTxt(Some(Seq("The BIND Authors")), None)
+      case _ => ChaosTxt(None, Some("timeout"))
+    }
+  }
+
+  // ------------------------------------------------------------- web
+
+  /** One HTTP(S) fetch step at `(hostVariant, ip, port, path, hop)`.
+    * Returns (status, locationOrNull, headers, bodyOrNull, isBinary).
+    */
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+      : (Int, Option[String], Map[String, String], Option[String], Boolean) = {
+    if (host.endsWith("nic.cz")) {
+      // golden: first step 301 http→https, final 200 with server nginx
+      if (port == 80 && hop == 0)
+        return (301, Some(s"https://$host/"),
+          Map("server" -> "nginx", "location" -> s"https://$host/"), None, false)
+      return (200, None,
+        Map("server" -> "nginx", "content-type" -> "text/html; charset=utf-8"),
+        Some(s"<html><title>CZ.NIC</title></html>"), false)
+    }
+    val x = h("web", host, ip, port.toString, hop.toString, path)
+    val redirChainLen = Math.floorMod(h("weblen", host, port.toString), 9L).toInt // up to 8 > max_redirects 6
+    if (pct(x) < 8) return (0, None, Map.empty, None, false) // connection error sentinel
+    if (hop < redirChainLen && port == 80)
+      (301, Some(s"https://$host$path"),
+        Map("server" -> srv(x), "location" -> s"https://$host$path"), None, false)
+    else if (hop < redirChainLen)
+      (302, Some(s"https://$host/r$hop$path"),
+        Map("server" -> srv(x), "location" -> s"https://$host/r$hop$path"), None, false)
+    else if (pct(x >>> 8) < 10)
+      (404, None, Map("server" -> srv(x), "content-type" -> "text/html"),
+        Some("<html>404</html>"), false)
+    else if (pct(x >>> 16) < 7)
+      (200, None, Map("server" -> srv(x), "content-type" -> "application/octet-stream",
+        "content-length" -> s"${Math.floorMod(x, 90000L)}"), Some(f"bin:${mix64(x)}%016x"), true)
+    else {
+      val hsts = if (port == 443 && pct(x >>> 24) < 40)
+        Map("strict-transport-security" -> s"max-age=${86400 * (1 + Math.floorMod(x, 365L))}; includeSubDomains")
+      else Map.empty[String, String]
+      (200, None, Map("server" -> srv(x),
+        "content-type" -> "text/html; charset=utf-8",
+        "content-length" -> s"${Math.floorMod(x, 50000L)}") ++ hsts,
+        Some(s"<html><body>page ${java.lang.Long.toHexString(x)}</body></html>"), false)
+    }
+  }
+
+  private def srv(x: Long): String =
+    Seq("nginx", "apache", "nginx/1.24.0", "caddy", "Microsoft-IIS/10.0")(
+      Math.floorMod(x >>> 32, 5L).toInt)
+
+  def tlsInfo(host: String, ip: String): (String, String) = {
+    val x = h("tls", host, ip)
+    (Seq("TLSv1.2", "TLSv1.3")(Math.floorMod(x, 2L).toInt),
+      Seq("TLS_AES_128_GCM_SHA256", "TLS_AES_256_GCM_SHA384",
+        "ECDHE-RSA-AES128-GCM-SHA256")(Math.floorMod(x >>> 8, 3L).toInt))
+  }
+
+  // ------------------------------------------------------------ mail
+
+  def mailBanner(ip: String, port: Int): MailBanner = {
+    val x = h("banner", ip, port.toString)
+    if (pct(x) < 15) MailBanner(None, Some("timeout"))
+    else MailBanner(Some(s"220 smtp${Math.floorMod(x, 50L)}.example ESMTP Postfix"), None)
+  }
+
+  // ------------------------------------------------------------ HSTS
+
+  def hstsPreload(domain: String): Boolean =
+    domain == "nic.cz" || pct(h("hstspre", domain)) < 3
+
+  // ------------------------------------- politeness / zone policy
+
+  /** Zone/robots policy per nameserver bucket: per-round token budget
+    * (the robots.txt / zone-transfer-policy cache of the north star).
+    */
+  def policyBudget(nsBucket: Int): Int =
+    if (nsBucket == 0) 512 else 64 + Math.floorMod(h("policy", nsBucket.toString), 64L).toInt
+
+  /** Deterministic seed-list generator: `d{i}.cz` style domains plus IDN
+    * and mixed-case variants to exercise canonicalization, plus planted
+    * duplicates for the seen-set.
+    */
+  def seedDomain(i: Long): String = {
+    val x = mix64(seed ^ i)
+    Math.floorMod(x, 20L) match {
+      case 0 => s"D${i}.CZ" // case variant
+      case 1 => s"d$i.cz."  // trailing dot
+      case 2 => s"háčky-$i.cz" // IDN → punycode
+      case 3 => s"d${Math.max(0L, i - Math.floorMod(x >>> 8, 50L))}.cz" // duplicate of earlier
+      case _ => s"d$i.cz"
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.CuckooFilter
+
+class CuckooFilterSpec extends AnyFunSuite {
+
+  test("no false negatives at 50k keys") {
+    val f = CuckooFilter.create(100000)
+    val keys = (0 until 50000).map(i => graft.ops.TextOps.mix64(i.toLong * 31 + 7))
+    keys.foreach(k => assert(f.insert(k)))
+    keys.foreach(k => assert(f.contains(k), s"lost key $k"))
+    assert(f.size == keys.distinct.size)
+  }
+
+  test("false positive rate stays small (16-bit fingerprints)") {
+    val f = CuckooFilter.create(100000)
+    (0 until 50000).foreach(i => f.insert(graft.ops.TextOps.mix64(i.toLong)))
+    val fps = (1000000 until 1100000).count(i => f.contains(graft.ops.TextOps.mix64(i.toLong)))
+    assert(fps < 2000, s"fpp too high: $fps/100000") // expect ~2*4/2^16 ≈ 0.012%
+  }
+
+  test("serialize/deserialize is bit-exact and preserves membership") {
+    val f = CuckooFilter.create(10000)
+    val keys = (0 until 5000).map(i => graft.ops.TextOps.mix64(i.toLong ^ 0xabcdef))
+    keys.foreach(f.insert)
+    val bytes = f.serialize()
+    val g = CuckooFilter.deserialize(bytes)
+    assert(g.size == f.size)
+    keys.foreach(k => assert(g.contains(k)))
+    assert(java.util.Arrays.equals(g.serialize(), bytes)) // round-trip stable
+  }
+
+  test("merge unions membership (repartition merge)") {
+    val a = CuckooFilter.create(10000)
+    val b = CuckooFilter.create(10000)
+    val ka = (0 until 2000).map(i => graft.ops.TextOps.mix64(i.toLong))
+    val kb = (5000 until 7000).map(i => graft.ops.TextOps.mix64(i.toLong))
+    ka.foreach(a.insert); kb.foreach(b.insert)
+    val m = a.merge(b)
+    (ka ++ kb).foreach(k => assert(m.contains(k)))
+  }
+
+  test("property: inserted keys are always found (scalacheck)") {
+    val prop = Prop.forAll(Gen.listOfN(500, Gen.long)) { keys =>
+      val f = CuckooFilter.create(2000)
+      keys.foreach(f.insert)
+      keys.forall(f.contains)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("idempotent insert does not grow count") {
+    val f = CuckooFilter.create(1000)
+    assert(f.insert(42L)); assert(f.insert(42L))
+    assert(f.size == 1)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Dataset
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model.Model.{Doc, Span}
+import graft.universe.Universe
+
+/** Tight per-round budgets so the politeness/backlog path is exercised at
+  * test scale (top-level class: test closures must stay serializable).
+  */
+class TightBudgetUniverse(seed: Long) extends Universe(seed) {
+  override def policyBudget(nsBucket: Int): Int = if (nsBucket == 0) 12 else 25
+}
+
+class EngineSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val u = new TightBudgetUniverse(42L)
+
+  /** Seed corpus: interleaved docs whose text spans carry domains (with
+    * planted case/trailing-dot/IDN/duplicate variants via
+    * `Universe.seedDomain`) and media spans whose refs must ride through.
+    */
+  private def seedDocs(nDomains: Int, spansPerDoc: Int = 5): Dataset[Doc] = {
+    val docs = (0 until nDomains).grouped(spansPerDoc).zipWithIndex.map {
+      case (idxs, d) =>
+        val spans = idxs.zipWithIndex.flatMap { case (i, off) =>
+          val media =
+            if (i % 7 == 0) Seq(Span("media", null, s"blob://img/$i", off * 2 + 1))
+            else Seq.empty
+          Seq(Span("text", u.seedDomain(i.toLong), null, off * 2)) ++ media
+        }
+        Doc(f"doc-$d%06d", spans)
+    }
+    spark.createDataset(docs.toSeq)
+  }
+
+  private def newEngine(dir: String, chunk: Int = 60) =
+    new Engine(spark, u, workDir = dir, frontierPartitions = 8,
+      seedChunkSize = chunk)
+
+  private def resultKeys(e: Engine): Seq[(String, Int, Long)] =
+    e.resultsTable.read().get
+      .select("domain", "pop_round", "pop_rank")
+      .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+
+  test("end-to-end: dedup via canonicalize + seen-set, politeness deferral, all crawled") {
+    val dir = Files.createTempDirectory("engine-e2e").toString
+    val docs = seedDocs(150)
+    val eng = newEngine(dir)
+    val stats = eng.run(docs)
+    assert(stats.nonEmpty)
+    // politeness budget (12/25 per round) forces deferrals across rounds
+    assert(stats.exists(_.deferred > 0), s"expected deferrals, got $stats")
+
+    val results = eng.resultsTable.read().get
+    val domains = results.select("domain").as[String].collect()
+    assert(domains.length == domains.distinct.length, "seen-set let a duplicate through")
+
+    // every canonical seed is crawled exactly once
+    val expected = (0 until 150).map(i => graft.canon.Canon.canonicalize(u.seedDomain(i.toLong))).distinct
+    assert(domains.sorted.toSeq == expected.sorted)
+
+    // planted case-variant duplicates collapsed (D1: controller.py:59)
+    assert(domains.count(_ == "d0.cz") <= 1)
+
+    // results carry the full nested document
+    val one = results.where($"domain" === domains.head).select("result.DNS_LOCAL.DNSSEC.valid")
+    assert(one.count() == 1)
+  }
+
+  test("pop order is deterministic and independent of shuffle parallelism") {
+    val docs = seedDocs(120)
+    val dirA = Files.createTempDirectory("engine-pA").toString
+    val dirB = Files.createTempDirectory("engine-pB").toString
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      newEngine(dirA).run(docs)
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      newEngine(dirB).run(docs)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    val a = resultKeys(newEngine(dirA))
+    val b = resultKeys(newEngine(dirB))
+    assert(a == b, "crawl order changed with parallelism")
+  }
+
+  test("resume from checkpoint reproduces the uninterrupted run bit-for-bit") {
+    val docs = seedDocs(100)
+    val dirFull = Files.createTempDirectory("engine-full").toString
+    val dirResume = Files.createTempDirectory("engine-resume").toString
+
+    newEngine(dirFull).run(docs) // uninterrupted
+
+    val interrupted = newEngine(dirResume)
+    val partial = interrupted.run(docs, maxRounds = 2) // "crash" after 2 rounds
+    assert(partial.size <= 2)
+    val resumed = newEngine(dirResume) // fresh engine, same checkpoint dir
+    resumed.run(docs)
+
+    assert(resultKeys(newEngine(dirFull)) == resultKeys(newEngine(dirResume)))
+
+    // span-sequence table equality: per-row (kind, text, media_ref, order)
+    def spanRows(dir: String) = newEngine(dir).spansTable.read().get
+      .selectExpr("doc_id", "explode(spans) AS s")
+      .selectExpr("doc_id", "s.kind", "coalesce(s.text, '∅') AS t",
+        "coalesce(s.media_ref, '∅') AS m", "s.offset")
+      .as[(String, String, String, String, Int)].collect().sorted.toSeq
+    assert(spanRows(dirFull) == spanRows(dirResume))
+  }
+
+  test("one-shot library API crawls a plain domain dataset") {
+    val ds = spark.createDataset(Seq("nic.cz", "d1.cz", "D1.CZ", "d2.cz."))
+    val eng = newEngine(Files.createTempDirectory("engine-lib").toString)
+    val out = eng.crawlDomains(ds).collect()
+    assert(out.map(_.domain).sorted.toSeq == Seq("d1.cz", "d2.cz", "nic.cz"))
+    val nic = out.find(_.domain == "nic.cz").get
+    assert(nic.DNS_LOCAL.DNSSEC.valid.contains(true))
+    assert(nic.DNS_AUTH.get.map(_.ns).sorted ==
+      Seq("a.ns.nic.cz", "b.ns.nic.cz", "d.ns.nic.cz"))
+  }
+
+  test("media spans in the input corpus are preserved verbatim on read-back") {
+    val docs = seedDocs(30)
+    val refs = docs.selectExpr("explode(spans) AS s").where($"s.kind" === "media")
+      .select("s.media_ref").as[String].collect()
+    assert(refs.nonEmpty && refs.forall(_.startsWith("blob://img/")))
+  }
+}

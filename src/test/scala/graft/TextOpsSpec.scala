@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+
+  test("simhash: similar docs have small hamming distance, unrelated large") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today".split(" ").toSeq
+    val near = base.updated(3, "foxx") // one token changed
+    val far = "completely different content about spark shuffle partitions and catalyst".split(" ").toSeq
+    val hBase = TextOps.simhash64(base)
+    val hNear = TextOps.simhash64(near)
+    val hFar = TextOps.simhash64(far)
+    assert(TextOps.hamming64(hBase, hNear) < TextOps.hamming64(hBase, hFar))
+    assert(TextOps.hamming64(hBase, hNear) <= 16)
+    assert(TextOps.simhash64(base) == hBase) // deterministic
+  }
+
+  test("rolling fingerprint is stable and shifts only with content") {
+    val a = TextOps.rollingFingerprint("The quick brown fox jumps over the lazy dog")
+    val b = TextOps.rollingFingerprint("The  quick   brown fox jumps over the lazy dog") // ws-normalized
+    assert(a == b)
+    val c = TextOps.rollingFingerprint("An entirely different document body here")
+    assert(a != c)
+  }
+
+  test("langId heuristic on real sentences") {
+    assert(TextOps.langId("the cat sat on the mat and it is happy with the result") == "en")
+    assert(TextOps.langId("der Hund ist nicht mit der Katze und das ist gut") == "de")
+    assert(TextOps.langId("le chat est dans la maison et les enfants sont dans le jardin") == "fr")
+    assert(TextOps.langId("el perro es una mascota que vive en la casa como los gatos") == "es")
+    assert(TextOps.langId("今天天气很好我们一起去公园散步吧") == "zh")
+    assert(TextOps.langId("zzz qqq xxx") == "und")
+    assert(TextOps.langId("") == "und")
+  }
+
+  test("mix64/hashToken deterministic avalanche") {
+    assert(TextOps.mix64(1L) != TextOps.mix64(2L))
+    assert(TextOps.hashToken("abc") == TextOps.hashToken("abc"))
+    assert(TextOps.hashToken("abc") != TextOps.hashToken("abd"))
+  }
+
+  test("column tokenizer/shingles agree with the oracle definition") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("a b c d", "x y", "one").toDF("text")
+    val toks = df.select(TextOps.tokenCount(col("text")).as("n")).as[Int].collect()
+    assert(toks.toSeq == Seq(4, 2, 1))
+    val sh = df.select(TextOps.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty) // shorter than k → empty array
+    assert(sh(2) == Seq.empty)
+  }
+}
