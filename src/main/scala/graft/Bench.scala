@@ -26,10 +26,13 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 32,
       seedChunkSize = nDomains)
-    val domains = spark.createDataset((0L until nDomains.toLong).map(u.seedDomain))
+    // distributed seed generation — no driver-side 10^5-element Seq
+    val domains = spark.range(nDomains.toLong).map(i => u.seedDomain(i))
     val t0 = System.nanoTime()
     val n = eng.crawlDomains(domains).count()
-    ((System.nanoTime() - t0) / 1e9, n)
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache() // drop the run's frontier cache blocks
+    (dt, n)
   }
 
   def main(args: Array[String]): Unit = {

@@ -22,22 +22,44 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass so JIT/classloading don't pollute the 1st sample
-    Bench.crawlBench(spark, 500)
+    // full-size warm-up: the probe path needs ~10^5 invocations before C2
+    // fully compiles it, so a small warmup leaves the first measured run
+    // part-interpreted. Measure the steady-state (second) run.
+    Bench.crawlBench(spark, nDomains)
     val r = Bench.crawlBench(spark, nDomains)
     spark.stop()
     r
   }
 
+  /** args: [N] [domains] [mode]; mode `both` (default) runs N then 4N in
+    * one JVM, `single` runs only `local[N]` and prints one sample — use two
+    * `single` invocations (fresh JVM each) for GC-fair comparisons.
+    */
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(8)
-    val domains = args.lift(1).map(_.toInt).getOrElse(20000)
-    val (tN, cN) = runAt(n, domains)
-    val (t4N, c4N) = runAt(4 * n, domains)
-    val thrN = cN / tN
-    val thr4N = c4N / t4N
-    val eff = (thr4N / thrN) / 4.0
-    println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"4n_cores":${4 * n},"throughput_4n":$thr4N%.1f,"domains":$domains,"sec_n":$tN%.2f,"sec_4n":$t4N%.2f}""")
+    val domains = args.lift(1).map(_.toInt).getOrElse(2000000)
+    val mode = args.lift(2).getOrElse("both")
+    if (mode == "single") {
+      val (t, c) = runAt(n, domains)
+      println(f"""{"metric":"throughput","cores":$n,"domains_per_sec":${c / t}%.1f,"domains":$domains,"sec":$t%.2f}""")
+    } else {
+      // interleaved repeats, min per config: single-box timings are noisy
+      // (CPU steal, turbo, GC phase); min is the least-biased estimate of
+      // the jobs' intrinsic cost at each parallelism
+      val reps = 2
+      var bestN, best4N = Double.MaxValue
+      var cN, c4N = 0L
+      (1 to reps).foreach { _ =>
+        val (tn, cn) = runAt(n, domains)
+        if (tn < bestN) { bestN = tn; cN = cn }
+        val (t4, c4) = runAt(4 * n, domains)
+        if (t4 < best4N) { best4N = t4; c4N = c4 }
+      }
+      val thrN = cN / bestN
+      val thr4N = c4N / best4N
+      val eff = (thr4N / thrN) / 4.0
+      println(
+        f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"4n_cores":${4 * n},"throughput_4n":$thr4N%.1f,"domains":$domains,"sec_n":$bestN%.2f,"sec_4n":$best4N%.2f,"reps":$reps}""")
+    }
   }
 }

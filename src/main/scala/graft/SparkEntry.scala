@@ -23,9 +23,12 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: crawl a synthetic .cz seed batch through the full engine
+    * (canonicalize → dedup → salted probe fan-out → nested result docs) and
+    * return the span-encoded results. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q26_crawl_spans")(spark, "/root/testdata/sf0.001")
 
   // Shared constants (also interpolated into the oracle SQL so the two
   // sides can never drift).
@@ -223,7 +226,36 @@ object SparkEntry {
 
     // Multimodal — binary column + partition-batched decode (stubbed codec)
     "q25_multimodal" -> ((s, dir) =>
-      MultiModalOps.demoPipeline(s, s"$dir/documents.parquet"))
+      MultiModalOps.demoPipeline(s, s"$dir/documents.parquet")),
+
+    // Crawl engine — span-encoded results of a 200-domain synthetic crawl
+    // (deterministic universe; rows-only — no SQL oracle can crawl)
+    "q26_crawl_spans" -> ((s, _) => {
+      import s.implicits._
+      val u = new graft.universe.Universe(42L)
+      val eng = new graft.engine.Engine(s, u,
+        workDir = java.nio.file.Files.createTempDirectory("graft-q26").toString)
+      val seeds = s.createDataset((0L until 200L).map(u.seedDomain))
+      eng.crawlDomains(seeds)
+        .map(graft.spans.SpanCodec.encode)
+        .select(col("doc_id"), explode(col("spans")).as("s"))
+        .select(col("doc_id"), col("s.kind"), col("s.text"),
+          col("s.media_ref"), col("s.offset"))
+    }),
+
+    // Crawl engine — relational projection over nested result documents
+    "q27_crawl_dns_flat" -> ((s, _) => {
+      import s.implicits._
+      val u = new graft.universe.Universe(42L)
+      val eng = new graft.engine.Engine(s, u,
+        workDir = java.nio.file.Files.createTempDirectory("graft-q27").toString)
+      val seeds = s.createDataset((0L until 200L).map(u.seedDomain))
+      eng.crawlDomains(seeds).toDF()
+        .select(col("domain"),
+          col("DNS_LOCAL.DNSSEC.valid").as("dnssec_valid"),
+          coalesce(size(col("DNS_LOCAL.NS_AUTH")), lit(0)).cast("long").as("n_ns"),
+          col("HSTS").as("hsts_preloaded"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

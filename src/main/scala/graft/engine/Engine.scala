@@ -59,9 +59,7 @@ class Engine(
     workDir: String,
     frontierPartitions: Int = 32,
     seedChunkSize: Int = 10000,
-    filterCapacityPerPartition: Long = 1L << 20,
-    saltsForHotBucket: Int = 8,
-    hotBucketThreshold: Int = 1000) {
+    filterCapacityPerPartition: Long = 1L << 20) {
 
   import Engine._
   import spark.implicits._
@@ -97,11 +95,14 @@ class Engine(
     */
   def toFrontier(seeds: Dataset[(String, Long)]): Dataset[FrontierEntry] = {
     val u = universe
-    val canon = seeds.toDF("domain", "seq")
+    // first-enqueue-wins dedup as a hash aggregate with map-side partial
+    // combine (cheaper than a sort-window; same semantics: min seq wins)
+    seeds.toDF("domain", "seq")
       .withColumn("canonical", Canon.canonicalizeDomainCol(col("domain")))
+      .groupBy(col("canonical"))
+      .agg(min_by(col("domain"), col("seq")).as("domain"), min(col("seq")).as("seq"))
       .withColumn("key", xxhash64(col("canonical")))
-    val w = Window.partitionBy(col("canonical")).orderBy(col("seq"))
-    canon.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .select("domain", "seq", "canonical", "key")
       .as[(String, Long, String, Long)]
       .map { case (domain, seq, canonical, key) =>
         FrontierEntry(domain, canonical, key,
@@ -196,67 +197,121 @@ class Engine(
 
   // ------------------------------------------------------------ crawl
 
-  /** Crawl one admitted set. Probe stage is salted on hot buckets; shared
-    * nameserver IPs are deduped, probed once, and joined back (O1).
+  /** Frequency-proportional salt counts (SURVEY O11: salt count ∝ observed
+    * key frequency): each nameserver bucket is split into enough salt
+    * cells that no cell exceeds ~one reducer's share. A fixed per-hot-
+    * bucket salt constant caps speedup as parallelism grows; this adapts.
     */
-  def crawlEntries(entries: Dataset[FrontierEntry]): Dataset[DomainResult] = {
+  private def saltCounts(entries: Dataset[FrontierEntry]): Map[Int, Int] = {
+    val counts = entries.groupBy(col("nsBucket")).count()
+      .as[(Int, Long)].collect().toMap
+    val total = counts.values.sum.max(1L)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.max(1L, total / parts)
+    counts.map { case (b, c) =>
+      b -> math.max(1, math.ceil(c.toDouble / target).toInt)
+    }
+  }
+
+  /** Crawl one admitted set.
+    *
+    * Partitioning: range-partitioned on `(nsBucket, salt, key)` with
+    * frequency-proportional salting — same-provider domains co-locate (the
+    * per-partition probe cache then hits like the reference's Redis cache,
+    * `dns_utils.py:235-253`), hot providers are split across reducers, and
+    * range partitioning avoids hash-collision imbalance at high core
+    * counts.
+    *
+    * NS-IP probe dedup runs two ways with identical results:
+    * per-partition cache (default — zero extra shuffles; duplicate probes
+    * only across salt splits, bounded by salt count) or a global
+    * `dropDuplicates → probe → join` (`dedupAcrossPartitions = true`,
+    * exact-once probes at the cost of 3 shuffles — the right trade when
+    * probes are expensive network calls rather than compute).
+    */
+  def crawlEntries(entries: Dataset[FrontierEntry],
+      dedupAcrossPartitions: Boolean = false): Dataset[DomainResult] = {
     val u = universe
     val conf = cfg
     val ts = clock
-    val hotSalts = saltsForHotBucket
-    // salted repartition: hot provider buckets split across `hotSalts`
-    // reducers; cold buckets keep one (salt = 0)
-    val salted = entries
-      .withColumn("_salt",
-        when(col("nsBucket") === 0, pmod(col("key"), lit(hotSalts)))
-          .otherwise(lit(0)))
-      .repartition(col("nsBucket"), col("_salt"))
+    val input = entries.cache()
+    val salts = saltCounts(input)
+    val saltOf = udf((b: Int) => salts.getOrElse(b, 1))
+    // Explicit partition count: the probe stage is compute-bound on tiny
+    // rows, so AQE's byte-based coalescing would collapse it onto a few
+    // cores (40 MB of FrontierEntry rows ≈ hours of probe CPU at real
+    // scale). 2× cores gives straggler slack; user-specified N is
+    // preserved by AQE.
+    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 2
+    val salted = input
+      .withColumn("_salt", pmod(col("key"), saltOf(col("nsBucket"))))
+      .repartitionByRange(probeParts, col("nsBucket"), col("_salt"), col("key"))
       .drop("_salt")
       .as[FrontierEntry]
-      .cache()
 
-    // --- dedup-probe-join for nameserver IPs (cross-domain cache, J4/D3)
-    val nsRefs = salted.flatMap { e =>
-      u.nsFor(e.canonical).zipWithIndex.flatMap { case (ns, i) =>
-        u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
-          u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
-      }
-    }
-    val probedIps = nsRefs.select("ip").distinct().as[String]
-      .mapPartitions { ips =>
+    if (!dedupAcrossPartitions) {
+      // single narrow pass: per-partition NS-probe cache + full assembly
+      salted.mapPartitions { it =>
         val p = new Probes(u, conf)
-        ips.map(ip => (ip, p.probeNsIp(ip)))
-      }.toDF("p_ip", "info")
-    val auth = nsRefs.toDF()
-      .join(probedIps, col("ip") === col("p_ip"))
-      .as[(String, Int, String, Int, Int, String, String, NsIp)]
-      .groupByKey(_._1)
-      .mapGroups { (domain, it) =>
-        val rows = it.toVector.sortBy(r => (r._2, r._4, r._5))
-        val nsAuth = rows.groupBy(r => (r._2, r._3)).toVector.sortBy(_._1._1).map {
-          case ((_, ns), rs) =>
-            NsAuth(ns, rs.filter(_._4 == 4).sortBy(_._5).map(_._8),
-              rs.filter(_._4 == 6).sortBy(_._5).map(_._8))
+        val nsIpCache = scala.collection.mutable.HashMap.empty[String, NsIp]
+        it.map { e =>
+          val dl = p.getDnsLocal(e.canonical)
+          val ns = u.nsFor(e.canonical)
+          val auth =
+            if (ns.isEmpty) None
+            else Some(ns.filter(_.nonEmpty).map { n =>
+              NsAuth(n,
+                u.nsIps4(n).map(ip => nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))),
+                u.nsIps6(n).map(ip => nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))))
+            })
+          DomainResult(e.canonical, ts, dl, auth,
+            p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
+            u.hstsPreload(e.canonical))
         }
-        (domain, nsAuth)
-      }.toDF("a_domain", "auth")
-
-    // --- the rest of the per-domain pipeline (pure probe leaves)
-    val base = salted.mapPartitions { it =>
-      val p = new Probes(u, conf)
-      it.map { e =>
-        val dl = p.getDnsLocal(e.canonical)
-        val r = DomainResult(e.canonical, ts, dl, None,
-          p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-          p.u.hstsPreload(e.canonical))
-        (e.canonical, r)
       }
-    }.toDF("b_domain", "result")
+    } else {
+      // --- dedup-probe-join for nameserver IPs (cross-domain cache, J4/D3)
+      val nsRefs = salted.flatMap { e =>
+        u.nsFor(e.canonical).zipWithIndex.flatMap { case (ns, i) =>
+          u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
+            u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
+        }
+      }
+      val probedIps = nsRefs.select("ip").distinct().as[String]
+        .mapPartitions { ips =>
+          val p = new Probes(u, conf)
+          ips.map(ip => (ip, p.probeNsIp(ip)))
+        }.toDF("p_ip", "info")
+      val auth = nsRefs.toDF()
+        .join(probedIps, col("ip") === col("p_ip"))
+        .as[(String, Int, String, Int, Int, String, String, NsIp)]
+        .groupByKey(_._1)
+        .mapGroups { (domain, it) =>
+          val rows = it.toVector.sortBy(r => (r._2, r._4, r._5))
+          val nsAuth = rows.groupBy(r => (r._2, r._3)).toVector.sortBy(_._1._1).map {
+            case ((_, ns), rs) =>
+              NsAuth(ns, rs.filter(_._4 == 4).sortBy(_._5).map(_._8),
+                rs.filter(_._4 == 6).sortBy(_._5).map(_._8))
+          }
+          (domain, nsAuth)
+        }.toDF("a_domain", "auth")
 
-    base.join(auth, col("b_domain") === col("a_domain"), "left_outer")
-      .select(col("result"), col("auth"))
-      .as[(DomainResult, Option[Seq[NsAuth]])]
-      .map { case (r, a) => r.copy(DNS_AUTH = a.filter(_.nonEmpty)) }
+      val base = salted.mapPartitions { it =>
+        val p = new Probes(u, conf)
+        it.map { e =>
+          val dl = p.getDnsLocal(e.canonical)
+          val r = DomainResult(e.canonical, ts, dl, None,
+            p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
+            p.u.hstsPreload(e.canonical))
+          (e.canonical, r)
+        }
+      }.toDF("b_domain", "result")
+
+      base.join(auth, col("b_domain") === col("a_domain"), "left_outer")
+        .select(col("result"), col("auth"))
+        .as[(DomainResult, Option[Seq[NsAuth]])]
+        .map { case (r, a) => r.copy(DNS_AUTH = a.filter(_.nonEmpty)) }
+    }
   }
 
   // ------------------------------------------------------------- run

@@ -106,13 +106,8 @@ object DedupOps {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       dims: Int, threshold: Double, bits: Int = 10, tables: Int = 4): DataFrame = {
-    def bucketed(side: String) = {
-      val base = emb.select(col(idCol).as(side), col(vecCol).as(s"v_$side"))
-      (0 until tables).map { t =>
-        base.withColumn("tbl", lit(t))
-          .withColumn("bucket", SimilarityOps.srpBucket(col(s"v_$side"), dims, bits, t))
-      }.reduce(_ unionByName _)
-    }
+    def bucketed(side: String) =
+      SimilarityOps.srpBuckets(emb, idCol, vecCol, dims, bits, tables, side, s"v_$side")
     bucketed("id_a").join(bucketed("id_b"), Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "v_id_a", "v_id_b").dropDuplicates("id_a", "id_b")

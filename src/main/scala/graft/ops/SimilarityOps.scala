@@ -64,15 +64,45 @@ object SimilarityOps {
     })
   }
 
-  /** SRP bucket id (b-bit) for one hash table, as a codegen'd column. */
-  def srpBucket(vec: Column, dims: Int, bits: Int, table: Int): Column = {
-    val bitCols = (0 until bits).map { bit =>
-      val proj = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(srpWeight(table, bit, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
+  /** Precomputed plane matrix for (tables × bits) projections — ~tables ×
+    * bits × dims doubles, shipped once in the task closure.
+    */
+  private def planes(dims: Int, bits: Int, tables: Int): Array[Array[Double]] =
+    Array.tabulate(tables * bits) { tb =>
+      val t = tb / bits; val b = tb % bits
+      Array.tabulate(dims)(d => srpWeight(t, b, d))
     }
-    bitCols.reduce(_ + _)
+
+  /** SRP bucket assignments as a partition-mapped projection (one tight
+    * loop per row, not a 10^3-term codegen expression — whole-stage
+    * codegen chokes on dims×bits×tables unrolled `element_at` trees).
+    * Output: (id, vec, tbl, bucket), one row per hash table.
+    */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bits: Int, tables: Int, idOut: String, vecOut: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pl = planes(dims, bits, tables)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, vec) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < bits) {
+              val w = pl(t * bits + b)
+              var dot = 0.0
+              var d = 0
+              val n = math.min(dims, vec.length)
+              while (d < n) { dot += vec(d) * w(d); d += 1 }
+              if (dot > 0) bucket |= (1L << b)
+              b += 1
+            }
+            (id, vec, t, bucket)
+          }
+        }
+      }.toDF(idOut, vecOut, "tbl", "bucket")
   }
 
   /** LSH-bucketed approximate top-k: candidates = bucket collisions in any
@@ -80,15 +110,8 @@ object SimilarityOps {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dims: Int, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
-      val base = df.select(col(idCol).as(id), col(vecCol).as(v))
-      val tagged = (0 until tables).map { t =>
-        base.withColumn("tbl", lit(t)).withColumn("bucket", srpBucket(col(v), dims, bits, t))
-      }
-      tagged.reduce(_ unionByName _)
-    }
-    val c = bucketed(corpus, "neighbor_id", "nvec")
-    val q = bucketed(queries, "query_id", "qvec")
+    val c = srpBuckets(corpus, idCol, vecCol, dims, bits, tables, "neighbor_id", "nvec")
+    val q = srpBuckets(queries, idCol, vecCol, dims, bits, tables, "query_id", "qvec")
     // bucket-equi join: shuffles on (tbl, bucket), never a cross product
     val cand = c.join(q, Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))

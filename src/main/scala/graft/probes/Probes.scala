@@ -180,8 +180,13 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
           content_is_binary = if (body.isDefined) Some(isBin) else None,
           error = None)
         if (isRedirect && hop < cfg.maxRedirects) {
-          url = java.net.URI.create(url).resolve(loc.get).toString // urljoin (web_utils.py:205)
-          path = java.net.URI.create(url).getPath match { case null | "" => "/"; case p => p }
+          val l = loc.get
+          // urljoin (web_utils.py:205); absolute locations skip URI parsing
+          url = if (l.startsWith("http://") || l.startsWith("https://")) l
+                else java.net.URI.create(url).resolve(l).toString
+          val schemeEnd = url.indexOf("//") + 2
+          val slash = url.indexOf('/', schemeEnd)
+          path = if (slash < 0) "/" else url.substring(slash)
           hop += 1
         } else done = true
       }
@@ -239,8 +244,8 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
   */
 case class CrawlConfig(
     checkWww: Boolean = true,
-    saveContent: Boolean = true,
-    saveIntermediateSteps: Boolean = true,
+    saveContent: Boolean = false,     // config_loader.py:62 (library default)
+    saveIntermediateSteps: Boolean = true, // config_loader.py:74
     maxRedirects: Int = 6,            // config.yml:34
     contentSizeLimit: Int = 5120000,  // config.yml:37
     maxIpsPerDomain: Int = 16,

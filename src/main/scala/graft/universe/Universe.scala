@@ -21,6 +21,11 @@ import graft.ops.TextOps.mix64
   * `nic.cz` is special-cased to the golden values the reference e2e test
   * asserts (`test/nic.cz.test.py:28-45`, `result-example.json`).
   */
+object Universe {
+  private[universe] val countries = Array("CZ", "DE", "US", "SK", "FR", "NL", "AT", "PL")
+  private[universe] val dsAlgs = Array(8, 13, 14, 15)
+}
+
 class Universe(val seed: Long) extends Serializable {
 
   private def h(parts: String*): Long =
@@ -69,8 +74,14 @@ class Universe(val seed: Long) extends Serializable {
     s"${10 + Math.floorMod(x, 200L)}.${Math.floorMod(x >>> 8, 250L)}." +
       s"${Math.floorMod(x >>> 16, 250L)}.${1 + Math.floorMod(x >>> 24, 250L)}"
 
-  private def mkIp6(x: Long): String =
-    f"2001:db8:${Math.floorMod(x, 0xffffL)}%x:${Math.floorMod(x >>> 16, 0xffffL)}%x::${1 + Math.floorMod(x >>> 32, 0xfffL)}%x"
+  private def mkIp6(x: Long): String = {
+    val sb = new java.lang.StringBuilder(24)
+    sb.append("2001:db8:")
+      .append(java.lang.Long.toHexString(Math.floorMod(x, 0xffffL))).append(':')
+      .append(java.lang.Long.toHexString(Math.floorMod(x >>> 16, 0xffffL))).append("::")
+      .append(java.lang.Long.toHexString(1 + Math.floorMod(x >>> 32, 0xfffL)))
+    sb.toString
+  }
 
   def aFor(name: String): Seq[String] = {
     if (name == "nic.cz" || name == "www.nic.cz") return Seq("217.31.205.50")
@@ -146,7 +157,7 @@ class Universe(val seed: Long) extends Serializable {
     case "unsigned" => Seq.empty
     case _ =>
       val x = h("ds", domain)
-      val alg = if (domain == "nic.cz") 13 else Seq(8, 13, 14, 15)(Math.floorMod(x, 4L).toInt)
+      val alg = if (domain == "nic.cz") 13 else Universe.dsAlgs(Math.floorMod(x, 4L).toInt)
       Seq(s"${Math.floorMod(x, 65536L)} $alg 2 ${java.lang.Long.toHexString(mix64(x))}${java.lang.Long.toHexString(mix64(x + 1))}")
   }
 
@@ -154,7 +165,7 @@ class Universe(val seed: Long) extends Serializable {
     case "unsigned" => Seq.empty
     case _ =>
       val x = h("dnskey", domain)
-      val alg = if (domain == "nic.cz") 13 else Seq(8, 13, 14, 15)(Math.floorMod(x, 4L).toInt)
+      val alg = if (domain == "nic.cz") 13 else Universe.dsAlgs(Math.floorMod(x, 4L).toInt)
       Seq(s"257 3 $alg ${java.lang.Long.toHexString(mix64(x))}==",
         s"256 3 $alg ${java.lang.Long.toHexString(mix64(x + 7))}==")
   }
@@ -177,8 +188,7 @@ class Universe(val seed: Long) extends Serializable {
     if (ip == "217.31.205.50" || ip == "2001:1488:0:3::2")
       return GeoIp(Some("CZ"), Some("CZ.NIC, z.s.p.o."), Some(25192))
     val x = h("geo", ip)
-    val countries = Seq("CZ", "DE", "US", "SK", "FR", "NL", "AT", "PL")
-    val c = countries(Math.floorMod(x, countries.size.toLong).toInt)
+    val c = Universe.countries(Math.floorMod(x, Universe.countries.length.toLong).toInt)
     val asn = 1000 + Math.floorMod(x >>> 16, 64000L).toInt
     GeoIp(Some(c), Some(s"AS$asn Provider ${Math.floorMod(x >>> 8, 500L)}"), Some(asn))
   }
@@ -238,15 +248,16 @@ class Universe(val seed: Long) extends Serializable {
     }
   }
 
-  private def srv(x: Long): String =
-    Seq("nginx", "apache", "nginx/1.24.0", "caddy", "Microsoft-IIS/10.0")(
-      Math.floorMod(x >>> 32, 5L).toInt)
+  private val servers = Array("nginx", "apache", "nginx/1.24.0", "caddy", "Microsoft-IIS/10.0")
+  private def srv(x: Long): String = servers(Math.floorMod(x >>> 32, 5L).toInt)
 
+  private val tlsVersions = Array("TLSv1.2", "TLSv1.3")
+  private val tlsCiphers = Array("TLS_AES_128_GCM_SHA256", "TLS_AES_256_GCM_SHA384",
+    "ECDHE-RSA-AES128-GCM-SHA256")
   def tlsInfo(host: String, ip: String): (String, String) = {
     val x = h("tls", host, ip)
-    (Seq("TLSv1.2", "TLSv1.3")(Math.floorMod(x, 2L).toInt),
-      Seq("TLS_AES_128_GCM_SHA256", "TLS_AES_256_GCM_SHA384",
-        "ECDHE-RSA-AES128-GCM-SHA256")(Math.floorMod(x >>> 8, 3L).toInt))
+    (tlsVersions(Math.floorMod(x, 2L).toInt),
+      tlsCiphers(Math.floorMod(x >>> 8, 3L).toInt))
   }
 
   // ------------------------------------------------------------ mail

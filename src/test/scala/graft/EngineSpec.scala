@@ -126,6 +126,20 @@ class EngineSpec extends AnyFunSuite {
       Seq("a.ns.nic.cz", "b.ns.nic.cz", "d.ns.nic.cz"))
   }
 
+  test("per-partition probe cache and global dedup-probe-join agree") {
+    val eng = newEngine(Files.createTempDirectory("engine-dedup").toString)
+    val seeds = spark.createDataset((0L until 80L).map(u.seedDomain))
+    val entries = eng.toFrontier(
+      seeds.toDF("domain").withColumn("seq",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+        .as[(String, Long)])
+    val fast = eng.crawlEntries(entries, dedupAcrossPartitions = false)
+      .collect().sortBy(_.domain)
+    val exact = eng.crawlEntries(entries, dedupAcrossPartitions = true)
+      .collect().sortBy(_.domain)
+    assert(fast.toSeq == exact.toSeq)
+  }
+
   test("media spans in the input corpus are preserved verbatim on read-back") {
     val docs = seedDocs(30)
     val refs = docs.selectExpr("explode(spans) AS s").where($"s.kind" === "media")

@@ -9,7 +9,8 @@ import graft.universe.Universe
 class SpanCodecSpec extends AnyFunSuite {
 
   val u = new Universe(42L)
-  val p = new Probes(u, CrawlConfig())
+  // content saving on: the codec's media_ref path needs bodies present
+  val p = new Probes(u, CrawlConfig(saveContent = true))
 
   test("span enumeration: contiguous offsets, doc_id = domain, canonical order") {
     val r = p.processDomain("nic.cz", "2026-01-01 00:00:00")
