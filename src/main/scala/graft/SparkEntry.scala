@@ -228,6 +228,74 @@ object SparkEntry {
     "q25_multimodal" -> ((s, dir) =>
       MultiModalOps.demoPipeline(s, s"$dir/documents.parquet")),
 
+    // W2/A1 — order-preserving collect (steps-in-fetch-order analog)
+    "q28_ordered_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq_types"))
+    }),
+
+    // J3-shape — port/type-keyed map aggregation (rendered as sorted text
+    // for cross-engine hashing; Spark map columns don't hash-compare)
+    "q29_type_counts" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("event_type"), lit(":"), col("n").cast("string")))), "|").as("type_counts"))
+    }),
+
+    // A4 — higher-order filter+transform (SPF pass-ip extraction analog)
+    "q30_hof_transform" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      T(s, dir, "documents").select(col("doc_id"),
+        array_join(array_sort(transform(
+          filter(toks, t => t.startsWith("b")), t => upper(t))), " ").as("b_tokens"))
+    }),
+
+    // W4/W7 — bounded slice + content truncation
+    "q31_slice_limits" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 3), " ").as("first3"),
+        substring(col("text"), 1, 20).as("prefix20"))
+    }),
+
+    // F17-shape — date arithmetic (cert validity-days analog)
+    "q32_ship_latency" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(min(col("l_shipdate")).as("first_ship"))
+        .select(col("o_orderkey"),
+          datediff(col("first_ship"), col("o_orderdate")).cast("long").as("days_to_ship"))
+    }),
+
+    // T-shape — sessionization via lag + cumulative sum (gap > 30 min)
+    "q33_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+        .withColumn("flag",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1L)
+            .otherwise(0L))
+        .select(col("user_id"), col("event_id"),
+          sum(col("flag")).over(wRun).as("session_id"))
+    }),
+
+    // Catalyst-free extras — rollup grouping sets
+    "q34_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+    }),
+
     // Crawl engine — span-encoded results of a 200-domain synthetic crawl
     // (deterministic universe; rows-only — no SQL oracle can crawl)
     "q26_crawl_spans" -> ((s, _) => {
@@ -408,6 +476,47 @@ object SparkEntry {
     "q24_frontier_order" ->
       """SELECT doc_id,
          row_number() OVER (ORDER BY md5(source || CAST(doc_id AS VARCHAR)), doc_id) AS pop_seq
-         FROM documents"""
+         FROM documents""",
+
+    "q28_ordered_events" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq_types
+         FROM events GROUP BY user_id""",
+
+    "q29_type_counts" ->
+      """SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), '|' ORDER BY event_type) AS type_counts
+         FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2) t
+         GROUP BY user_id""",
+
+    "q30_hof_transform" ->
+      """SELECT doc_id,
+         COALESCE(array_to_string(list_sort(list_transform(
+           list_filter(str_split(text, ' '), t -> t LIKE 'b%'), t -> upper(t))), ' '), '') AS b_tokens
+         FROM documents""",
+
+    "q31_slice_limits" ->
+      """SELECT doc_id,
+         array_to_string(list_filter(str_split(text, ' '), t -> t <> '')[1:3], ' ') AS first3,
+         substring(text, 1, 20) AS prefix20
+         FROM documents""",
+
+    "q32_ship_latency" ->
+      """SELECT o_orderkey,
+         CAST(date_diff('day', o_orderdate, min(l_shipdate)) AS BIGINT) AS days_to_ship
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate""",
+
+    "q33_sessionize" ->
+      """SELECT user_id, event_id,
+         CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events) t""",
+
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
   )
 }

@@ -266,7 +266,7 @@ class Engine(
             })
           DomainResult(e.canonical, ts, dl, auth,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-            u.hstsPreload(e.canonical))
+            p.getWebPaths(e.canonical, dl), u.hstsPreload(e.canonical))
         }
       }
     } else {
@@ -302,7 +302,7 @@ class Engine(
           val dl = p.getDnsLocal(e.canonical)
           val r = DomainResult(e.canonical, ts, dl, None,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-            p.u.hstsPreload(e.canonical))
+            p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical))
           (e.canonical, r)
         }
       }.toDF("b_domain", "result")
@@ -378,7 +378,7 @@ class Engine(
           .join(popOrder, col("r_domain") === col("o_domain"))
           .select(col("r_domain"), col("pop_rank"), struct(col("r_domain").as("domain"),
             col("timestamp"), col("DNS_LOCAL"), col("DNS_AUTH"), col("MAIL"),
-            col("WEB"), col("HSTS")).as("result"))
+            col("WEB"), col("WEB_paths"), col("HSTS")).as("result"))
           .withColumn("pop_round", lit(round))
           .select(col("r_domain").as("domain"), col("pop_round"),
             col("pop_rank"), col("result"))

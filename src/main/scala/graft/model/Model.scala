@@ -106,6 +106,36 @@ object Model {
       max_age: Option[Long], includeSubdomains: Option[Boolean],
       preload: Option[Boolean], raw: String)
 
+  /** Cookie struct from set-cookie headers (reference `web_utils.py:243-252`):
+    * standard attrs + pass-through of nonstandard ones.
+    */
+  case class Cookie(
+      name: String, value: String, domain: Option[String],
+      path: Option[String], secure: Option[Boolean],
+      httponly: Option[Boolean], expires: Option[String],
+      nonstandard_attrs: Map[String, String])
+
+  /** X.509 certificate projection (reference `certificate.py:73-102`):
+    * dates, expiry, RDN maps, serial as %016x hex, cert+SPKI fingerprints,
+    * signature algorithm, SANs. Null fields dropped at the JSON sink
+    * (reference `utils.py:20-21`).
+    */
+  case class CertFingerprint(sha256: String, sha512: String)
+  case class Certificate(
+      not_before: String,
+      not_after: String,
+      expired: Boolean,
+      expired_for: Option[Int],
+      validity_period: Int,
+      subject: Map[String, String],
+      issuer: Map[String, String],
+      version: Int,
+      serial: String,
+      fingerprint_cert: CertFingerprint,
+      fingerprint_pubkey: CertFingerprint,
+      algorithm: String,
+      alt_names: Seq[String])
+
   /** One hop of an HTTP(S) fetch (reference `web_utils.py:225-320`).
     * The heterogeneous headers map is split per SURVEY §1.4: raw string map
     * + typed sibling columns for the parsed headers.
@@ -116,12 +146,16 @@ object Model {
       is_redirect: Option[Boolean],
       headers: Map[String, String],
       hsts_header: Option[HstsHeader],
+      alt_svc: Option[Map[String, String]],
+      cookies: Option[Seq[Cookie]],
       content_length: Option[Long],
       ip: Option[String],
       tls_version: Option[String],
       tls_cipher: Option[String],
+      cert: Option[Seq[Certificate]],
       content: Option[String],
       content_is_binary: Option[Boolean],
+      detected_encoding: Option[String],
       error: Option[String])
 
   /** Fetch result for one (domain-variant, ip) pair
@@ -158,9 +192,15 @@ object Model {
       TXT_DMARC: Option[DmarcParsed],
       DS: Option[Seq[DnsRecord]],
       DNSKEY: Option[Seq[DnsRecord]],
-      DNSSEC: Dnssec)
+      DNSSEC: Dnssec,
+      /** Config-driven additional RR types (reference `crawl.py:61-68`,
+        * U1 plugin registry): rrtype → raw record values.
+        */
+      additional: Option[Map[String, Seq[String]]] = None)
 
-  /** Top-level per-domain result (reference `crawl.py:165-182`). */
+  /** Top-level per-domain result (reference `crawl.py:165-182`); WEB_paths
+    * present when `web.paths` configured (reference `crawl.py:158-163`).
+    */
   case class DomainResult(
       domain: String,
       timestamp: String,
@@ -168,6 +208,7 @@ object Model {
       DNS_AUTH: Option[Seq[NsAuth]],
       MAIL: Option[Seq[MailHost]],
       WEB: WebObj,
+      WEB_paths: Option[Map[String, Seq[WebResult]]],
       HSTS: Boolean)
 
   // ------------------------------------------------------------ frontier

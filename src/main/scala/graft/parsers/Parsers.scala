@@ -120,6 +120,69 @@ object Parsers {
       raw)
   }
 
+  /** alt-svc header → protocol → authority map (reference
+    * `web_utils.py:67-72`): `h3=":443"; ma=86400, h2=":443"`.
+    */
+  def parseAltSvc(raw: String): Map[String, String] =
+    raw.split(",").iterator.flatMap { entry =>
+      val kv = entry.split(";")(0).trim
+      val eq = kv.indexOf('=')
+      if (eq <= 0) None
+      else Some(kv.substring(0, eq).trim ->
+        kv.substring(eq + 1).trim.stripPrefix("\"").stripSuffix("\""))
+    }.toMap
+
+  private val StdCookieAttrs =
+    Set("domain", "path", "secure", "httponly", "expires", "max-age", "samesite")
+
+  /** set-cookie header → cookie struct (reference `web_utils.py:243-252`):
+    * name/value + standard attrs, nonstandard attrs passed through.
+    */
+  def parseSetCookie(raw: String): Option[Cookie] = {
+    val parts = raw.split(";").map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty) return None
+    val eq = parts(0).indexOf('=')
+    if (eq <= 0) return None
+    val name = parts(0).substring(0, eq)
+    val value = parts(0).substring(eq + 1)
+    var domain, path, expires: Option[String] = None
+    var secure, httponly: Option[Boolean] = None
+    val nonstd = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    parts.drop(1).foreach { p =>
+      val (k, v) = p.indexOf('=') match {
+        case -1 => (p.toLowerCase, "")
+        case i => (p.substring(0, i).toLowerCase, p.substring(i + 1))
+      }
+      k match {
+        case "domain" => domain = Some(v)
+        case "path" => path = Some(v)
+        case "expires" => expires = Some(v)
+        case "secure" => secure = Some(true)
+        case "httponly" => httponly = Some(true)
+        case _ if !StdCookieAttrs.contains(k) => nonstd(k) = v
+        case _ => ()
+      }
+    }
+    Some(Cookie(name, value, domain, path, secure, httponly, expires, nonstd.toMap))
+  }
+
+  /** Encoding detection (reference `web_utils.py:130-152`): charset= from
+    * content-type wins; else pure-ASCII text is "ascii"; else the
+    * reference's deterministic fallback chain starts at windows-1250.
+    * (The reference uses ICU detection; synthetic mode has no non-ASCII
+    * corpora, so the chain head stands in deterministically.)
+    */
+  def detectEncoding(contentType: Option[String], content: String): String = {
+    val fromHeader = contentType.flatMap { ct =>
+      val i = ct.toLowerCase.indexOf("charset=")
+      if (i < 0) None
+      else Some(ct.substring(i + 8).split(";")(0).trim.toLowerCase)
+    }
+    fromHeader.getOrElse {
+      if (content.forall(_ < 128)) "ascii" else "windows-1250"
+    }
+  }
+
   /** Leading digits of content-length → long (reference `web_utils.py:89-97`). */
   def parseContentLength(raw: String): Option[Long] =
     raw.trim.takeWhile(_.isDigit) match {

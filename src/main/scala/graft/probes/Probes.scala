@@ -60,8 +60,15 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
   private def annotate(recs: Option[Seq[DnsRecord]], tokenIndex: Int) =
     recs.map(_.map(r => r.copy(algorithm = Parsers.annotateAlgorithm(r.value, tokenIndex))))
 
+  /** GeoIP only for global IPs (reference CHANGELOG.md:160-164 +
+    * `ip_utils.py:24-41`): private/reserved/doc-range addresses pass
+    * through unannotated.
+    */
   private def geoAnnotate(recs: Option[Seq[DnsRecord]]) =
-    recs.map(_.map(r => r.copy(geoip = Some(u.geo(r.value)))))
+    recs.map(_.map(r =>
+      if (graft.canon.IpPredicates.isGlobalIp(r.value))
+        r.copy(geoip = Some(u.geo(r.value)))
+      else r))
 
   /** DNS_LOCAL assembly (reference `crawl.py:39-69`): the 10 required keys
     * + optional www/TLSA/SPF extras, geoip on address records, algorithm
@@ -83,7 +90,17 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       resolve(s"_443._tcp.www.$domain", "TLSA")
         .map(_.flatMap(r => Parsers.parseTlsa(r.value))).filter(_.nonEmpty)
     else None
+    val additional =
+      if (cfg.additionalRrtypes.isEmpty) None
+      else {
+        val m = cfg.additionalRrtypes.flatMap { rt =>
+          val vals = u.additionalFor(domain, rt).map(AdditionalParsers(rt, _))
+          if (vals.isEmpty) None else Some(rt -> vals)
+        }.toMap
+        if (m.isEmpty) None else Some(m)
+      }
     DnsLocal(
+      additional = additional,
       NS_AUTH = resolve(domain, "NS"),
       MAIL = resolve(domain, "MX"),
       WEB4 = geoAnnotate(resolve(domain, "A")),
@@ -103,8 +120,11 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
   /** Per-nameserver-IP probe (reference `dns_utils.py:235-253` — the
     * Redis-cached leaf; the engine dedups these across domains).
     */
+  private def geoIfGlobal(ip: String): Option[GeoIp] =
+    if (graft.canon.IpPredicates.isGlobalIp(ip)) Some(u.geo(ip)) else None
+
   def probeNsIp(ip: String): NsIp =
-    NsIp(ip, Some(u.geo(ip)),
+    NsIp(ip, geoIfGlobal(ip),
       hostnamebind = u.chaosTxt(ip, "hostname.bind"),
       versionbind = u.chaosTxt(ip, "version.bind"),
       authorsbind = u.chaosTxt(ip, "authors.bind"))
@@ -140,32 +160,34 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       val banners = ips.map { ip =>
         MailIpBanners(ip,
           cfg.mailPorts.map(p => p -> u.mailBanner(ip, p)).toMap,
-          Some(u.geo(ip)))
+          geoIfGlobal(ip))
       }
       MailHost(host, tlsa, banners)
     })
   }
 
-  /** HTTP(S) redirect-chain fetch for one (host, ip, port) (reference
+  /** HTTP(S) redirect-chain fetch for one (host, ip, port, path) (reference
     * `web_utils.py:202-223,225-320`): bounded by max_redirects, steps in
     * fetch order, final_step-only when save_intermediate_steps is off,
-    * content truncation, binary sniff, parsed hsts/content-length headers.
+    * content truncation, binary sniff, parsed hsts/alt-svc/content-length/
+    * set-cookie headers, cert on TLS steps, encoding detection.
     */
-  def fetchWeb(host: String, ip: String, port: Int): WebResult = {
+  def fetchWeb(host: String, ip: String, port: Int, startPath: String = "/"): WebResult = {
     var steps = Vector.empty[WebStep]
     var hop = 0
     var done = false
-    var url = s"${if (port == 443) "https" else "http"}://$host${if (port == 80 || port == 443) "" else s":$port"}/"
-    var path = "/"
+    var url = s"${if (port == 443) "https" else "http"}://$host${if (port == 80 || port == 443) "" else s":$port"}$startPath"
+    var path = startPath
     while (!done && hop <= cfg.maxRedirects) {
       val (status, loc, headers, body, isBin) = u.webStep(host, ip, port, hop, path)
       if (status == 0) {
-        steps :+= WebStep(url, None, None, Map.empty, None, None, Some(ip),
-          None, None, None, None, Some("timeout"))
+        steps :+= WebStep(url, None, None, Map.empty, None, None, None, None,
+          Some(ip), None, None, None, None, None, None, Some("timeout"))
         done = true
       } else {
         val isRedirect = loc.isDefined && status >= 300 && status < 400
-        val (tlsV, tlsC) = if (url.startsWith("https")) {
+        val https = url.startsWith("https")
+        val (tlsV, tlsC) = if (https) {
           val t = u.tlsInfo(host, ip); (Some(t._1), Some(t._2))
         } else (None, None)
         val content = body.map(b =>
@@ -174,10 +196,16 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
           url = url, status = Some(status), is_redirect = Some(isRedirect),
           headers = headers,
           hsts_header = headers.get("strict-transport-security").map(Parsers.parseHstsHeader),
+          alt_svc = headers.get("alt-svc").map(Parsers.parseAltSvc),
+          cookies = headers.get("set-cookie")
+            .map(raw => Parsers.parseSetCookie(raw).toSeq).filter(_.nonEmpty),
           content_length = headers.get("content-length").flatMap(Parsers.parseContentLength),
           ip = Some(ip), tls_version = tlsV, tls_cipher = tlsC,
+          cert = if (https) Some(Seq(u.certFor(host))) else None,
           content = if (cfg.saveContent) content else None,
           content_is_binary = if (body.isDefined) Some(isBin) else None,
+          detected_encoding = body.filter(_ => !isBin)
+            .map(b => Parsers.detectEncoding(headers.get("content-type"), b)),
           error = None)
         if (isRedirect && hop < cfg.maxRedirects) {
           val l = loc.get
@@ -222,6 +250,18 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       WEB6_443_www = if (cfg.checkWww) combo(www, dl.WEB6_www, 443) else None)
   }
 
+  /** WEB_paths: per configured path, the apex-v4-443 fetch results
+    * (reference `crawl.py:158-163`, `config.yml:46`).
+    */
+  def getWebPaths(domain: String, dl: DnsLocal): Option[Map[String, Seq[WebResult]]] = {
+    if (cfg.webPaths.isEmpty) return None
+    val ips = dl.WEB4.map(_.map(_.value).take(cfg.maxIpsPerDomain)).getOrElse(Seq.empty)
+    if (ips.isEmpty) return None
+    Some(cfg.webPaths.map { p =>
+      p -> ips.map(ip => fetchWeb(domain, ip, 443, p))
+    }.toMap)
+  }
+
   /** Full per-domain pipeline (reference `process_domain`,
     * `crawl.py:136-183`) with an injected clock for determinism.
     */
@@ -234,8 +274,22 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       DNS_AUTH = getDnsAuth(domain),
       MAIL = getMail(domain, dl),
       WEB = getWeb(domain, dl),
+      WEB_paths = getWebPaths(domain, dl),
       HSTS = u.hstsPreload(domain))
   }
+}
+
+/** U1 — the additional-RR plugin registry (reference `crawl.py:61-68`,
+  * `dns_utils.py:309-319`): config lists extra rrtypes to fetch; a parser
+  * registry normalizes known types, unknown types pass through raw.
+  * Only SPF is registered, exactly like the reference.
+  */
+object AdditionalParsers {
+  val registry: Map[String, String => String] = Map(
+    "SPF" -> (raw => raw.trim.stripPrefix("\"").stripSuffix("\"")))
+
+  def apply(rrtype: String, raw: String): String =
+    registry.get(rrtype).map(_(raw)).getOrElse(raw)
 }
 
 /** Crawl configuration (reference `config.yml` defaults via
@@ -252,4 +306,6 @@ case class CrawlConfig(
     maxIpsPerMailHost: Int = 4,       // config.yml:30
     mailPorts: Seq[Int] = Seq(25, 465, 587),
     cacheTtlSeconds: Int = 3600,      // config.yml:23
-    jobTimeoutSeconds: Int = 80)      // config.yml:19
+    jobTimeoutSeconds: Int = 80,      // config.yml:19
+    webPaths: Seq[String] = Seq.empty,          // config.yml:46
+    additionalRrtypes: Seq[String] = Seq.empty) // config.yml dns.additional

@@ -76,10 +76,38 @@ object SpanCodec {
       b.scalar(s"$p.hsts.includeSubdomains", h.includeSubdomains)
       b.scalar(s"$p.hsts.preload", h.preload)
     }
+    s.alt_svc.foreach(_.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      b.add(s"$p.alt_svc.$k", v)
+    })
+    s.cookies.foreach(_.foreach { c =>
+      b.add(s"$p.cookies.name", c.name)
+      b.add(s"$p.cookies.value", c.value)
+      c.path.foreach(v => b.add(s"$p.cookies.path", v))
+      c.secure.foreach(v => b.add(s"$p.cookies.secure", v.toString))
+      c.httponly.foreach(v => b.add(s"$p.cookies.httponly", v.toString))
+      c.nonstandard_attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        b.add(s"$p.cookies.nonstandard.$k", v)
+      }
+    })
     s.content_length.foreach(cl => b.add(s"$p.content_length", cl.toString))
     s.ip.foreach(ip => b.add(s"$p.ip", ip))
     s.tls_version.foreach(v => b.add(s"$p.tls.version", v))
     s.tls_cipher.foreach(v => b.add(s"$p.tls.cipher", v))
+    s.cert.foreach(_.foreach { c =>
+      b.add(s"$p.cert.not_before", c.not_before)
+      b.add(s"$p.cert.not_after", c.not_after)
+      b.add(s"$p.cert.expired", c.expired.toString)
+      c.expired_for.foreach(v => b.add(s"$p.cert.expired_for", v.toString))
+      b.add(s"$p.cert.validity_period", c.validity_period.toString)
+      c.subject.toSeq.sortBy(_._1).foreach { case (k, v) => b.add(s"$p.cert.subject.$k", v) }
+      c.issuer.toSeq.sortBy(_._1).foreach { case (k, v) => b.add(s"$p.cert.issuer.$k", v) }
+      b.add(s"$p.cert.version", c.version.toString)
+      b.add(s"$p.cert.serial", c.serial)
+      b.add(s"$p.cert.fingerprint.cert.sha256", null, c.fingerprint_cert.sha256)
+      b.add(s"$p.cert.fingerprint.pubkey.sha256", null, c.fingerprint_pubkey.sha256)
+      b.add(s"$p.cert.algorithm", c.algorithm)
+      c.alt_names.foreach(n => b.add(s"$p.cert.alt_names", n))
+    })
     if (s.content_is_binary.contains(true))
       s.content.foreach(c => b.add(s"$p.content", null, s"data:application/octet-stream,$c"))
     else

@@ -238,12 +238,18 @@ class Universe(val seed: Long) extends Serializable {
       (200, None, Map("server" -> srv(x), "content-type" -> "application/octet-stream",
         "content-length" -> s"${Math.floorMod(x, 90000L)}"), Some(f"bin:${mix64(x)}%016x"), true)
     else {
-      val hsts = if (port == 443 && pct(x >>> 24) < 40)
-        Map("strict-transport-security" -> s"max-age=${86400 * (1 + Math.floorMod(x, 365L))}; includeSubDomains")
-      else Map.empty[String, String]
-      (200, None, Map("server" -> srv(x),
+      var hdrs = Map("server" -> srv(x),
         "content-type" -> "text/html; charset=utf-8",
-        "content-length" -> s"${Math.floorMod(x, 50000L)}") ++ hsts,
+        "content-length" -> s"${Math.floorMod(x, 50000L)}")
+      if (port == 443 && pct(x >>> 24) < 40)
+        hdrs += "strict-transport-security" ->
+          s"max-age=${86400 * (1 + Math.floorMod(x, 365L))}; includeSubDomains"
+      if (pct(x >>> 40) < 25)
+        hdrs += "set-cookie" ->
+          s"sid=${java.lang.Long.toHexString(mix64(x))}; Path=/; HttpOnly${if (port == 443) "; Secure" else ""}; tracker=${Math.floorMod(x, 97L)}"
+      if (pct(x >>> 48) < 15)
+        hdrs += "alt-svc" -> "h3=\":443\"; ma=86400, h2=\":443\""
+      (200, None, hdrs,
         Some(s"<html><body>page ${java.lang.Long.toHexString(x)}</body></html>"), false)
     }
   }
@@ -258,6 +264,61 @@ class Universe(val seed: Long) extends Serializable {
     val x = h("tls", host, ip)
     (tlsVersions(Math.floorMod(x, 2L).toInt),
       tlsCiphers(Math.floorMod(x >>> 8, 3L).toInt))
+  }
+
+  /** Deterministic certificate projection per host (fields the reference
+    * extracts in `certificate.py:73-102`; golden nic.cz values match the
+    * e2e assertions `test/nic.cz.test.py:38-40`: CN=nic.cz, version 3,
+    * sha256 signature).
+    */
+  def certFor(host: String): Certificate = {
+    val x = h("cert", host)
+    val clockDay = java.time.LocalDate.of(2026, 1, 1)
+    val issuedDaysAgo = 10 + Math.floorMod(x, 300L).toInt
+    val validDays = if (host.endsWith("nic.cz")) 90 else Seq(90, 365, 398)(Math.floorMod(x >>> 8, 3L).toInt)
+    val expired = !host.endsWith("nic.cz") && pct(x >>> 16) < 8
+    val lifetimeUsed = if (expired) validDays + 5 + Math.floorMod(x >>> 24, 60L).toInt else issuedDaysAgo
+    val notBefore = clockDay.minusDays(lifetimeUsed.toLong)
+    val notAfter = notBefore.plusDays(validDays.toLong)
+    def fmt(d: java.time.LocalDate) = d.toString + " 00:00:00" // certificate.py:51-52 format
+    val serial = f"${mix64(x) & Long.MaxValue}%016x" // certificate.py serial %016x
+    def digestPair(tag: String): CertFingerprint = {
+      val md256 = java.security.MessageDigest.getInstance("SHA-256")
+      val md512 = java.security.MessageDigest.getInstance("SHA-512")
+      val payload = s"$tag:$host:$serial".getBytes("UTF-8")
+      def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+      CertFingerprint(hex(md256.digest(payload)), hex(md512.digest(payload)))
+    }
+    val cn = if (host.startsWith("www.")) host.substring(4) else host
+    val issuerCn = if (host.endsWith("nic.cz")) "R3" else s"CA${Math.floorMod(x >>> 32, 5L)}"
+    Certificate(
+      not_before = fmt(notBefore),
+      not_after = fmt(notAfter),
+      expired = expired,
+      expired_for = if (expired) Some(lifetimeUsed - validDays) else None,
+      validity_period = validDays,
+      subject = Map("commonName" -> cn),
+      issuer = Map("commonName" -> issuerCn, "organizationName" ->
+        (if (host.endsWith("nic.cz")) "Let's Encrypt" else s"Example Trust $issuerCn")),
+      version = 3,
+      serial = serial,
+      fingerprint_cert = digestPair("cert"),
+      fingerprint_pubkey = digestPair("spki"),
+      algorithm = "sha256",
+      alt_names = Seq(cn, s"www.$cn").distinct)
+  }
+
+  /** Config-driven additional RR types (U1 registry backend): raw record
+    * strings per (domain, rrtype) — reference `dns_utils.py:309-319`.
+    */
+  def additionalFor(domain: String, rrtype: String): Seq[String] = rrtype match {
+    case "CAA" =>
+      val x = h("caa", domain)
+      if (pct(x) < 35) Seq(s"""0 issue "${if (pct(x >>> 8) < 60) "letsencrypt.org" else s"ca${Math.floorMod(x, 5L)}.example"}"""")
+      else Seq.empty
+    case "SPF" => // legacy type 99 mirror of the TXT spf
+      txtFor(domain).filter(_.startsWith("v=spf1"))
+    case _ => Seq.empty
   }
 
   // ------------------------------------------------------------ mail

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.parsers.Parsers
 import graft.probes.{CrawlConfig, Probes}
 import graft.universe.Universe
 
@@ -111,6 +112,84 @@ class ProbesSpec extends AnyFunSuite {
     val a = p.processDomain("d777.cz", "2026-01-01 00:00:00")
     val b = p.processDomain("d777.cz", "2026-01-01 00:00:00")
     assert(a == b)
+  }
+
+  test("nic.cz golden: cert CN / version 3 / sha256 algorithm (test line 38-40)") {
+    val r = p.processDomain("nic.cz", "2026-01-01 00:00:00")
+    val cert = r.WEB.WEB4_443.get.head.steps.get.last.cert.get.head
+    assert(cert.subject("commonName") == "nic.cz")
+    assert(cert.version == 3)
+    assert(cert.algorithm == "sha256")
+    assert(!cert.expired && cert.expired_for.isEmpty)
+    assert(cert.serial.matches("[0-9a-f]{16}"))
+    assert(cert.fingerprint_cert.sha256.matches("[0-9a-f]{64}"))
+    assert(cert.fingerprint_pubkey.sha512.matches("[0-9a-f]{128}"))
+    assert(cert.alt_names.contains("www.nic.cz"))
+  }
+
+  test("expired certs carry expired_for days (certificate.py:78-81)") {
+    val hostWithExpired = (0 to 8000).iterator.map(i => s"d$i.cz")
+      .find(d => u.certFor(d).expired).get
+    val c = u.certFor(hostWithExpired)
+    assert(c.expired && c.expired_for.exists(_ > 0))
+    // validity_period = not_after - not_before in days
+    val nb = java.time.LocalDate.parse(c.not_before.take(10))
+    val na = java.time.LocalDate.parse(c.not_after.take(10))
+    assert(java.time.temporal.ChronoUnit.DAYS.between(nb, na) == c.validity_period)
+  }
+
+  test("set-cookie parses to cookie structs with nonstandard attrs (web_utils.py:243-252)") {
+    val c = Parsers.parseSetCookie(
+      "sid=abc123; Path=/; HttpOnly; Secure; tracker=42; Expires=Wed, 01 Jan 2025 00:00:00 GMT").get
+    assert(c.name == "sid" && c.value == "abc123")
+    assert(c.path.contains("/") && c.httponly.contains(true) && c.secure.contains(true))
+    assert(c.expires.isDefined)
+    assert(c.nonstandard_attrs == Map("tracker" -> "42"))
+    assert(Parsers.parseSetCookie("garbage-no-equals").isEmpty)
+  }
+
+  test("alt-svc parses to protocol map; encoding detection (web_utils.py:67-72,130-152)") {
+    assert(Parsers.parseAltSvc("h3=\":443\"; ma=86400, h2=\":443\"") ==
+      Map("h3" -> ":443", "h2" -> ":443"))
+    assert(Parsers.detectEncoding(Some("text/html; charset=utf-8"), "x") == "utf-8")
+    assert(Parsers.detectEncoding(Some("text/html"), "plain ascii") == "ascii")
+    assert(Parsers.detectEncoding(None, "háčky") == "windows-1250")
+    // web steps carry the parsed headers end-to-end
+    val results = (0 to 800).flatMap { i =>
+      val d = s"d$i.cz"
+      u.aFor(d).headOption.map(ip => p.fetchWeb(d, ip, 443))
+    }
+    val steps = results.flatMap(_.steps.get)
+    assert(steps.exists(_.cookies.exists(_.nonEmpty)))
+    assert(steps.exists(_.alt_svc.isDefined))
+    assert(steps.exists(_.detected_encoding.contains("utf-8")))
+    assert(steps.filter(_.status.contains(200))
+      .filter(s => s.url.startsWith("https")).forall(_.cert.isDefined))
+  }
+
+  test("WEB_paths fetches configured extra paths (crawl.py:158-163)") {
+    val p2 = new Probes(u, CrawlConfig(webPaths = Seq("/robots.txt", "/.well-known/security.txt")))
+    val d = (0 to 2000).map(i => s"d$i.cz").find(x => u.aFor(x).nonEmpty).get
+    val dl = p2.getDnsLocal(d)
+    val wp = p2.getWebPaths(d, dl).get
+    assert(wp.keySet == Set("/robots.txt", "/.well-known/security.txt"))
+    assert(wp("/robots.txt").nonEmpty)
+    assert(wp("/robots.txt").head.steps.get.head.url.endsWith("/robots.txt"))
+    // default config: no paths → None (null, not empty map)
+    assert(p.getWebPaths(d, dl).isEmpty)
+  }
+
+  test("additional-RR registry fetches configured extra rrtypes (crawl.py:61-68, U1)") {
+    val p2 = new Probes(u, CrawlConfig(additionalRrtypes = Seq("CAA", "SPF")))
+    val withCaa = (0 to 3000).map(i => s"d$i.cz")
+      .find(d => u.additionalFor(d, "CAA").nonEmpty).get
+    val dl = p2.getDnsLocal(withCaa)
+    assert(dl.additional.get("CAA").head.contains("issue"))
+    // default config: no additional key at all
+    assert(p.getDnsLocal(withCaa).additional.isEmpty)
+    // unknown rrtype passes through raw (registry has only SPF)
+    assert(graft.probes.AdditionalParsers("CAA", "0 issue \"x\"") == "0 issue \"x\"")
+    assert(graft.probes.AdditionalParsers("SPF", "\"v=spf1 -all\"") == "v=spf1 -all")
   }
 
   test("dnssec classifier covers signed/bogus/unsigned branches (dns_utils.py:73-127)") {
