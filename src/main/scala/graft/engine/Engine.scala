@@ -242,7 +242,7 @@ class Engine(
     // cores (40 MB of FrontierEntry rows ≈ hours of probe CPU at real
     // scale). 2× cores gives straggler slack; user-specified N is
     // preserved by AQE.
-    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 2
+    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 4
     val salted = input
       .withColumn("_salt", pmod(col("key"), saltOf(col("nsBucket"))))
       .repartitionByRange(probeParts, col("nsBucket"), col("_salt"), col("key"))
@@ -395,11 +395,22 @@ class Engine(
             .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
               e.key, e.nsBucket, e.priority, e.seq, active = false)).toDF())
         backlogT.mergeCommit(backlogUpdates)
+        // per-partition throughput: crawled count per frontier partition
+        // (pmod(key, P) — the same key the seen-filter shards on)
+        val fp = frontierPartitions
+        val perPartition = selected
+          .groupByKey(e => Math.floorMod(e.key, fp.toLong).toInt)
+          .mapGroups((pid, it) => (pid, it.size.toLong))
+          .collect().toMap
+        val roundSecs = (System.nanoTime() - t0) / 1e9
         val lineage = (0 until frontierPartitions).map { pid =>
           PartitionLineage(pid, newWatermark,
             filterRefs.getOrElse(pid, ""),
             Map("round" -> round.toLong, "admitted" -> nAdmitted,
-              "crawled" -> nCrawled, "deferred" -> nDeferred))
+              "crawled" -> nCrawled, "deferred" -> nDeferred,
+              "partition_crawled" -> perPartition.getOrElse(pid, 0L),
+              "partition_per_sec" ->
+                (perPartition.getOrElse(pid, 0L) / math.max(roundSecs, 1e-9)).toLong))
         }
         checkpointT.mergeCommit(spark.createDataset(lineage).toDF())
 

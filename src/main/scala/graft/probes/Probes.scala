@@ -12,6 +12,14 @@ import graft.universe.Universe
   */
 class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
 
+  // per-Probes (≈ per-partition) cert cache: one TLS handshake's worth of
+  // work per distinct host, like a real connection pool would amortize
+  @transient private lazy val certCache =
+    scala.collection.mutable.HashMap.empty[String, Option[Seq[Certificate]]]
+
+  private def certOf(host: String): Option[Seq[Certificate]] =
+    certCache.getOrElseUpdate(host, Some(Seq(u.certFor(host))))
+
   /** Resolve name/rrtype with CNAME-chain flattening (reference
     * `dns_utils.py:260-306`): follow CNAMEs (bounded), attach `cname` on
     * the first record and `from_cname` on records resolved through the
@@ -178,6 +186,8 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
     var done = false
     var url = s"${if (port == 443) "https" else "http"}://$host${if (port == 80 || port == 443) "" else s":$port"}$startPath"
     var path = startPath
+    // one handshake per connection: cert computed once, reused per step
+    lazy val hostCert = certOf(host)
     while (!done && hop <= cfg.maxRedirects) {
       val (status, loc, headers, body, isBin) = u.webStep(host, ip, port, hop, path)
       if (status == 0) {
@@ -201,7 +211,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
             .map(raw => Parsers.parseSetCookie(raw).toSeq).filter(_.nonEmpty),
           content_length = headers.get("content-length").flatMap(Parsers.parseContentLength),
           ip = Some(ip), tls_version = tlsV, tls_cipher = tlsC,
-          cert = if (https) Some(Seq(u.certFor(host))) else None,
+          cert = if (https) hostCert else None,
           content = if (cfg.saveContent) content else None,
           content_is_binary = if (body.isDefined) Some(isBin) else None,
           detected_encoding = body.filter(_ => !isBin)

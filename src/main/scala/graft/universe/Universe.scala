@@ -24,6 +24,33 @@ import graft.ops.TextOps.mix64
 object Universe {
   private[universe] val countries = Array("CZ", "DE", "US", "SK", "FR", "NL", "AT", "PL")
   private[universe] val dsAlgs = Array(8, 13, 14, 15)
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  // MessageDigest.getInstance synchronizes on the JCA provider registry —
+  // a lock convoy at 32 probe threads. One instance per thread instead.
+  private val md256 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+  private val md512 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-512"))
+
+  private[universe] def sha256(payload: Array[Byte]): Array[Byte] = {
+    val md = md256.get(); md.reset(); md.digest(payload)
+  }
+  private[universe] def sha512(payload: Array[Byte]): Array[Byte] = {
+    val md = md512.get(); md.reset(); md.digest(payload)
+  }
+
+  private[universe] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 }
 
 class Universe(val seed: Long) extends Serializable {
@@ -283,11 +310,9 @@ class Universe(val seed: Long) extends Serializable {
     def fmt(d: java.time.LocalDate) = d.toString + " 00:00:00" // certificate.py:51-52 format
     val serial = f"${mix64(x) & Long.MaxValue}%016x" // certificate.py serial %016x
     def digestPair(tag: String): CertFingerprint = {
-      val md256 = java.security.MessageDigest.getInstance("SHA-256")
-      val md512 = java.security.MessageDigest.getInstance("SHA-512")
       val payload = s"$tag:$host:$serial".getBytes("UTF-8")
-      def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
-      CertFingerprint(hex(md256.digest(payload)), hex(md512.digest(payload)))
+      CertFingerprint(Universe.hex(Universe.sha256(payload)),
+        Universe.hex(Universe.sha512(payload)))
     }
     val cn = if (host.startsWith("www.")) host.substring(4) else host
     val issuerCn = if (host.endsWith("nic.cz")) "R3" else s"CA${Math.floorMod(x >>> 32, 5L)}"
