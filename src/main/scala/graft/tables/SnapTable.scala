@@ -82,4 +82,25 @@ final class SnapTable(spark: SparkSession, root: String, keyCols: Seq[String]) {
   }
 
   def exists: Boolean = currentVersion.isDefined
+
+  /** Compaction (Iceberg rewrite-action analog): fold all deltas into one
+    * resolved data directory and commit it as the new snapshot. Read cost
+    * returns to a plain scan; history remains time-travelable (older
+    * manifests keep referencing the original delta dirs).
+    */
+  def compact(): Option[Int] = {
+    val resolved = read().getOrElse(return None)
+    val prev = currentVersion.get
+    val v = prev + 1
+    val dataDir = s"data/v$v"
+    resolved.withColumn("_commit_version", lit(v))
+      .write.mode("overwrite").parquet(rootP.resolve(dataDir).toString)
+    val json = s"""{"version":$v,"key":${keyCols.mkString("[\"", "\",\"", "\"]")},"dirs":["$dataDir"]}"""
+    Files.write(snapsP.resolve(s"v$v.json"), json.getBytes(StandardCharsets.UTF_8))
+    val tmp = rootP.resolve(s"_current.tmp.$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentP, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    Some(v)
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** Quality assertions for the dedup / similarity stack on planted data:
+  * exact copies, near-duplicates (small edits), and clustered embeddings
+  * with known ground truth — the approximate paths must actually recall.
+  */
+class DedupQualitySpec extends AnyFunSuite {
+
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val vocab = Seq("spark", "shuffle", "partition", "catalyst", "codegen",
+    "frontier", "domain", "resolver", "banner", "redirect", "cuckoo", "filter",
+    "politeness", "bucket", "salt", "checkpoint", "lineage", "manifest")
+
+  private def mkDoc(seed: Long, words: Int = 60): String =
+    (0 until words).map(i => vocab(Math.floorMod(TextOps.mix64(seed * 977 + i), vocab.size.toLong).toInt))
+      .mkString(" ")
+
+  private def edit(doc: String, nEdits: Int, seed: Long): String = {
+    val toks = doc.split(" ")
+    (0 until nEdits).foreach { e =>
+      val pos = Math.floorMod(TextOps.mix64(seed + e), toks.length.toLong).toInt
+      toks(pos) = "edited" + e
+    }
+    toks.mkString(" ")
+  }
+
+  // 12 base docs, each with one near-dup (2 edits) and one exact copy
+  private lazy val corpus = {
+    val rows = (0 until 12).flatMap { i =>
+      val base = mkDoc(i.toLong)
+      Seq((i * 10L, base),                        // base
+        (i * 10L + 1, base),                      // exact copy
+        (i * 10L + 2, edit(base, 2, i.toLong)))   // near-dup
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact copies, and only them") {
+    val groups = DedupOps.exactDupGroups(corpus, "doc_id", "text")
+      .where($"n_copies" > 1).collect()
+    assert(groups.length == 12)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2))
+    // keep-one policy retains the minimum id of each pair
+    val kept = DedupOps.dedupedCorpus(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert((0 until 12).forall(i => kept.contains(i * 10L) && !kept.contains(i * 10L + 1)))
+    assert((0 until 12).forall(i => kept.contains(i * 10L + 2))) // near-dups survive exact pass
+  }
+
+  test("MinHash LSH recalls all planted near-dup pairs with no cross-doc noise") {
+    val pairs = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    (0 until 12).foreach { i =>
+      val base = i * 10L
+      assert(pairs.contains((base, base + 1)), s"exact pair of doc $i missed")
+      assert(pairs.contains((base, base + 2)) || pairs.contains((base + 1, base + 2)),
+        s"near-dup pair of doc $i missed")
+    }
+    // no pair joins two different base documents
+    assert(pairs.forall { case (a, b) => a / 10 == b / 10 }, s"false positives: $pairs")
+  }
+
+  test("n-gram Jaccard verification separates near-dups from unrelated docs") {
+    val j = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text", shingleK = 3, minShared = 1)
+      .select($"id_a", $"id_b", $"n_inter", $"n_union").as[(Long, Long, Long, Long)]
+      .collect()
+    val sameBase = j.filter { case (a, b, _, _) => a / 10 == b / 10 }
+    val crossBase = j.filter { case (a, b, _, _) => a / 10 != b / 10 }
+    assert(sameBase.nonEmpty)
+    sameBase.foreach { case (_, _, inter, union) =>
+      assert(inter.toDouble / union > 0.5, s"planted pair scored $inter/$union")
+    }
+    crossBase.foreach { case (a, b, inter, union) =>
+      assert(inter.toDouble / union < 0.5, s"unrelated $a-$b scored $inter/$union")
+    }
+  }
+
+  test("SimHash: near-dups within small Hamming distance, unrelated far") {
+    (0 until 12).foreach { i =>
+      val base = TextOps.simhash64(mkDoc(i.toLong).split(" ").toSeq)
+      val near = TextOps.simhash64(edit(mkDoc(i.toLong), 2, i.toLong).split(" ").toSeq)
+      assert(TextOps.hamming64(base, near) <= 12)
+    }
+    // docs from the SAME small vocabulary legitimately hash close (bag-of-
+    // words similarity is real); truly unrelated content must be far
+    val h0 = TextOps.simhash64(mkDoc(0L).split(" ").toSeq)
+    val otherVocab = (0 until 60).map(i => s"tok${TextOps.mix64(i.toLong) & 0xff}")
+    val far = TextOps.hamming64(h0, TextOps.simhash64(otherVocab))
+    assert(far > 20, s"disjoint-vocab doc too close: $far")
+    // and near-dups are strictly closer than same-vocab reshuffles
+    val nearD = TextOps.hamming64(h0,
+      TextOps.simhash64(edit(mkDoc(0L), 2, 0L).split(" ").toSeq))
+    val reshuffleD = (1 until 12).map(i =>
+      TextOps.hamming64(h0, TextOps.simhash64(mkDoc(i.toLong).split(" ").toSeq))).min
+    assert(nearD < reshuffleD, s"near=$nearD not closer than reshuffle=$reshuffleD")
+  }
+
+  test("SRP-LSH ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
+    // 8 clusters x 16 points: unit-ish center + small deterministic noise
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val rows = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 16 === 0) // one query per cluster
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SimilarityOps.lshTopK(emb, queries, "vec_id", "embedding",
+        dims = dims, k = 5, bits = 6, tables = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"ANN mean recall@5 = $mean")
+    // and exact top-5 of a clustered query is dominated by its own cluster
+    exact.foreach { case (q, ns) =>
+      val own = ns.count(n => n / 16 == q / 16)
+      assert(own >= 4, s"query $q: only $own/5 neighbors in-cluster")
+    }
+  }
+}

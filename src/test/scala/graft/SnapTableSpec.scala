@@ -32,6 +32,27 @@ class SnapTableSpec extends AnyFunSuite {
     assert(t2.read().get.count() == 3)
   }
 
+  test("compact folds deltas into one dir; history stays time-travelable") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaptable3").toString
+    val t = new SnapTable(spark, dir, Seq("k"))
+    t.mergeCommit(Seq(("a", 1), ("b", 1)).toDF("k", "v"))
+    t.mergeCommit(Seq(("b", 2)).toDF("k", "v"))
+    t.mergeCommit(Seq(("c", 3)).toDF("k", "v"))
+    val v = t.compact().get
+    assert(v == 4)
+    assert(t.read().get.as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("a", 1), ("b", 2), ("c", 3)))
+    // time travel to pre-compaction snapshot still resolves correctly
+    assert(t.read(Some(2)).get.as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    // post-compaction merge keeps upserting
+    t.mergeCommit(Seq(("a", 9)).toDF("k", "v"))
+    assert(t.read().get.as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("a", 9), ("b", 2), ("c", 3)))
+  }
+
   test("commits are append-only deltas (merge-on-read, no history rewrite)") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
