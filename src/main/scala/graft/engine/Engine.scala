@@ -77,15 +77,22 @@ class Engine(
   // ------------------------------------------------------------ seeds
 
   /** Interleaved-docs → candidate domains with a stable global seq derived
-    * from (doc index, span offset) — no global zipWithIndex, so the seq is
-    * identical at any parallelism (doc ids carry their index digits).
+    * from (doc key, span offset) — no global zipWithIndex, so the seq is
+    * identical at any parallelism. Doc key: the doc_id's digit run when it
+    * has one of sane width (input corpora carry their index digits, and
+    * FIFO order = doc order); otherwise a hash key in a disjoint upper
+    * range (deterministic, ANSI-safe — no cast of "" or 100-digit runs).
+    * Offsets clamp at 2^22-1; residual seq ties are broken downstream by
+    * the canonical domain, so ordering stays total.
     */
   def extractSeeds(docs: Dataset[Doc]): Dataset[(String, Long)] = {
+    val digits = regexp_extract(col("doc_id"), "(\\d+)", 1)
+    val docKey = when(length(digits).between(1, 12), digits.cast("long"))
+      .otherwise(pmod(xxhash64(col("doc_id")), lit(1L << 40)) + lit(1L << 40))
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .where(col("s.kind") === "text")
       .select(col("s.text").as("domain"),
-        (regexp_extract(col("doc_id"), "(\\d+)", 1).cast("long") * 1000000L
-          + col("s.offset")).as("seq"))
+        (docKey * lit(1L << 22) + least(col("s.offset"), lit((1L << 22) - 1))).as("seq"))
       .where(col("domain").rlike("^[\\p{L}0-9.-]+\\.[\\p{L}]{2,}\\.?\\s*$"))
       .as[(String, Long)]
   }
@@ -100,7 +107,8 @@ class Engine(
     seeds.toDF("domain", "seq")
       .withColumn("canonical", Canon.canonicalizeDomainCol(col("domain")))
       .groupBy(col("canonical"))
-      .agg(min_by(col("domain"), col("seq")).as("domain"), min(col("seq")).as("seq"))
+      .agg(min_by(col("domain"), struct(col("seq"), col("domain"))).as("domain"),
+        min(col("seq")).as("seq"))
       .withColumn("key", xxhash64(col("canonical")))
       .select("domain", "seq", "canonical", "key")
       .as[(String, Long, String, Long)]
@@ -183,16 +191,18 @@ class Engine(
     * parallelism because every input is deterministic.
     */
   private def selectUnderBudget(frontier: Dataset[FrontierEntry],
-      budget: Int => Int): (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
-    val u = universe
-    val w = Window.partitionBy(col("nsBucket")).orderBy(col("priority"), col("seq"))
+      budget: Int => Int)
+      : (Dataset[FrontierEntry], Dataset[FrontierEntry], org.apache.spark.sql.DataFrame) = {
+    // canonical as final tie-break: seq can collide across doc-id schemes
+    val w = Window.partitionBy(col("nsBucket"))
+      .orderBy(col("priority"), col("seq"), col("canonical"))
     val ranked = frontier.withColumn("_rank", row_number().over(w)).cache()
     val budgetUdf = udf((b: Int) => budget(b))
     val sel = ranked.where(col("_rank") <= budgetUdf(col("nsBucket")))
       .drop("_rank").as[FrontierEntry]
     val deferred = ranked.where(col("_rank") > budgetUdf(col("nsBucket")))
       .drop("_rank").as[FrontierEntry]
-    (sel, deferred)
+    (sel, deferred, ranked)
   }
 
   // ------------------------------------------------------------ crawl
@@ -273,25 +283,31 @@ class Engine(
       // --- dedup-probe-join for nameserver IPs (cross-domain cache, J4/D3)
       val nsRefs = salted.flatMap { e =>
         u.nsFor(e.canonical).zipWithIndex.flatMap { case (ns, i) =>
-          u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
-            u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
+          val refs =
+            u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
+              u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
+          // sentinel for IP-less nameservers so both probe paths agree:
+          // the NS still appears in DNS_AUTH with empty address lists
+          if (refs.isEmpty) Seq(NsIpRef(e.canonical, i, ns, 0, 0, "")) else refs
         }
       }
-      val probedIps = nsRefs.select("ip").distinct().as[String]
+      val probedIps = nsRefs.where(col("fam") =!= 0).select("ip").distinct().as[String]
         .mapPartitions { ips =>
           val p = new Probes(u, conf)
           ips.map(ip => (ip, p.probeNsIp(ip)))
         }.toDF("p_ip", "info")
       val auth = nsRefs.toDF()
-        .join(probedIps, col("ip") === col("p_ip"))
-        .as[(String, Int, String, Int, Int, String, String, NsIp)]
+        .join(probedIps, col("ip") === col("p_ip"), "left_outer")
+        .select(col("domain"), col("nsIdx"), col("ns"), col("fam"), col("ipIdx"), col("info"))
+        .as[(String, Int, String, Int, Int, Option[NsIp])]
         .groupByKey(_._1)
         .mapGroups { (domain, it) =>
           val rows = it.toVector.sortBy(r => (r._2, r._4, r._5))
           val nsAuth = rows.groupBy(r => (r._2, r._3)).toVector.sortBy(_._1._1).map {
             case ((_, ns), rs) =>
-              NsAuth(ns, rs.filter(_._4 == 4).sortBy(_._5).map(_._8),
-                rs.filter(_._4 == 6).sortBy(_._5).map(_._8))
+              NsAuth(ns,
+                rs.filter(_._4 == 4).sortBy(_._5).flatMap(_._6),
+                rs.filter(_._4 == 6).sortBy(_._5).flatMap(_._6))
           }
           (domain, nsAuth)
         }.toDF("a_domain", "auth")
@@ -337,12 +353,17 @@ class Engine(
       val t0 = System.nanoTime()
       round += 1
 
-      // 1. next seed chunk past the watermark (controller.py:107-116 chunking)
-      val chunk = seeds.where(col("seq") > watermark)
-        .orderBy(col("seq")).limit(seedChunkSize).cache()
-      val newWatermark =
-        if (chunk.isEmpty) watermark
-        else chunk.agg(max(col("seq"))).as[Long].head()
+      // 1. next seed chunk past the watermark (controller.py:107-116
+      // chunking). The chunk boundary is a seq VALUE, not a row limit:
+      // with seq ties at the Nth row, a row-limit chunk would admit one
+      // twin and advance the watermark past the other, silently dropping
+      // it. Taking every row with seq <= the Nth-smallest seq is safe
+      // (chunk may exceed the nominal size by the tie width).
+      val boundary = seeds.where(col("seq") > watermark)
+        .orderBy(col("seq")).limit(seedChunkSize)
+        .agg(max(col("seq"))).as[Option[Long]].head()
+      val newWatermark = boundary.getOrElse(watermark)
+      val chunk = seeds.where(col("seq") > watermark && col("seq") <= newWatermark).cache()
 
       // 2. canonical dedup + seen-filter admission
       val fresh = toFrontier(chunk)
@@ -359,18 +380,19 @@ class Engine(
       // 4. politeness: budgets from the TTL'd zone-policy cache
       val budgets = frontier.select("nsBucket").distinct().as[Int].collect()
         .map(b => b -> policy.get(b, round, u.policyBudget)).toMap
-      val (selected0, deferred0) = selectUnderBudget(frontier, budgets.withDefaultValue(64))
+      val (selected0, deferred0, ranked) = selectUnderBudget(frontier, budgets.withDefaultValue(64))
       val selected = selected0.cache()
       val deferred = deferred0.cache()
       val nSelected = selected.count()
       val nDeferred = deferred.count()
+      ranked.unpersist() // children materialized; drop the intermediate
 
       if (nSelected == 0 && newWatermark == watermark) {
         done = true
       } else {
         // 5. crawl + deterministic pop order
         val results = crawlEntries(selected)
-        val rank = Window.orderBy(col("nsBucket"), col("priority"), col("seq"))
+        val rank = Window.orderBy(col("nsBucket"), col("priority"), col("seq"), col("canonical"))
         val popOrder = selected.toDF()
           .withColumn("pop_rank", row_number().over(rank).cast("long"))
           .select(col("canonical").as("o_domain"), col("pop_rank"))
@@ -413,6 +435,7 @@ class Engine(
                 (perPartition.getOrElse(pid, 0L) / math.max(roundSecs, 1e-9)).toLong))
         }
         checkpointT.mergeCommit(spark.createDataset(lineage).toDF())
+        rows.unpersist()
 
         watermark = newWatermark
         stats += RoundStats(round, nAdmitted, nCrawled, nDeferred,

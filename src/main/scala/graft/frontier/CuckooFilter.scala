@@ -24,7 +24,12 @@ import graft.ops.TextOps.mix64
 final class CuckooFilter private (
     val numBuckets: Int,
     val buckets: Array[Short], // numBuckets * 4 slots
-    private var count: Long) extends Serializable {
+    private var count: Long,
+    // overflow stash: fingerprints that lost an eviction war live here so
+    // the no-false-negative invariant holds unconditionally (standard
+    // cuckoo-filter stash; bounded by StashWarn under correct sizing)
+    private val stash: scala.collection.mutable.ArrayBuffer[Short] =
+      scala.collection.mutable.ArrayBuffer.empty[Short]) extends Serializable {
 
   import CuckooFilter._
 
@@ -69,21 +74,22 @@ final class CuckooFilter private (
   def contains(key: Long): Boolean = {
     val fp = fingerprint(key)
     val b1 = bucket1(key)
-    slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp)
+    slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stash.contains(fp)
   }
 
-  /** Insert; returns false only when the filter is saturated after
-    * MaxKicks evictions (callers size filters so this never happens; the
-    * engine treats failure as a hard error rather than silently dropping
-    * dedup guarantees).
+  /** Insert. Membership is ALWAYS recorded (evicted victims land in the
+    * stash, never dropped). Returns false only when the stash has grown
+    * past StashWarn — the "resize me" signal; even then no key is lost.
     */
   def insert(key: Long): Boolean = {
     val fp = fingerprint(key)
     val b1 = bucket1(key)
-    if (slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp)) return true // idempotent
-    if (slotInsert(b1, fp)) { count += 1; return true }
+    if (slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stash.contains(fp))
+      return true // idempotent
+    count += 1
+    if (slotInsert(b1, fp)) return true
     val b2 = bucket2(b1, fp)
-    if (slotInsert(b2, fp)) { count += 1; return true }
+    if (slotInsert(b2, fp)) return true
     // evict loop — deterministic victim choice (slot index from key mix)
     var curFp = fp
     var b = if ((mix64(key ^ 0xc0ffee) & 1L) == 0L) b1 else b2
@@ -95,10 +101,11 @@ final class CuckooFilter private (
       buckets(idx) = curFp
       curFp = victim
       b = bucket2(b, curFp)
-      if (slotInsert(b, curFp)) { count += 1; return true }
+      if (slotInsert(b, curFp)) return true
       kicks += 1
     }
-    false
+    stash += curFp // displaced victim retained: no false negatives, ever
+    stash.size <= StashWarn
   }
 
   def insertAll(keys: Iterator[Long]): Boolean = {
@@ -107,10 +114,13 @@ final class CuckooFilter private (
     ok
   }
 
-  /** Bit-exact snapshot: [numBuckets:int][count:long][slots:short*]. */
+  /** Bit-exact snapshot:
+    * [numBuckets:int][count:long][stashLen:int][stash:short*][slots:short*].
+    */
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 + buckets.length * 2)
-    bb.putInt(numBuckets).putLong(count)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + stash.length * 2 + buckets.length * 2)
+    bb.putInt(numBuckets).putLong(count).putInt(stash.length)
+    stash.foreach(bb.putShort)
     buckets.foreach(bb.putShort)
     bb.array()
   }
@@ -120,25 +130,30 @@ final class CuckooFilter private (
     */
   def merge(other: CuckooFilter): CuckooFilter = {
     require(other.numBuckets == numBuckets, "cuckoo merge: geometry mismatch")
-    val out = new CuckooFilter(numBuckets, buckets.clone(), count)
+    val out = new CuckooFilter(numBuckets, buckets.clone(), count,
+      scala.collection.mutable.ArrayBuffer.from(stash))
+    def place(fp: Short, home: Int): Unit = {
+      if (!out.slotContains(home, fp) && !out.slotContains(out.bucket2(home, fp), fp)
+          && !out.stash.contains(fp)) {
+        out.count += 1
+        if (!out.slotInsert(home, fp) && !out.slotInsert(out.bucket2(home, fp), fp))
+          out.stash += fp // stash, never an unreachable bucket
+      }
+    }
     var b = 0
     while (b < numBuckets) {
       var i = 0
       while (i < SlotsPerBucket) {
         val fp = other.buckets(b * SlotsPerBucket + i)
-        if (fp != 0 && !out.slotContains(b, fp) && !out.slotContains(out.bucket2(b, fp), fp)) {
-          if (!out.slotInsert(b, fp) && !out.slotInsert(out.bucket2(b, fp), fp)) {
-            // extremely full — fall back to any free slot scan (keeps the
-            // no-false-negative invariant at the cost of lookup dilution)
-            var placed = false
-            var bb2 = 0
-            while (!placed && bb2 < numBuckets) { placed = out.slotInsert(bb2, fp); bb2 += 1 }
-          } else ()
-          out.count += 1
-        }
+        if (fp != 0) place(fp, b)
         i += 1
       }
       b += 1
+    }
+    // stashed fingerprints have lost their home bucket; park them in the
+    // out stash directly (contains() checks the stash for any key)
+    other.stash.foreach { fp =>
+      if (!out.stash.contains(fp)) { out.stash += fp; out.count += 1 }
     }
     out
   }
@@ -147,22 +162,38 @@ final class CuckooFilter private (
 object CuckooFilter {
   val SlotsPerBucket = 4
   val MaxKicks = 500
+  val StashWarn = 128
+
+  /** Per-partition capacity ceiling: the Int-indexed bucket array bounds
+    * one filter at 2^30 slots (~10^9 keys). At larger capacities shard
+    * across more frontier partitions (the engine already partitions by
+    * pmod(key, P) — 10^10 keys is P≥16 partitions, normally 1024).
+    */
+  val MaxCapacityPerFilter: Long = 1L << 30
 
   /** Filter sized for `capacity` keys at ≤95% load. */
   def create(capacity: Long): CuckooFilter = {
+    require(capacity > 0 && capacity <= MaxCapacityPerFilter,
+      s"cuckoo capacity $capacity out of range (0, $MaxCapacityPerFilter]; shard across partitions")
     val slots = Math.max(8L, Math.ceil(capacity / 0.95).toLong)
-    var nb = Integer.highestOneBit(Math.max(2, (slots / SlotsPerBucket).toInt))
-    if (nb.toLong * SlotsPerBucket < slots) nb <<= 1 // power of two buckets
-    new CuckooFilter(nb, new Array[Short](nb * SlotsPerBucket), 0L)
+    val wantBuckets = Math.max(2L, slots / SlotsPerBucket)
+    var nb = java.lang.Long.highestOneBit(wantBuckets)
+    if (nb * SlotsPerBucket < slots) nb <<= 1 // power of two buckets
+    nb = Math.min(nb, 1L << 28) // 2^28 buckets × 4 slots = 2^30 < Int range
+    new CuckooFilter(nb.toInt, new Array[Short]((nb * SlotsPerBucket).toInt), 0L)
   }
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val nb = bb.getInt
     val cnt = bb.getLong
+    val stashLen = bb.getInt
+    val stash = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var j = 0
+    while (j < stashLen) { stash += bb.getShort; j += 1 }
     val arr = new Array[Short](nb * SlotsPerBucket)
     var i = 0
     while (i < arr.length) { arr(i) = bb.getShort; i += 1 }
-    new CuckooFilter(nb, arr, cnt)
+    new CuckooFilter(nb, arr, cnt, stash)
   }
 }

@@ -186,10 +186,14 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
     var done = false
     var url = s"${if (port == 443) "https" else "http"}://$host${if (port == 80 || port == 443) "" else s":$port"}$startPath"
     var path = startPath
+    // the scheme decides the connection: an http→https redirect reconnects
+    // on 443 (the reference's requests session does the same), so later
+    // hops' TLS metadata matches the transport actually used
+    var curPort = port
     // one handshake per connection: cert computed once, reused per step
     lazy val hostCert = certOf(host)
     while (!done && hop <= cfg.maxRedirects) {
-      val (status, loc, headers, body, isBin) = u.webStep(host, ip, port, hop, path)
+      val (status, loc, headers, body, isBin) = u.webStep(host, ip, curPort, hop, path)
       if (status == 0) {
         steps :+= WebStep(url, None, None, Map.empty, None, None, None, None,
           Some(ip), None, None, None, None, None, None, Some("timeout"))
@@ -225,6 +229,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
           val schemeEnd = url.indexOf("//") + 2
           val slash = url.indexOf('/', schemeEnd)
           path = if (slash < 0) "/" else url.substring(slash)
+          curPort = if (url.startsWith("https://")) 443 else 80
           hop += 1
         } else done = true
       }

@@ -82,9 +82,11 @@ object SpanCodec {
     s.cookies.foreach(_.foreach { c =>
       b.add(s"$p.cookies.name", c.name)
       b.add(s"$p.cookies.value", c.value)
+      c.domain.foreach(v => b.add(s"$p.cookies.domain", v))
       c.path.foreach(v => b.add(s"$p.cookies.path", v))
       c.secure.foreach(v => b.add(s"$p.cookies.secure", v.toString))
       c.httponly.foreach(v => b.add(s"$p.cookies.httponly", v.toString))
+      c.expires.foreach(v => b.add(s"$p.cookies.expires", v))
       c.nonstandard_attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
         b.add(s"$p.cookies.nonstandard.$k", v)
       }
@@ -104,7 +106,9 @@ object SpanCodec {
       b.add(s"$p.cert.version", c.version.toString)
       b.add(s"$p.cert.serial", c.serial)
       b.add(s"$p.cert.fingerprint.cert.sha256", null, c.fingerprint_cert.sha256)
+      b.add(s"$p.cert.fingerprint.cert.sha512", null, c.fingerprint_cert.sha512)
       b.add(s"$p.cert.fingerprint.pubkey.sha256", null, c.fingerprint_pubkey.sha256)
+      b.add(s"$p.cert.fingerprint.pubkey.sha512", null, c.fingerprint_pubkey.sha512)
       b.add(s"$p.cert.algorithm", c.algorithm)
       c.alt_names.foreach(n => b.add(s"$p.cert.alt_names", n))
     })

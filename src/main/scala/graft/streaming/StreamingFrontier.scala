@@ -45,10 +45,17 @@ object StreamingFrontier {
               .map(s => CuckooFilter.deserialize(s.filterBytes))
               .getOrElse(CuckooFilter.create(filterCapacity))
             // check-and-insert per element: intra-batch duplicates must
-            // also collapse (first occurrence wins, D1)
+            // also collapse (first occurrence wins, D1). A false insert
+            // means the stash overflowed — fail loudly rather than let
+            // dedup degrade silently (same contract as Engine.admitUnseen)
             val fresh = it.flatMap { e =>
               if (filter.contains(e.key)) None
-              else { filter.insert(e.key); Some(e) }
+              else {
+                if (!filter.insert(e.key))
+                  throw new IllegalStateException(
+                    "seen-filter stash overflow — raise filterCapacity or partitions")
+                Some(e)
+              }
             }.toVector
             val admitted = state.getOption.map(_.admitted).getOrElse(0L) + fresh.size
             state.update(SeenState(filter.serialize(), admitted))

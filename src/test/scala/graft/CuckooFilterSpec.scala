@@ -53,6 +53,35 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("no false negatives even under deliberate overfill (stash semantics)") {
+    val f = CuckooFilter.create(100) // tiny: forces eviction wars
+    val keys = (0 until 400).map(i => graft.ops.TextOps.mix64(i.toLong * 13 + 1))
+    keys.foreach(f.insert) // some inserts may return false (resize signal)
+    keys.foreach(k => assert(f.contains(k), s"lost $k under overfill"))
+    // snapshot keeps the stash too
+    val g = CuckooFilter.deserialize(f.serialize())
+    keys.foreach(k => assert(g.contains(k)))
+  }
+
+  test("merge of overfull filters keeps both sides' membership") {
+    val a = CuckooFilter.create(100)
+    val b = CuckooFilter.create(100)
+    val ka = (0 until 300).map(i => graft.ops.TextOps.mix64(i.toLong))
+    val kb = (1000 until 1300).map(i => graft.ops.TextOps.mix64(i.toLong))
+    ka.foreach(a.insert); kb.foreach(b.insert)
+    val m = a.merge(b)
+    (ka ++ kb).foreach(k => assert(m.contains(k), s"merge lost $k"))
+  }
+
+  test("create rejects capacities beyond the per-filter ceiling") {
+    intercept[IllegalArgumentException] { CuckooFilter.create(0) }
+    intercept[IllegalArgumentException] {
+      CuckooFilter.create(CuckooFilter.MaxCapacityPerFilter + 1)
+    }
+    // design-scale sharding: 10^10 keys / 1024 partitions fits comfortably
+    assert(10000000000L / 1024 < CuckooFilter.MaxCapacityPerFilter)
+  }
+
   test("idempotent insert does not grow count") {
     val f = CuckooFilter.create(1000)
     assert(f.insert(42L)); assert(f.insert(42L))

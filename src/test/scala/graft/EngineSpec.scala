@@ -126,6 +126,23 @@ class EngineSpec extends AnyFunSuite {
       Seq("a.ns.nic.cz", "b.ns.nic.cz", "d.ns.nic.cz"))
   }
 
+  test("extractSeeds survives digit-less and digit-colliding doc ids (ANSI-safe)") {
+    val eng = newEngine(Files.createTempDirectory("engine-ids").toString)
+    val docs = spark.createDataset(Seq(
+      Doc("intro", Seq(Span("text", "alpha.cz", null, 0))), // no digits
+      Doc("a-7", Seq(Span("text", "beta.cz", null, 0))),    // same digit run...
+      Doc("b-7", Seq(Span("text", "gamma.cz", null, 0))),   // ...as this one
+      Doc("x" + "9" * 40, Seq(Span("text", "delta.cz", null, 0))) // absurd digit run
+    ))
+    val seeds = eng.extractSeeds(docs).collect()
+    assert(seeds.map(_._1).sorted.toSeq == Seq("alpha.cz", "beta.cz", "delta.cz", "gamma.cz"))
+    // colliding doc keys still crawl BOTH domains (tie broken by canonical)
+    val stats = eng.run(docs)
+    assert(stats.nonEmpty)
+    val out = eng.resultsTable.read().get.select("domain").as[String].collect()
+    assert(out.sorted.toSeq == Seq("alpha.cz", "beta.cz", "delta.cz", "gamma.cz"))
+  }
+
   test("per-partition probe cache and global dedup-probe-join agree") {
     val eng = newEngine(Files.createTempDirectory("engine-dedup").toString)
     val seeds = spark.createDataset((0L until 80L).map(u.seedDomain))

@@ -90,6 +90,24 @@ class ProbesSpec extends AnyFunSuite {
       r.steps.get.last.is_redirect.contains(true)))
   }
 
+  test("http→https redirect reconnects on 443: later hops carry TLS metadata") {
+    val chains = (0 to 2000).iterator.map(i => s"d$i.cz").flatMap { d =>
+      u.aFor(d).headOption.map(ip => p.fetchWeb(d, ip, 80))
+    }.filter(r => r.steps.get.length > 1 &&
+      r.steps.get.head.status.contains(301)).take(20).toSeq
+    assert(chains.nonEmpty)
+    chains.foreach { r =>
+      val after = r.steps.get.tail
+      // every post-301 hop is an https fetch: tls fields + cert present
+      after.filter(_.status.exists(_ > 0)).foreach { s =>
+        assert(s.url.startsWith("https://"), s.url)
+        assert(s.tls_version.isDefined && s.cert.isDefined, s.url)
+      }
+      // and the first hop (plain http) has neither
+      assert(r.steps.get.head.tls_version.isEmpty && r.steps.get.head.cert.isEmpty)
+    }
+  }
+
   test("final_step-only mode mirrors save_intermediate_steps=false (web_utils.py:327-333)") {
     val p2 = new Probes(u, CrawlConfig(saveIntermediateSteps = false))
     val d = (0 to 2000).map(i => s"d$i.cz").find(x => u.aFor(x).nonEmpty).get
