@@ -61,10 +61,39 @@ object DedupOps {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard for a set of pairs (the verify stage): explode
-    * distinct shingles, self-join on shingle, |∩| via count, |∪| via
-    * inclusion–exclusion from per-doc distinct counts. Integer outputs only
-    * (numerator/denominator), so oracle comparison is float-free.
+  /** Exact n-gram Jaccard for a GIVEN candidate-pair set (the verify stage
+    * of MinHash+LSH): expand each pair by side-a's distinct shingles, then
+    * equi-join side-b on (id_b, shingle) — a near-unique key, so no hot-key
+    * quadratic blowup regardless of shingle document frequency. |∩| via
+    * count, |∪| via inclusion–exclusion from per-doc distinct counts.
+    * Integer outputs only, so oracle comparison is float-free.
+    */
+  def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, minShared: Int = 1): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val exA = ex.select(col("id").as("id_a"), col("sh"))
+    val exB = ex.select(col("id").as("id_b"), col("sh"))
+    val inter = pairs.select("id_a", "id_b")
+      .join(exA, "id_a")
+      .join(exB, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .where(col("n_inter") >= minShared)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle — a full
+    * shingle self-join. A shingle shared by k docs produces k² join rows,
+    * so this goes quadratic on hot shingles; use [[ngramJaccardForPairs]]
+    * over [[minhashCandidatePairs]] for anything beyond small corpora (that
+    * composition is what q19 ships).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, minShared: Int = 1): DataFrame = {
@@ -84,21 +113,31 @@ object DedupOps {
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
   }
 
-  /** SimHash signatures + band buckets (4×16-bit bands): near-dups collide
-    * in ≥1 band when Hamming distance ≤ ~3 bits. Signature computed by a
-    * deterministic Scala function over tokens (one narrow map), bucketing
-    * and pairing stay relational.
+  /** SimHash band buckets (4×16-bit bands), fully relational and
+    * cross-engine exact: md5-derived 64-bit token hashes
+    * ([[TextOps.tokenHashHex]]), per-bit votes summed in a hash aggregate
+    * (explode → partial combine: 64 ints per doc leave the map side), band
+    * bucket = the signed-majority bits of one 16-bit slice. No UDF — the
+    * vote extraction is a codegen'd conv/shift/mask tree, and the DuckDB
+    * oracle computes the identical buckets. Docs with zero tokens have no
+    * signature and are absent (documented; an empty doc has no content to
+    * near-dup against).
     */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sim = udf((text: String) =>
-      TextOps.simhash64(Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
-    val withSig = docs.select(col(idCol), sim(col(textCol)).as("simhash"))
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .select(col(idCol), TextOps.tokenHashHex(col("t")).as("hx"))
+    val voteCols = (0 until 64).map(j =>
+      sum(TextOps.hexBit(col("hx"), j) * 2 - 1).as(s"v$j"))
+    val votes = tok.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
     val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+      val bucket = (0 until 16).map { i =>
+        when(col(s"v${b * 16 + i}") > 0, lit(1L << (15 - i))).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    withSig.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    votes.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, found via SRP-LSH

@@ -105,6 +105,31 @@ object SimilarityOps {
       }.toDF(idOut, vecOut, "tbl", "bucket")
   }
 
+  /** EXACT cosine-threshold pairs as a block-distributed all-pairs join.
+    *
+    * Exact thresholding of a dense-embedding corpus is inherently O(n²)
+    * compare operations — no hashing scheme reaches recall 1.0 on a
+    * similarity continuum (the testdata pairs straddle the threshold with
+    * no margin gap, measured: max-below 0.349995 vs min-above 0.35000).
+    * What CAN be fixed is the plan: instead of a BroadcastNestedLoopJoin
+    * cartesian (single driver broadcast, unsplittable tasks), each left row
+    * is replicated to `blocks` cells and equi-joined on the right side's
+    * block id — a plain shuffle join whose per-task work is n·(n/blocks)
+    * compares with bounded memory, spread over all executors and AQE-
+    * splittable. For sub-quadratic near-dup discovery at corpus scale use
+    * [[graft.ops.DedupOps.embeddingNearDupPairs]] (SRP-LSH, recall < 1).
+    */
+  def blockedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = bucket collisions in any
     * of `tables` SRP tables; exact cosine re-rank on candidates only.
     */

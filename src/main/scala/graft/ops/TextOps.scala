@@ -22,7 +22,7 @@ object TextOps {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
       "for", "with", "as", "at", "by", "be", "this", "that", "from")
 
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "dans"),
@@ -99,6 +99,22 @@ object TextOps {
     struct((0 until n).map(i => minhashComponent(sh, s"s$i").as(s"mh$i")): _*)
   }
 
+  // ----------------------------------------------------------- simhash
+
+  /** Per-token 64-bit hash for SimHash as a hex string: the first 16 hex
+    * chars of md5(token). md5 (not splitmix) so the DuckDB oracle computes
+    * the identical signature — the whole SimHash pipeline is then
+    * cross-engine exact, like the MinHash family above.
+    */
+  def tokenHashHex(tok: Column): Column = substring(md5(tok.cast("binary")), 1, 16)
+
+  /** Bit `j` (0 = MSB) of a 16-hex-char token hash, as a codegen'd int
+    * column: nibble via base-16 `conv`, then shift+mask.
+    */
+  def hexBit(hex: Column, j: Int): Column =
+    shiftright(conv(substring(hex, j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
+      .bitwiseAND(lit(1))
+
   // ------------------------------------------------- Scala-side twins
 
   /** splitmix64 — deterministic 64-bit avalanche; the seedable hash used by
@@ -118,20 +134,37 @@ object TextOps {
     h
   }
 
-  /** 64-bit SimHash over whitespace tokens (unit weight per occurrence). */
+  /** Scala twin of [[tokenHashHex]]: first 64 bits of md5(token) as a long
+    * (big-endian, so bit 0 of the hex string is bit 63 of the long).
+    */
+  def tokenHash64Md5(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i).toLong & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weight per occurrence).
+    * Bit j (0 = MSB) set when the sum of per-token votes for bit j is > 0.
+    * Identical to the relational [[graft.ops.DedupOps.simhashBuckets]] and
+    * its DuckDB oracle — all three use the md5-derived token hash.
+    */
   def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h = hashToken(t)
+      val h = tokenHash64Md5(t)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        // bit b counted MSB-first to match the hex-string view
+        if (((h >>> (63 - b)) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 64) { if (acc(b) > 0) out |= (1L << (63 - b)); b += 1 }
     out
   }
 
@@ -162,13 +195,40 @@ object TextOps {
     min
   }
 
+  /** Relational language ID — the exact [[langId]] heuristic as a codegen'd
+    * Column tree (CJK ratio → marker-stopword argmax with (score, lang)
+    * tie-break), so DuckDB can replicate it verbatim and q16 gets a full
+    * hash oracle. NOTE: the testdata `lang` labels are random (the text is
+    * the same synthetic vocabulary for every label), so an accuracy oracle
+    * is impossible; determinism-parity is the checkable contract.
+    */
+  def langIdCol(text: Column): Column = {
+    val cjk = length(text) - length(regexp_replace(text, "[\\x{4E00}-\\x{9FFF}]", ""))
+    val toks = tokens(lower(text))
+    def score(lang: String): Column = {
+      val m = array(langMarkers(lang).map(lit): _*)
+      size(filter(toks, t => array_contains(m, t)))
+    }
+    val (sEn, sDe, sFr, sEs) = (score("en"), score("de"), score("fr"), score("es"))
+    val mx = greatest(sEn, sDe, sFr, sEs)
+    when(length(text) === 0, "und")
+      .when(cjk * 5 >= length(text), "zh")
+      .when(size(toks) === 0, "und")
+      .when(mx === 0, "und")
+      // maxBy((score, lang)) tie-break: greatest lang string wins ties
+      .when(sFr === mx, "fr")
+      .when(sEs === mx, "es")
+      .when(sEn === mx, "en")
+      .otherwise("de")
+  }
+
   /** Language ID: CJK codepoint ratio for zh, else stopword-marker voting
     * with an 'unknown' floor — the classic fastText-free n-gram heuristic.
     */
   def langId(text: String): String = {
     if (text.isEmpty) return "und"
-    val cjk = text.codePoints().filter(cp =>
-      java.lang.Character.UnicodeScript.of(cp) == java.lang.Character.UnicodeScript.HAN).count()
+    // CJK-unified BMP block, same range as langIdCol / the DuckDB oracle
+    val cjk = text.codePoints().filter(cp => cp >= 0x4E00 && cp <= 0x9FFF).count()
     if (cjk * 5 >= text.length) return "zh"
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
