@@ -147,17 +147,36 @@ class Engine(
     entries
       .groupByKey(e => Math.floorMod(e.key, p.toLong).toInt)
       .flatMapGroups { (idx, it) =>
-        val filter = refsB.value.get(idx) match {
+        val seen = refsB.value.get(idx) match {
           case Some(ref) => CuckooFilter.deserialize(Files.readAllBytes(Paths.get(ref)))
           case None => CuckooFilter.create(cap)
         }
-        val fresh = it.filter(e => !filter.contains(e.key)).toVector
-        if (!fresh.iterator.map(_.key).forall(filter.insert))
-          throw new IllegalStateException(s"seen-filter $idx saturated — size for the frontier")
-        // snapshot this partition's filter (executor-side write; shared FS)
+        // streamed probe+insert: never materializes the partition's fresh
+        // entries (a Vector here would be the first OOM at 10^10-entry
+        // design scale); the snapshot is written once the iterator drains
+        val fresh = it.filter { e =>
+          if (seen.contains(e.key)) false
+          else {
+            if (!seen.insert(e.key))
+              throw new IllegalStateException(
+                s"seen-filter $idx saturated — size for the frontier")
+            true
+          }
+        }
         val ref = s"$outDir/part$idx.bin"
-        Files.write(Paths.get(ref), filter.serialize())
-        fresh.iterator
+        new Iterator[FrontierEntry] {
+          private var snapped = false
+          def hasNext: Boolean = {
+            val h = fresh.hasNext
+            if (!h && !snapped) {
+              // executor-side snapshot write (shared FS), after full drain
+              Files.write(Paths.get(ref), seen.serialize())
+              snapped = true
+            }
+            h
+          }
+          def next(): FrontierEntry = fresh.next()
+        }
       }
   }
 
@@ -186,23 +205,44 @@ class Engine(
   // ------------------------------------------------------- politeness
 
   /** Deterministic per-round admission under per-bucket budgets: the
-    * relational twin of [[FrontierHeap.popRound]] — row_number over
-    * (bucket → priority, seq) ≤ budget(bucket). Identical at any
-    * parallelism because every input is deterministic.
+    * relational twin of [[FrontierHeap.popRound]] — top-budget(bucket) rows
+    * by (priority, seq, canonical) per bucket. Identical at any parallelism
+    * because every input is deterministic.
+    *
+    * Two-phase rank so a hot bucket never sorts its whole frontier on one
+    * reducer: phase 1 ranks within (bucket, salt) cells — an entry past the
+    * budget inside ANY subset containing it is past the budget globally, so
+    * pruning to the per-cell top-budget is lossless — leaving ≤ salt×budget
+    * survivors per bucket for the exact phase-2 re-rank. Budgets ship as a
+    * literal map (codegen'd element_at), and the additional
+    * `_r1 <= maxBudget` literal conjunct lets Spark's WindowGroupLimit
+    * prune inside the phase-1 sort.
     */
   private def selectUnderBudget(frontier: Dataset[FrontierEntry],
-      budget: Int => Int)
-      : (Dataset[FrontierEntry], Dataset[FrontierEntry], org.apache.spark.sql.DataFrame) = {
-    // canonical as final tie-break: seq can collide across doc-id schemes
-    val w = Window.partitionBy(col("nsBucket"))
+      budgets: Map[Int, Int], defaultBudget: Int)
+      : (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
+    val maxBudget = (budgets.values ++ Seq(defaultBudget)).max
+    def budgetOf = coalesce(element_at(typedlit(budgets), col("nsBucket")),
+      lit(defaultBudget))
+    val salts = saltCounts(frontier)
+    val saltOf = coalesce(element_at(typedlit(salts), col("nsBucket")), lit(1))
+    val w1 = Window.partitionBy(col("nsBucket"), pmod(col("key"), saltOf))
       .orderBy(col("priority"), col("seq"), col("canonical"))
-    val ranked = frontier.withColumn("_rank", row_number().over(w)).cache()
-    val budgetUdf = udf((b: Int) => budget(b))
-    val sel = ranked.where(col("_rank") <= budgetUdf(col("nsBucket")))
+    val survivors = frontier
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= lit(maxBudget) && col("_r1") <= budgetOf)
+      .drop("_r1")
+    val w2 = Window.partitionBy(col("nsBucket"))
+      .orderBy(col("priority"), col("seq"), col("canonical"))
+    val sel = survivors
+      .withColumn("_rank", row_number().over(w2))
+      .where(col("_rank") <= budgetOf)
       .drop("_rank").as[FrontierEntry]
-    val deferred = ranked.where(col("_rank") > budgetUdf(col("nsBucket")))
-      .drop("_rank").as[FrontierEntry]
-    (sel, deferred, ranked)
+    val deferred = frontier
+      .join(sel.select(col("canonical").as("_selc")),
+        col("canonical") === col("_selc"), "left_anti")
+      .as[FrontierEntry]
+    (sel, deferred)
   }
 
   // ------------------------------------------------------------ crawl
@@ -380,21 +420,30 @@ class Engine(
       // 4. politeness: budgets from the TTL'd zone-policy cache
       val budgets = frontier.select("nsBucket").distinct().as[Int].collect()
         .map(b => b -> policy.get(b, round, u.policyBudget)).toMap
-      val (selected0, deferred0, ranked) = selectUnderBudget(frontier, budgets.withDefaultValue(64))
+      val (selected0, deferred0) = selectUnderBudget(frontier, budgets, 64)
       val selected = selected0.cache()
       val deferred = deferred0.cache()
       val nSelected = selected.count()
       val nDeferred = deferred.count()
-      ranked.unpersist() // children materialized; drop the intermediate
 
       if (nSelected == 0 && newWatermark == watermark) {
         done = true
       } else {
-        // 5. crawl + deterministic pop order
+        // 5. crawl + deterministic pop order. Global rank without a global
+        // single-partition window: partitioned rank per nsBucket + a per-
+        // bucket base offset from a tiny count aggregate (the global order
+        // is (nsBucket, priority, seq, canonical), so bucket-ascending
+        // offsets compose exactly).
         val results = crawlEntries(selected)
-        val rank = Window.orderBy(col("nsBucket"), col("priority"), col("seq"), col("canonical"))
+        val bCounts = selected.groupBy(col("nsBucket")).count()
+          .as[(Int, Long)].collect().sortBy(_._1)
+        val bOffsets = bCounts.zip(bCounts.scanLeft(0L) { case (a, (_, n)) => a + n })
+          .map { case ((b, _), off) => b -> off }.toMap
+        val rank = Window.partitionBy(col("nsBucket"))
+          .orderBy(col("priority"), col("seq"), col("canonical"))
         val popOrder = selected.toDF()
-          .withColumn("pop_rank", row_number().over(rank).cast("long"))
+          .withColumn("pop_rank",
+            element_at(typedlit(bOffsets), col("nsBucket")) + row_number().over(rank))
           .select(col("canonical").as("o_domain"), col("pop_rank"))
         val rows = results.toDF().withColumnRenamed("domain", "r_domain")
           .join(popOrder, col("r_domain") === col("o_domain"))
@@ -450,10 +499,14 @@ class Engine(
 
   /** Library one-shot API (reference `process_domain` import surface,
     * README.md:166-191): crawl a plain domain dataset, no frontier state.
+    * seq is content-keyed (xxhash64 of the raw string) so first-enqueue-
+    * wins dedup among case/dot variants picks the same raw variant at any
+    * parallelism — `monotonically_increasing_id` would depend on partition
+    * layout and break the N-vs-4N determinism contract on this path.
     */
   def crawlDomains(domains: Dataset[String]): Dataset[DomainResult] = {
     val withSeq = domains.toDF("domain")
-      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("seq", xxhash64(col("domain")))
       .as[(String, Long)]
     crawlEntries(toFrontier(withSeq))
   }

@@ -27,13 +27,29 @@ final class CuckooFilter private (
     private var count: Long,
     // overflow stash: fingerprints that lost an eviction war live here so
     // the no-false-negative invariant holds unconditionally (standard
-    // cuckoo-filter stash; bounded by StashWarn under correct sizing)
-    private val stash: scala.collection.mutable.ArrayBuffer[Short] =
-      scala.collection.mutable.ArrayBuffer.empty[Short]) extends Serializable {
+    // cuckoo-filter stash; bounded by StashWarn under correct sizing).
+    // Entries are (canonicalHomeBucket << 16 | fp) so a stashed fp only
+    // aliases keys sharing BOTH the fingerprint and the bucket pair —
+    // without the affinity, ~128 stash entries would false-positive ~0.2%
+    // of ALL future keys (vs ~1/(2^16·numBuckets) per entry with it).
+    private val stash: scala.collection.mutable.ArrayBuffer[Long] =
+      scala.collection.mutable.ArrayBuffer.empty[Long]) extends Serializable {
 
   import CuckooFilter._
 
   def size: Long = count
+
+  /** Canonical stash key: the smaller of the fp's two buckets (bucket2 is
+    * a xor involution on the power-of-two bucket space, so both buckets
+    * derive the same key) packed with the fingerprint.
+    */
+  private def stashKey(b: Int, fp: Short): Long = {
+    val b2 = bucket2(b, fp)
+    (math.min(b, b2).toLong << 16) | (fp.toLong & 0xffffL)
+  }
+
+  private def stashContains(b: Int, fp: Short): Boolean =
+    stash.contains(stashKey(b, fp))
 
   private def fingerprint(key: Long): Short = {
     val f = (mix64(key) & 0xffffL).toShort
@@ -74,7 +90,7 @@ final class CuckooFilter private (
   def contains(key: Long): Boolean = {
     val fp = fingerprint(key)
     val b1 = bucket1(key)
-    slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stash.contains(fp)
+    slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stashContains(b1, fp)
   }
 
   /** Insert. Membership is ALWAYS recorded (evicted victims land in the
@@ -84,7 +100,7 @@ final class CuckooFilter private (
   def insert(key: Long): Boolean = {
     val fp = fingerprint(key)
     val b1 = bucket1(key)
-    if (slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stash.contains(fp))
+    if (slotContains(b1, fp) || slotContains(bucket2(b1, fp), fp) || stashContains(b1, fp))
       return true // idempotent
     count += 1
     if (slotInsert(b1, fp)) return true
@@ -104,7 +120,9 @@ final class CuckooFilter private (
       if (slotInsert(b, curFp)) return true
       kicks += 1
     }
-    stash += curFp // displaced victim retained: no false negatives, ever
+    // displaced victim retained with its bucket affinity: no false
+    // negatives, ever (b is one of curFp's two valid buckets here)
+    stash += stashKey(b, curFp)
     stash.size <= StashWarn
   }
 
@@ -115,12 +133,12 @@ final class CuckooFilter private (
   }
 
   /** Bit-exact snapshot:
-    * [numBuckets:int][count:long][stashLen:int][stash:short*][slots:short*].
+    * [numBuckets:int][count:long][stashLen:int][stash:long*][slots:short*].
     */
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + stash.length * 2 + buckets.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + stash.length * 8 + buckets.length * 2)
     bb.putInt(numBuckets).putLong(count).putInt(stash.length)
-    stash.foreach(bb.putShort)
+    stash.foreach(bb.putLong)
     buckets.foreach(bb.putShort)
     bb.array()
   }
@@ -134,10 +152,10 @@ final class CuckooFilter private (
       scala.collection.mutable.ArrayBuffer.from(stash))
     def place(fp: Short, home: Int): Unit = {
       if (!out.slotContains(home, fp) && !out.slotContains(out.bucket2(home, fp), fp)
-          && !out.stash.contains(fp)) {
+          && !out.stashContains(home, fp)) {
         out.count += 1
         if (!out.slotInsert(home, fp) && !out.slotInsert(out.bucket2(home, fp), fp))
-          out.stash += fp // stash, never an unreachable bucket
+          out.stash += out.stashKey(home, fp) // stash, never an unreachable bucket
       }
     }
     var b = 0
@@ -150,10 +168,13 @@ final class CuckooFilter private (
       }
       b += 1
     }
-    // stashed fingerprints have lost their home bucket; park them in the
-    // out stash directly (contains() checks the stash for any key)
-    other.stash.foreach { fp =>
-      if (!out.stash.contains(fp)) { out.stash += fp; out.count += 1 }
+    // other's stash entries carry their home bucket — re-place them like
+    // slot entries (they may fit in out's buckets), skipping the count
+    // increment when the (bucket, fp) membership is already represented
+    other.stash.foreach { sk =>
+      val home = (sk >>> 16).toInt
+      val fp = (sk & 0xffffL).toShort
+      place(fp, home)
     }
     out
   }
@@ -188,9 +209,9 @@ object CuckooFilter {
     val nb = bb.getInt
     val cnt = bb.getLong
     val stashLen = bb.getInt
-    val stash = scala.collection.mutable.ArrayBuffer.empty[Short]
+    val stash = scala.collection.mutable.ArrayBuffer.empty[Long]
     var j = 0
-    while (j < stashLen) { stash += bb.getShort; j += 1 }
+    while (j < stashLen) { stash += bb.getLong; j += 1 }
     val arr = new Array[Short](nb * SlotsPerBucket)
     var i = 0
     while (i < arr.length) { arr(i) = bb.getShort; i += 1 }
