@@ -304,28 +304,35 @@ class Engine(
       salted.mapPartitions { it =>
         val p = new Probes(u, conf)
         val nsIpCache = scala.collection.mutable.HashMap.empty[String, NsIp]
+        val (hasV4, hasV6) = (p.sourceIpv4.isDefined, p.sourceIpv6.isDefined)
         it.map { e =>
           val dl = p.getDnsLocal(e.canonical)
           val ns = u.nsFor(e.canonical)
           val auth =
             if (ns.isEmpty) None
             else Some(ns.filter(_.nonEmpty).map { n =>
-              NsAuth(n,
-                u.nsIps4(n).map(ip => nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))),
-                u.nsIps6(n).map(ip => nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))))
+              val v4 = if (hasV4) u.nsIps4(n).map(ip =>
+                nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))) else Seq.empty
+              val v6 = if (hasV6) u.nsIps6(n).map(ip =>
+                nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))) else Seq.empty
+              NsAuth(n, Option.when(v4.nonEmpty)(v4), Option.when(v6.nonEmpty)(v6))
             })
           DomainResult(e.canonical, ts, dl, auth,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-            p.getWebPaths(e.canonical, dl), u.hstsPreload(e.canonical))
+            p.getWebPaths(e.canonical, dl), u.hstsPreload(e.canonical),
+            Option.when(conf.saveWorkerHostname)(conf.workerHostname))
         }
       }
     } else {
       // --- dedup-probe-join for nameserver IPs (cross-domain cache, J4/D3)
+      // source-address gates are deterministic (same on driver/executor)
+      val gateProbe = new Probes(u, conf)
+      val (hasV4, hasV6) = (gateProbe.sourceIpv4.isDefined, gateProbe.sourceIpv6.isDefined)
       val nsRefs = salted.flatMap { e =>
         u.nsFor(e.canonical).zipWithIndex.flatMap { case (ns, i) =>
           val refs =
-            u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } ++
-              u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) }
+            (if (hasV4) u.nsIps4(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 4, j, ip) } else Seq.empty) ++
+              (if (hasV6) u.nsIps6(ns).zipWithIndex.map { case (ip, j) => NsIpRef(e.canonical, i, ns, 6, j, ip) } else Seq.empty)
           // sentinel for IP-less nameservers so both probe paths agree:
           // the NS still appears in DNS_AUTH with empty address lists
           if (refs.isEmpty) Seq(NsIpRef(e.canonical, i, ns, 0, 0, "")) else refs
@@ -345,9 +352,9 @@ class Engine(
           val rows = it.toVector.sortBy(r => (r._2, r._4, r._5))
           val nsAuth = rows.groupBy(r => (r._2, r._3)).toVector.sortBy(_._1._1).map {
             case ((_, ns), rs) =>
-              NsAuth(ns,
-                rs.filter(_._4 == 4).sortBy(_._5).flatMap(_._6),
-                rs.filter(_._4 == 6).sortBy(_._5).flatMap(_._6))
+              val v4 = rs.filter(_._4 == 4).sortBy(_._5).flatMap(_._6)
+              val v6 = rs.filter(_._4 == 6).sortBy(_._5).flatMap(_._6)
+              NsAuth(ns, Option.when(v4.nonEmpty)(v4), Option.when(v6.nonEmpty)(v6))
           }
           (domain, nsAuth)
         }.toDF("a_domain", "auth")
@@ -358,7 +365,8 @@ class Engine(
           val dl = p.getDnsLocal(e.canonical)
           val r = DomainResult(e.canonical, ts, dl, None,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-            p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical))
+            p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical),
+            Option.when(conf.saveWorkerHostname)(conf.workerHostname))
           (e.canonical, r)
         }
       }.toDF("b_domain", "result")
@@ -449,7 +457,7 @@ class Engine(
           .join(popOrder, col("r_domain") === col("o_domain"))
           .select(col("r_domain"), col("pop_rank"), struct(col("r_domain").as("domain"),
             col("timestamp"), col("DNS_LOCAL"), col("DNS_AUTH"), col("MAIL"),
-            col("WEB"), col("WEB_paths"), col("HSTS")).as("result"))
+            col("WEB"), col("WEB_paths"), col("HSTS"), col("worker_hostname")).as("result"))
           .withColumn("pop_round", lit(round))
           .select(col("r_domain").as("domain"), col("pop_round"),
             col("pop_rank"), col("result"))

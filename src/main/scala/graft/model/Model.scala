@@ -75,18 +75,29 @@ object Model {
   /** CHAOS-class TXT probe result (reference `dns_utils.py:218-232`). */
   case class ChaosTxt(value: Option[Seq[String]], error: Option[String])
 
+  /** One config-driven CHAOS record result: `key` is the queried record
+    * name with dots stripped (reference `dns_utils.py:249-250`:
+    * `result[record.replace(".", "")] = get_chaostxt(...)`), kept as an
+    * ordered Seq so output follows the configured `auth_chaos_txt` order.
+    */
+  case class ChaosEntry(key: String, txt: ChaosTxt)
+
   /** Per-nameserver-IP info (reference `dns_utils.py:235-253`,
-    * `result-schema.json:171-201`). Cached per IP across domains.
+    * `result-schema.json:171-201`). Cached per IP across domains. The
+    * chaos entries are config-driven (`auth_chaos_txt`, `config.yml:12-14`)
+    * — hostname.bind/version.bind by default, `fortune` or any other
+    * record representable.
     */
   case class NsIp(
       ip: String,
       geoip: Option[GeoIp],
-      hostnamebind: ChaosTxt,
-      versionbind: ChaosTxt,
-      authorsbind: ChaosTxt)
+      chaos: Seq[ChaosEntry])
 
-  /** One authoritative NS entry (reference `crawl.py:80-105`). */
-  case class NsAuth(ns: String, ipv4: Seq[NsIp], ipv6: Seq[NsIp])
+  /** One authoritative NS entry (reference `crawl.py:80-105`): the ipv4/
+    * ipv6 keys are OMITTED when no probe results exist for that family
+    * (`crawl.py:100-104` — `if len(...) > 0`), hence Option.
+    */
+  case class NsAuth(ns: String, ipv4: Option[Seq[NsIp]], ipv6: Option[Seq[NsIp]])
 
   /** SMTP banner per port (reference `mail_utils.py:28-45`). */
   case class MailBanner(banner: Option[String], error: Option[String])
@@ -97,9 +108,13 @@ object Model {
   case class MailIpBanners(ip: String, banners: Map[Int, MailBanner], geoip: Option[GeoIp])
 
   /** One MX host result (reference `mail_utils.py:48-107`). `tlsa` maps
-    * port → parsed TLSA records (None = no TLSA at that port).
+    * port → parsed TLSA records (None = no TLSA at that port). `banners`
+    * is None when `mail.get_banners` is off (key absent in reference
+    * output, `mail_utils.py:61`) or when no IPs answered
+    * (`mail_utils.py:86-87` collapses the empty list to null).
     */
-  case class MailHost(host: String, tlsa: Map[Int, Option[Seq[Tlsa]]], banners: Seq[MailIpBanners])
+  case class MailHost(host: String, tlsa: Map[Int, Option[Seq[Tlsa]]],
+      banners: Option[Seq[MailIpBanners]])
 
   /** Parsed strict-transport-security header (reference `web_utils.py:75-86`). */
   case class HstsHeader(
@@ -188,8 +203,16 @@ object Model {
       WEB_TLSA: Option[Seq[Tlsa]],
       WEB_TLSA_www: Option[Seq[Tlsa]],
       TXT: Option[Seq[DnsRecord]],
-      TXT_SPF: Option[SpfParsed],
-      TXT_DMARC: Option[DmarcParsed],
+      /** One parse per spf-matching TXT record (reference `parse_spf`
+        * returns a LIST, `dns_utils.py:166-183`); None = no spf records.
+        */
+      TXT_SPF: Option[Seq[SpfParsed]],
+      /** One parse per TXT record at `_dmarc.<domain>`, including
+        * per-record error entries (`dns_utils.py:144-158`).
+        */
+      TXT_DMARC: Option[Seq[DmarcParsed]],
+      /** TXT records at `_openid.<domain>` (reference `crawl.py:57`). */
+      TXT_openid: Option[Seq[DnsRecord]],
       DS: Option[Seq[DnsRecord]],
       DNSKEY: Option[Seq[DnsRecord]],
       DNSSEC: Dnssec,
@@ -198,8 +221,15 @@ object Model {
         */
       additional: Option[Map[String, Seq[String]]] = None)
 
+  /** Per-path full web probe (reference `crawl.py:158-163`: WEB_paths runs
+    * the COMPLETE get_web_status — all 8 combos — for each configured
+    * path). Seq keeps the configured path order.
+    */
+  case class PathWeb(path: String, web: WebObj)
+
   /** Top-level per-domain result (reference `crawl.py:165-182`); WEB_paths
-    * present when `web.paths` configured (reference `crawl.py:158-163`).
+    * present when `web.paths` configured (reference `crawl.py:158-163`);
+    * worker_hostname when `save_worker_hostname` (`crawl.py:180-181`).
     */
   case class DomainResult(
       domain: String,
@@ -208,8 +238,9 @@ object Model {
       DNS_AUTH: Option[Seq[NsAuth]],
       MAIL: Option[Seq[MailHost]],
       WEB: WebObj,
-      WEB_paths: Option[Map[String, Seq[WebResult]]],
-      HSTS: Boolean)
+      WEB_paths: Option[Seq[PathWeb]],
+      HSTS: Boolean,
+      worker_hostname: Option[String] = None)
 
   // ------------------------------------------------------------ frontier
 

@@ -12,13 +12,23 @@ import graft.universe.Universe
   */
 class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
 
+  /** Source-address probe (S8, reference `ip_utils.py:44-75` +
+    * `get_source_addresses`): resolved once per Probes (≈ per worker, like
+    * the reference's Redis-cached `sourceips-<hostname>`); None gates the
+    * whole v4/v6 side of the plan (`crawl.py:88-96,113-133`,
+    * `mail_utils.py:63-70`).
+    */
+  @transient lazy val sourceIpv4: Option[String] = u.sourceAddress(4, cfg.connectivityIpv4)
+  @transient lazy val sourceIpv6: Option[String] = u.sourceAddress(6, cfg.connectivityIpv6)
+
   // per-Probes (≈ per-partition) cert cache: one TLS handshake's worth of
   // work per distinct host, like a real connection pool would amortize
   @transient private lazy val certCache =
     scala.collection.mutable.HashMap.empty[String, Option[Seq[Certificate]]]
 
   private def certOf(host: String): Option[Seq[Certificate]] =
-    certCache.getOrElseUpdate(host, Some(Seq(u.certFor(host))))
+    certCache.getOrElseUpdate(host,
+      Some(if (cfg.saveCertChain) u.certChainFor(host) else Seq(u.certFor(host))))
 
   /** Resolve name/rrtype with CNAME-chain flattening (reference
     * `dns_utils.py:260-306`): follow CNAMEs (bounded), attach `cname` on
@@ -84,14 +94,16 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
     */
   def getDnsLocal(domain: String): DnsLocal = {
     val txt = resolve(domain, "TXT")
-    val spf = txt.flatMap(_.collectFirst {
-      case r if r.value.matches("^\"?v=spf.*") => Parsers.parseSpf(r.value)
-    })
-    val dmarc = resolve(s"_dmarc.$domain", "TXT") // reference queries _dmarc.<domain>
-      .flatMap(_.headOption)
-      .orElse(u.dmarcFor(domain).map(DnsRecord(_)))
-      .filter(_.value.toLowerCase.contains("dmarc"))
-      .map(r => Parsers.parseDmarc(r.value))
+    // one parse PER spf-matching record (crawl.py:55-56 get_txt regex +
+    // parse_spf list, dns_utils.py:166-183); no matches → None
+    val spf = txt.map(_.filter(_.value.matches("^\"?v=spf.*"))
+        .map(r => Parsers.parseSpf(r.value)))
+      .filter(_.nonEmpty)
+    // one parse PER record at _dmarc.<domain>, junk records kept as
+    // per-record error entries (dns_utils.py:144-158)
+    val dmarc = resolve(s"_dmarc.$domain", "TXT")
+      .map(_.map(r => Parsers.parseDmarc(r.value)))
+    val openid = resolve(s"_openid.$domain", "TXT") // crawl.py:57
     val tlsa = resolve(s"_443._tcp.$domain", "TLSA")
       .map(_.flatMap(r => Parsers.parseTlsa(r.value))).filter(_.nonEmpty)
     val tlsaWww = if (cfg.checkWww)
@@ -120,6 +132,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       TXT = txt,
       TXT_SPF = spf,
       TXT_DMARC = dmarc,
+      TXT_openid = openid,
       DS = annotate(resolve(domain, "DS"), 1),
       DNSKEY = annotate(resolve(domain, "DNSKEY"), 2),
       DNSSEC = checkDnssec(domain))
@@ -133,24 +146,30 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
 
   def probeNsIp(ip: String): NsIp =
     NsIp(ip, geoIfGlobal(ip),
-      hostnamebind = u.chaosTxt(ip, "hostname.bind"),
-      versionbind = u.chaosTxt(ip, "version.bind"),
-      authorsbind = u.chaosTxt(ip, "authors.bind"))
+      chaos = cfg.authChaosTxt.map(rec =>
+        ChaosEntry(rec.replace(".", ""), u.chaosTxt(ip, rec))))
 
   /** DNS_AUTH (reference `crawl.py:72-106`): NS fan-out → per-NS A/AAAA →
-    * per-IP probes; no NS → None; empty-value NS skipped.
+    * per-IP probes; no NS → None; empty-value NS skipped; each address
+    * family gated by the source-address probe (`crawl.py:88-96`) and its
+    * key omitted when empty (`crawl.py:100-104`).
     */
   def getDnsAuth(domain: String): Option[Seq[NsAuth]] = {
     val ns = u.nsFor(domain)
     if (ns.isEmpty) None
     else Some(ns.filter(_.nonEmpty).map { n =>
-      NsAuth(n, u.nsIps4(n).map(probeNsIp), u.nsIps6(n).map(probeNsIp))
+      val v4 = if (sourceIpv4.isDefined) u.nsIps4(n).map(probeNsIp) else Seq.empty
+      val v6 = if (sourceIpv6.isDefined) u.nsIps6(n).map(probeNsIp) else Seq.empty
+      NsAuth(n, Option.when(v4.nonEmpty)(v4), Option.when(v6.nonEmpty)(v6))
     })
   }
 
-  /** Mail probes (reference `mail_utils.py:48-107`): MX hosts (fallback to
-    * apex when no MX but A/AAAA exists, `crawl.py:145-154`), per-host TLSA
-    * on ports 25/465/587, per-IP banners; max_ips_per_host bound.
+  /** Mail probes (reference `mail_utils.py:48-107`): one entry per MX
+    * record (no host dedup — `get_mx_info` loops records; the Redis cache
+    * only dedups the WORK, `mail_utils.py:50-55`), fallback to apex when no
+    * MX but A/AAAA exists (`crawl.py:145-154`), per-host TLSA on configured
+    * ports, per-IP banners gated by `mail.get_banners` and the source-
+    * address families (`mail_utils.py:61-70`); max_ips_per_host bound.
     */
   def getMail(domain: String, dnsLocal: DnsLocal): Option[Seq[MailHost]] = {
     val mxHosts = dnsLocal.MAIL.map(_.flatMap(r => Parsers.mxHost(r.value)))
@@ -159,17 +178,24 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       if (mxHosts.nonEmpty) mxHosts
       else if (dnsLocal.WEB4.isDefined || dnsLocal.WEB6.isDefined) Seq(domain)
       else return None
-    Some(hosts.distinct.map { host =>
+    Some(hosts.map { host =>
       val tlsa = cfg.mailPorts.map { port =>
         val recs = u.tlsaFor(s"_$port._tcp.$host").flatMap(Parsers.parseTlsa)
         port -> (if (recs.isEmpty) None else Some(recs))
       }.toMap
-      val ips = (u.aFor(host) ++ u.aaaaFor(host)).take(cfg.maxIpsPerMailHost)
-      val banners = ips.map { ip =>
-        MailIpBanners(ip,
-          cfg.mailPorts.map(p => p -> u.mailBanner(ip, p)).toMap,
-          geoIfGlobal(ip))
-      }
+      val banners =
+        if (!cfg.getBanners) None
+        else {
+          val ips = ((if (sourceIpv4.isDefined) u.aFor(host) else Seq.empty) ++
+            (if (sourceIpv6.isDefined) u.aaaaFor(host) else Seq.empty))
+            .take(cfg.maxIpsPerMailHost)
+          val bs = ips.map { ip =>
+            MailIpBanners(ip,
+              cfg.mailPorts.map(p => p -> u.mailBanner(ip, p)).toMap,
+              geoIfGlobal(ip))
+          }
+          Option.when(bs.nonEmpty)(bs) // mail_utils.py:86-87 empty → null
+        }
       MailHost(host, tlsa, banners)
     })
   }
@@ -204,8 +230,30 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
         val (tlsV, tlsC) = if (https) {
           val t = u.tlsInfo(host, ip); (Some(t._1), Some(t._2))
         } else (None, None)
-        val content = body.map(b =>
-          if (b.length > cfg.contentSizeLimit) b.substring(0, cfg.contentSizeLimit) else b)
+        // content block (reference web_utils.py:283-320): everything only
+        // under save_content; binary → base64 data-uri when save_binary
+        // else dropped (flag still set); content_is_binary key only when
+        // true; detected_encoding only for saved text
+        val (content, isBinFlag, detEnc) =
+          if (!cfg.saveContent) (None, None, None)
+          else {
+            val truncated = body.map(b =>
+              if (b.length > cfg.contentSizeLimit) b.substring(0, cfg.contentSizeLimit) else b)
+            if (isBin) {
+              val c =
+                if (cfg.saveBinary) truncated.map { b =>
+                  val ct = headers.getOrElse("content-type", "application/octet-stream")
+                  val b64 = java.util.Base64.getEncoder.encodeToString(
+                    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  s"data:$ct;base64,$b64"
+                }
+                else None
+              (c, Some(true), None)
+            } else {
+              val c = truncated.filter(_.nonEmpty) // "" → null (web_utils.py:307-308)
+              (c, None, c.map(b => Parsers.detectEncoding(headers.get("content-type"), b)))
+            }
+          }
         steps :+= WebStep(
           url = url, status = Some(status), is_redirect = Some(isRedirect),
           headers = headers,
@@ -216,10 +264,9 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
           content_length = headers.get("content-length").flatMap(Parsers.parseContentLength),
           ip = Some(ip), tls_version = tlsV, tls_cipher = tlsC,
           cert = if (https) hostCert else None,
-          content = if (cfg.saveContent) content else None,
-          content_is_binary = if (body.isDefined) Some(isBin) else None,
-          detected_encoding = body.filter(_ => !isBin)
-            .map(b => Parsers.detectEncoding(headers.get("content-type"), b)),
+          content = content,
+          content_is_binary = isBinFlag,
+          detected_encoding = detEnc,
           error = None)
         if (isRedirect && hop < cfg.maxRedirects) {
           val l = loc.get
@@ -243,38 +290,45 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       WebResult(ip, redirectCount, None, steps.lastOption)
   }
 
-  /** WEB section: the 8 combos `WEB{4,6}_{80,443}[_www]` (reference
-    * `crawl.py:109-133`), ips bounded by max_ips_per_domain; no ips → None.
+  /** WEB section at one path: the 8 combos `WEB{4,6}_{80,443}[_www]`
+    * (reference `get_web_status`, `crawl.py:109-133`), each gated by the
+    * plan flags — `check_ipv4`/`check_ipv6` × source-address availability,
+    * `check_http`/`check_https`, `check_www` — so a gated combo is absent
+    * (None), exactly like the reference's conditional dict keys. IPs
+    * bounded by max_ips_per_domain (null = unlimited, `config.yml:39`);
+    * no ips → None (`web_utils.py:156-157`).
     */
-  def getWeb(domain: String, dl: DnsLocal): WebObj = {
+  def getWeb(domain: String, dl: DnsLocal, path: String = "/"): WebObj = {
     def ips(recs: Option[Seq[DnsRecord]]): Seq[String] =
-      recs.map(_.map(_.value).take(cfg.maxIpsPerDomain)).getOrElse(Seq.empty)
+      recs.map { rs =>
+        val vals = rs.map(_.value)
+        cfg.maxIpsPerDomain.fold(vals)(vals.take)
+      }.getOrElse(Seq.empty)
     def combo(host: String, recs: Option[Seq[DnsRecord]], port: Int): Option[Seq[WebResult]] = {
       val ipList = ips(recs)
-      if (ipList.isEmpty) None else Some(ipList.map(ip => fetchWeb(host, ip, port)))
+      if (ipList.isEmpty) None else Some(ipList.map(ip => fetchWeb(host, ip, port, path)))
     }
     val www = s"www.$domain"
+    val v4 = cfg.checkIpv4 && sourceIpv4.isDefined
+    val v6 = cfg.checkIpv6 && sourceIpv6.isDefined
     WebObj(
-      WEB4_80 = combo(domain, dl.WEB4, 80),
-      WEB4_443 = combo(domain, dl.WEB4, 443),
-      WEB6_80 = combo(domain, dl.WEB6, 80),
-      WEB6_443 = combo(domain, dl.WEB6, 443),
-      WEB4_80_www = if (cfg.checkWww) combo(www, dl.WEB4_www, 80) else None,
-      WEB4_443_www = if (cfg.checkWww) combo(www, dl.WEB4_www, 443) else None,
-      WEB6_80_www = if (cfg.checkWww) combo(www, dl.WEB6_www, 80) else None,
-      WEB6_443_www = if (cfg.checkWww) combo(www, dl.WEB6_www, 443) else None)
+      WEB4_80 = if (v4 && cfg.checkHttp) combo(domain, dl.WEB4, 80) else None,
+      WEB4_443 = if (v4 && cfg.checkHttps) combo(domain, dl.WEB4, 443) else None,
+      WEB6_80 = if (v6 && cfg.checkHttp) combo(domain, dl.WEB6, 80) else None,
+      WEB6_443 = if (v6 && cfg.checkHttps) combo(domain, dl.WEB6, 443) else None,
+      WEB4_80_www = if (v4 && cfg.checkHttp && cfg.checkWww) combo(www, dl.WEB4_www, 80) else None,
+      WEB4_443_www = if (v4 && cfg.checkHttps && cfg.checkWww) combo(www, dl.WEB4_www, 443) else None,
+      WEB6_80_www = if (v6 && cfg.checkHttp && cfg.checkWww) combo(www, dl.WEB6_www, 80) else None,
+      WEB6_443_www = if (v6 && cfg.checkHttps && cfg.checkWww) combo(www, dl.WEB6_www, 443) else None)
   }
 
-  /** WEB_paths: per configured path, the apex-v4-443 fetch results
-    * (reference `crawl.py:158-163`, `config.yml:46`).
+  /** WEB_paths: the FULL get_web_status (all 8 gated combos) per configured
+    * path (reference `crawl.py:158-163` calls `get_web_status(..., path=
+    * path)` — not just apex-v4-443).
     */
-  def getWebPaths(domain: String, dl: DnsLocal): Option[Map[String, Seq[WebResult]]] = {
+  def getWebPaths(domain: String, dl: DnsLocal): Option[Seq[PathWeb]] = {
     if (cfg.webPaths.isEmpty) return None
-    val ips = dl.WEB4.map(_.map(_.value).take(cfg.maxIpsPerDomain)).getOrElse(Seq.empty)
-    if (ips.isEmpty) return None
-    Some(cfg.webPaths.map { p =>
-      p -> ips.map(ip => fetchWeb(domain, ip, 443, p))
-    }.toMap)
+    Some(cfg.webPaths.map(p => PathWeb(p, getWeb(domain, dl, p))))
   }
 
   /** Full per-domain pipeline (reference `process_domain`,
@@ -290,7 +344,8 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
       MAIL = getMail(domain, dl),
       WEB = getWeb(domain, dl),
       WEB_paths = getWebPaths(domain, dl),
-      HSTS = u.hstsPreload(domain))
+      HSTS = u.hstsPreload(domain),
+      worker_hostname = Option.when(cfg.saveWorkerHostname)(cfg.workerHostname))
   }
 }
 
@@ -314,13 +369,32 @@ object AdditionalParsers {
 case class CrawlConfig(
     checkWww: Boolean = true,
     saveContent: Boolean = false,     // config_loader.py:62 (library default)
+    saveBinary: Boolean = true,       // config_loader.py:63
     saveIntermediateSteps: Boolean = true, // config_loader.py:74
+    saveCertChain: Boolean = false,   // config.yml:44
+    flattenOutput: Boolean = false,   // config.yml:45 (JSON-sink shaping)
+    checkHttp: Boolean = true,        // config.yml:40
+    checkHttps: Boolean = true,       // config.yml:41
+    checkIpv4: Boolean = true,        // config.yml:42
+    checkIpv6: Boolean = true,        // config.yml:43
     maxRedirects: Int = 6,            // config.yml:34
     contentSizeLimit: Int = 5120000,  // config.yml:37
-    maxIpsPerDomain: Int = 16,
+    maxIpsPerDomain: Option[Int] = None, // config.yml:39 — null = UNLIMITED
     maxIpsPerMailHost: Int = 4,       // config.yml:30
+    getBanners: Boolean = true,       // config.yml:26 (config_loader default is false)
     mailPorts: Seq[Int] = Seq(25, 465, 587),
     cacheTtlSeconds: Int = 3600,      // config.yml:23
     jobTimeoutSeconds: Int = 80,      // config.yml:19
     webPaths: Seq[String] = Seq.empty,          // config.yml:46
-    additionalRrtypes: Seq[String] = Seq.empty) // config.yml dns.additional
+    additionalRrtypes: Seq[String] = Seq.empty, // config.yml dns.additional
+    /** CHAOS records per NS IP (config.yml:12-14 default; `authors.bind`,
+      * `fortune` or any record configurable, `dns_utils.py:249-250`).
+      */
+    authChaosTxt: Seq[String] = Seq("hostname.bind", "version.bind"),
+    /** Connectivity-check targets (config.yml:46-49); None disables the
+      * family, "unreachable" simulates a worker without it (S8).
+      */
+    connectivityIpv4: Option[String] = Some("193.17.47.1"),
+    connectivityIpv6: Option[String] = Some("2001:148f:ffff::1"),
+    saveWorkerHostname: Boolean = false, // config_loader.py:80
+    workerHostname: String = "graft-worker-0")

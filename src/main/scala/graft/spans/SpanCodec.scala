@@ -146,7 +146,7 @@ object SpanCodec {
     records(b, "DNS_LOCAL.TXT", dl.TXT)
     dl.TXT_SPF match {
       case None => b.add("DNS_LOCAL.TXT_SPF", "null")
-      case Some(s) =>
+      case Some(list) => list.foreach { s =>
         b.add("DNS_LOCAL.TXT_SPF.record", s.record)
         def arr(k: String, v: Option[Seq[String]]): Unit = v match {
           case None => b.add(s"DNS_LOCAL.TXT_SPF.$k", "null")
@@ -159,10 +159,11 @@ object SpanCodec {
         b.scalar("DNS_LOCAL.TXT_SPF.redirect", s.redirect)
         b.scalar("DNS_LOCAL.TXT_SPF.exp", s.exp)
         s.error.foreach(e => b.add("DNS_LOCAL.TXT_SPF.error", e))
+      }
     }
     dl.TXT_DMARC match {
       case None => b.add("DNS_LOCAL.TXT_DMARC", "null")
-      case Some(d) =>
+      case Some(list) => list.foreach { d =>
         b.add("DNS_LOCAL.TXT_DMARC.record", d.record)
         Seq("v" -> d.v, "p" -> d.p, "sp" -> d.sp, "adkim" -> d.adkim,
           "aspf" -> d.aspf, "pct" -> d.pct, "fo" -> d.fo, "ri" -> d.ri,
@@ -171,7 +172,9 @@ object SpanCodec {
           case _ => ()
         }
         d.error.foreach(e => b.add("DNS_LOCAL.TXT_DMARC.error", e))
+      }
     }
+    records(b, "DNS_LOCAL.TXT_openid", dl.TXT_openid)
     records(b, "DNS_LOCAL.DS", dl.DS)
     records(b, "DNS_LOCAL.DNSKEY", dl.DNSKEY)
     b.scalar("DNS_LOCAL.DNSSEC.valid", dl.DNSSEC.valid)
@@ -182,13 +185,12 @@ object SpanCodec {
       case None => b.add("DNS_AUTH", "null")
       case Some(list) => list.foreach { na =>
         b.add("DNS_AUTH.ns", na.ns)
-        def nsips(k: String, xs: Seq[NsIp]): Unit = xs.foreach { ni =>
-          b.add(s"DNS_AUTH.$k.ip", ni.ip)
-          geo(b, s"DNS_AUTH.$k", ni.geoip)
-          chaos(b, s"DNS_AUTH.$k.hostnamebind", ni.hostnamebind)
-          chaos(b, s"DNS_AUTH.$k.versionbind", ni.versionbind)
-          chaos(b, s"DNS_AUTH.$k.authorsbind", ni.authorsbind)
-        }
+        def nsips(k: String, xs: Option[Seq[NsIp]]): Unit =
+          xs.foreach(_.foreach { ni =>
+            b.add(s"DNS_AUTH.$k.ip", ni.ip)
+            geo(b, s"DNS_AUTH.$k", ni.geoip)
+            ni.chaos.foreach(ce => chaos(b, s"DNS_AUTH.$k.${ce.key}", ce.txt))
+          })
         nsips("ipv4", na.ipv4); nsips("ipv6", na.ipv6)
       }
     }
@@ -199,14 +201,14 @@ object SpanCodec {
         mh.tlsa.toSeq.sortBy(_._1).foreach { case (port, recs) =>
           tlsa(b, s"MAIL.TLSA.$port", recs)
         }
-        mh.banners.foreach { ib =>
+        mh.banners.foreach(_.foreach { ib =>
           b.add("MAIL.banners.ip", ib.ip)
           ib.banners.toSeq.sortBy(_._1).foreach { case (port, ban) =>
             ban.banner.foreach(x => b.add(s"MAIL.banners.$port.banner", x))
             ban.error.foreach(x => b.add(s"MAIL.banners.$port.error", x))
           }
           geo(b, "MAIL.banners", ib.geoip)
-        }
+        })
       }
     }
     val w = r.WEB
@@ -219,6 +221,19 @@ object SpanCodec {
     webResults(b, "WEB.WEB6_80_www", w.WEB6_80_www)
     webResults(b, "WEB.WEB6_443_www", w.WEB6_443_www)
     b.add("HSTS", r.HSTS.toString)
+    // WEB_paths after HSTS (crawl.py:158-163 adds it to results last)
+    r.WEB_paths.foreach(_.foreach { pw =>
+      val p = s"WEB_paths.${pw.path}"
+      webResults(b, s"$p.WEB4_80", pw.web.WEB4_80)
+      webResults(b, s"$p.WEB4_443", pw.web.WEB4_443)
+      webResults(b, s"$p.WEB6_80", pw.web.WEB6_80)
+      webResults(b, s"$p.WEB6_443", pw.web.WEB6_443)
+      webResults(b, s"$p.WEB4_80_www", pw.web.WEB4_80_www)
+      webResults(b, s"$p.WEB4_443_www", pw.web.WEB4_443_www)
+      webResults(b, s"$p.WEB6_80_www", pw.web.WEB6_80_www)
+      webResults(b, s"$p.WEB6_443_www", pw.web.WEB6_443_www)
+    })
+    r.worker_hostname.foreach(h => b.add("worker_hostname", h))
     Doc(r.domain, b.buf.toSeq)
   }
 }

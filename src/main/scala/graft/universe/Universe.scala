@@ -152,6 +152,24 @@ class Universe(val seed: Long) extends Serializable {
   }
 
   def txtFor(domain: String): Seq[String] = {
+    // subdomain-scoped TXT namespaces the reference queries explicitly
+    // (crawl.py:56-57): _dmarc.<domain> and _openid.<domain> answer their
+    // own record sets, never the apex TXT salad
+    if (domain.startsWith("_dmarc.")) {
+      val base = domain.stripPrefix("_dmarc.")
+      val x = h("dmarcx", base)
+      // occasional junk record alongside DMARC to exercise the reference's
+      // per-record parse-error entries (dns_utils.py:152-155)
+      return dmarcFor(base).toSeq ++
+        (if (pct(x) < 6) Seq(s"verify=${java.lang.Long.toHexString(mix64(x))}") else Seq.empty)
+    }
+    if (domain.startsWith("_openid.")) {
+      val base = domain.stripPrefix("_openid.")
+      val x = h("openid", base)
+      return if (pct(x) < 12) Seq(s"https://id.$base/xrds") else Seq.empty
+    }
+    if (domain == "nic.cz") // golden: the real zone carries an SPF TXT
+      return Seq("v=spf1 ip4:217.31.205.50/32 ip6:2001:1488:0:3::2/128 -all")
     val x = h("txt", domain)
     val base = scala.collection.mutable.ArrayBuffer[String]()
     if (pct(x) < 60)
@@ -159,6 +177,9 @@ class Universe(val seed: Long) extends Serializable {
         .replace("ip4=", "ip4:")
     if (pct(x >>> 8) < 25) base += s"google-site-verification=${java.lang.Long.toHexString(mix64(x))}"
     if (pct(x >>> 16) < 15) base += s"MS=ms${Math.floorMod(x, 100000L)}"
+    // a second spf record on a few domains: parse_spf returns one parse
+    // PER matching record (dns_utils.py:166-183) — exercise the list shape
+    if (pct(x >>> 24) < 4) base += "v=spf1 include:backup.example.cz -all"
     base.toSeq
   }
 
@@ -222,6 +243,16 @@ class Universe(val seed: Long) extends Serializable {
 
   // ------------------------------------------------------ CHAOS TXT
 
+  private val fortunes = Array(
+    "He who hesitates is lost.",
+    "A journey of a thousand miles begins with a single step.",
+    "Fortune favors the bold.",
+    "Measure twice, cut once.")
+
+  /** CHAOS TXT per (ip, record): any record name the config lists
+    * (reference `auth_chaos_txt`, `config.yml:12-14` — incl. `fortune`,
+    * `dns_utils.py:218-232` just queries whatever name it's given).
+    */
   def chaosTxt(ip: String, qname: String): ChaosTxt = {
     val x = h("chaos", ip, qname)
     if (pct(x) < 25) ChaosTxt(None, Some("refused"))
@@ -229,9 +260,25 @@ class Universe(val seed: Long) extends Serializable {
       case "version.bind" => ChaosTxt(Some(Seq(s"9.${Math.floorMod(x, 19L)}.${Math.floorMod(x >>> 8, 12L)}")), None)
       case "hostname.bind" => ChaosTxt(Some(Seq(s"node${Math.floorMod(x, 40L)}.anycast.example")), None)
       case "authors.bind" => ChaosTxt(Some(Seq("The BIND Authors")), None)
+      case "fortune" => ChaosTxt(Some(Seq(fortunes(Math.floorMod(x >>> 16, fortunes.length.toLong).toInt))), None)
       case _ => ChaosTxt(None, Some("timeout"))
     }
   }
+
+  // ------------------------------------------ source-address probe (S8)
+
+  /** Connectivity check / source-address discovery (reference
+    * `ip_utils.py:44-75`: a UDP connect to `connectivity_check_ips` and
+    * `getsockname`). None target = family disabled (config `null`);
+    * target "unreachable" simulates a worker without that family —
+    * the v4/v6 plan branches then stay null end-to-end.
+    */
+  def sourceAddress(fam: Int, target: Option[String]): Option[String] =
+    target.flatMap { t =>
+      if (t.isEmpty || t == "unreachable") None
+      else if (fam == 4) Some(mkIp4(h("src4", t)))
+      else Some(mkIp6(h("src6", t)))
+    }
 
   // ------------------------------------------------------------- web
 
@@ -331,6 +378,42 @@ class Universe(val seed: Long) extends Serializable {
       fingerprint_pubkey = digestPair("spki"),
       algorithm = "sha256",
       alt_names = Seq(cn, s"www.$cn").distinct)
+  }
+
+  /** Issuing-CA certificate for a leaf (deterministic per issuer CN) —
+    * the extra chain element `save_cert_chain` exposes
+    * (`web_utils.py:274-279`: full `peer_cert_chain` vs leaf-only).
+    */
+  def caCertFor(issuerCn: String, issuerOrg: String): Certificate = {
+    val x = h("cacert", issuerCn)
+    val notBefore = java.time.LocalDate.of(2020, 9, 4)
+    val serial = f"${mix64(x) & Long.MaxValue}%016x"
+    def digestPair(tag: String): CertFingerprint = {
+      val payload = s"$tag:ca:$issuerCn:$serial".getBytes("UTF-8")
+      CertFingerprint(Universe.hex(Universe.sha256(payload)),
+        Universe.hex(Universe.sha512(payload)))
+    }
+    Certificate(
+      not_before = notBefore.toString + " 00:00:00",
+      not_after = notBefore.plusDays(1825L).toString + " 00:00:00",
+      expired = false,
+      expired_for = None,
+      validity_period = 1825,
+      subject = Map("commonName" -> issuerCn, "organizationName" -> issuerOrg),
+      issuer = Map("commonName" -> s"$issuerCn Root", "organizationName" -> issuerOrg),
+      version = 3,
+      serial = serial,
+      fingerprint_cert = digestPair("cert"),
+      fingerprint_pubkey = digestPair("spki"),
+      algorithm = "sha256",
+      alt_names = Seq.empty)
+  }
+
+  /** Full served chain for a host: leaf + issuing CA. */
+  def certChainFor(host: String): Seq[Certificate] = {
+    val leaf = certFor(host)
+    Seq(leaf, caCertFor(leaf.issuer("commonName"),
+      leaf.issuer.getOrElse("organizationName", "Example Trust")))
   }
 
   /** Config-driven additional RR types (U1 registry backend): raw record

@@ -123,7 +123,10 @@ class ProbesSpec extends AnyFunSuite {
       .find(x => u.tlsaFor(s"_443._tcp.$x").isEmpty).get
     val dl = p.getDnsLocal(d)
     assert(dl.WEB_TLSA.isEmpty) // None, never Some(Seq())
-    dl.TXT_SPF.foreach(s => assert(s.pass.forall(_.nonEmpty)))
+    dl.TXT_SPF.foreach { parses =>
+      assert(parses.nonEmpty) // Some(Seq()) never emitted
+      parses.foreach(s => assert(s.pass.forall(_.nonEmpty)))
+    }
   }
 
   test("probe determinism: same domain, same result, any call order") {
@@ -172,15 +175,24 @@ class ProbesSpec extends AnyFunSuite {
     assert(Parsers.detectEncoding(Some("text/html; charset=utf-8"), "x") == "utf-8")
     assert(Parsers.detectEncoding(Some("text/html"), "plain ascii") == "ascii")
     assert(Parsers.detectEncoding(None, "háčky") == "windows-1250")
-    // web steps carry the parsed headers end-to-end
+    // web steps carry the parsed headers end-to-end; detected_encoding
+    // exists only under save_content (web_utils.py:283-320)
+    val pc = new Probes(u, CrawlConfig(saveContent = true))
     val results = (0 to 800).flatMap { i =>
       val d = s"d$i.cz"
-      u.aFor(d).headOption.map(ip => p.fetchWeb(d, ip, 443))
+      u.aFor(d).headOption.map(ip => pc.fetchWeb(d, ip, 443))
     }
     val steps = results.flatMap(_.steps.get)
     assert(steps.exists(_.cookies.exists(_.nonEmpty)))
     assert(steps.exists(_.alt_svc.isDefined))
     assert(steps.exists(_.detected_encoding.contains("utf-8")))
+    // save_content off → no content/encoding keys anywhere
+    val noSave = (0 to 200).flatMap { i =>
+      val d = s"d$i.cz"
+      u.aFor(d).headOption.map(ip => p.fetchWeb(d, ip, 443))
+    }.flatMap(_.steps.get)
+    assert(noSave.forall(s => s.content.isEmpty && s.detected_encoding.isEmpty
+      && s.content_is_binary.isEmpty))
     assert(steps.filter(_.status.contains(200))
       .filter(s => s.url.startsWith("https")).forall(_.cert.isDefined))
   }
@@ -190,9 +202,13 @@ class ProbesSpec extends AnyFunSuite {
     val d = (0 to 2000).map(i => s"d$i.cz").find(x => u.aFor(x).nonEmpty).get
     val dl = p2.getDnsLocal(d)
     val wp = p2.getWebPaths(d, dl).get
-    assert(wp.keySet == Set("/robots.txt", "/.well-known/security.txt"))
-    assert(wp("/robots.txt").nonEmpty)
-    assert(wp("/robots.txt").head.steps.get.head.url.endsWith("/robots.txt"))
+    // full get_web_status per path, in configured order (crawl.py:158-163)
+    assert(wp.map(_.path) == Seq("/robots.txt", "/.well-known/security.txt"))
+    val robots = wp.find(_.path == "/robots.txt").get.web
+    assert(robots.WEB4_443.nonEmpty)
+    assert(robots.WEB4_443.get.head.steps.get.head.url.endsWith("/robots.txt"))
+    // the per-path probe carries ALL gated combos, not just apex-v4-443
+    assert(robots.WEB4_80.nonEmpty)
     // default config: no paths → None (null, not empty map)
     assert(p.getWebPaths(d, dl).isEmpty)
   }
