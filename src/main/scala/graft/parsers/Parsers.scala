@@ -166,22 +166,52 @@ object Parsers {
     Some(Cookie(name, value, domain, path, secure, httponly, expires, nonstd.toMap))
   }
 
-  /** Encoding detection (reference `web_utils.py:130-152`): charset= from
-    * content-type wins; else pure-ASCII text is "ascii"; else the
-    * reference's deterministic fallback chain starts at windows-1250.
-    * (The reference uses ICU detection; synthetic mode has no non-ASCII
-    * corpora, so the chain head stands in deterministically.)
-    */
-  def detectEncoding(contentType: Option[String], content: String): String = {
-    val fromHeader = contentType.flatMap { ct =>
+  private def charsetFromContentType(contentType: Option[String]): Option[String] =
+    contentType.flatMap { ct =>
       val i = ct.toLowerCase.indexOf("charset=")
       if (i < 0) None
       else Some(ct.substring(i + 8).split(";")(0).trim.toLowerCase)
     }
-    fromHeader.getOrElse {
-      if (content.forall(_ < 128)) "ascii" else "windows-1250"
+
+  private def tryDecode(data: Array[Byte], cs: String): Option[String] =
+    try {
+      val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(data)).toString)
+    } catch { case _: Exception => None }
+
+  /** Encoding auto-detection with the reference's exact fallback structure
+    * (`web_utils.py:130-152`): detector guess first; on decode failure the
+    * content-type charset is tried once, then the fallback chain
+    * iso-8859-2 → windows-1252 (the reference's first non-forced fallback
+    * is `fallback_encodings[1]`, skipping windows-1250 unless the header
+    * names it), then (None, None). The ICU detector is replaced by a
+    * deterministic stand-in: pure-ASCII → "ascii", else "utf-8" (= the
+    * reference's own no-ICU AttributeError branch, `web_utils.py:135-137`).
+    * Returns (decoded content, encoding).
+    */
+  def autodetectEncoding(data: Array[Byte], contentType: Option[String])
+      : (Option[String], Option[String]) = {
+    val detected = if (data.forall(_ >= 0)) "ascii" else "utf-8"
+    tryDecode(data, detected) match {
+      case Some(s) => (Some(s), Some(detected))
+      case None =>
+        val chain = charsetFromContentType(contentType).toSeq ++
+          Seq("iso-8859-2", "windows-1252")
+        chain.iterator
+          .map(cs => (tryDecode(data, cs), cs))
+          .collectFirst { case (Some(s), cs) => (Option(s), Option(cs.toLowerCase)) }
+          .getOrElse((None, None))
     }
   }
+
+  /** String-input convenience used by the synthetic probe path (bodies are
+    * already-decoded synthetic strings; bytes are their UTF-8 form).
+    */
+  def detectEncoding(contentType: Option[String], content: String): String =
+    autodetectEncoding(content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      contentType)._2.getOrElse("utf-8")
 
   /** Leading digits of content-length → long (reference `web_utils.py:89-97`). */
   def parseContentLength(raw: String): Option[Long] =

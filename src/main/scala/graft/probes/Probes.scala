@@ -216,10 +216,12 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
     // on 443 (the reference's requests session does the same), so later
     // hops' TLS metadata matches the transport actually used
     var curPort = port
-    // one handshake per connection: cert computed once, reused per step
-    lazy val hostCert = certOf(host)
+    // cross-host redirects follow Location to OTHER hosts
+    // (web_utils.py:202-223: the session just GETs the joined URL) — the
+    // current host drives the fetch, its TLS handshake, and its cert
+    var curHost = host
     while (!done && hop <= cfg.maxRedirects) {
-      val (status, loc, headers, body, isBin) = u.webStep(host, ip, curPort, hop, path)
+      val (status, loc, headers, body, isBin) = u.webStep(curHost, ip, curPort, hop, path)
       if (status == 0) {
         steps :+= WebStep(url, None, None, Map.empty, None, None, None, None,
           Some(ip), None, None, None, None, None, None, Some("timeout"))
@@ -228,7 +230,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
         val isRedirect = loc.isDefined && status >= 300 && status < 400
         val https = url.startsWith("https")
         val (tlsV, tlsC) = if (https) {
-          val t = u.tlsInfo(host, ip); (Some(t._1), Some(t._2))
+          val t = u.tlsInfo(curHost, ip); (Some(t._1), Some(t._2))
         } else (None, None)
         // content block (reference web_utils.py:283-320): everything only
         // under save_content; binary → base64 data-uri when save_binary
@@ -263,7 +265,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
             .map(raw => Parsers.parseSetCookie(raw).toSeq).filter(_.nonEmpty),
           content_length = headers.get("content-length").flatMap(Parsers.parseContentLength),
           ip = Some(ip), tls_version = tlsV, tls_cipher = tlsC,
-          cert = if (https) hostCert else None,
+          cert = if (https) certOf(curHost) else None,
           content = content,
           content_is_binary = isBinFlag,
           detected_encoding = detEnc,
@@ -276,6 +278,9 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
           val schemeEnd = url.indexOf("//") + 2
           val slash = url.indexOf('/', schemeEnd)
           path = if (slash < 0) "/" else url.substring(slash)
+          val hostPort = if (slash < 0) url.substring(schemeEnd)
+                         else url.substring(schemeEnd, slash)
+          curHost = hostPort.split(":")(0) // cross-host follow
           curPort = if (url.startsWith("https://")) 443 else 80
           hop += 1
         } else done = true

@@ -302,6 +302,11 @@ class Universe(val seed: Long) extends Serializable {
     if (hop < redirChainLen && port == 80)
       (301, Some(s"https://$host$path"),
         Map("server" -> srv(x), "location" -> s"https://$host$path"), None, false)
+    else if (hop < redirChainLen && pct(x >>> 56) < 10 && !host.startsWith("alt-"))
+      // cross-host redirect (reference follows Location to other hosts,
+      // web_utils.py:202-223): the alt host serves its own chain and cert
+      (302, Some(s"https://alt-$host$path"),
+        Map("server" -> srv(x), "location" -> s"https://alt-$host$path"), None, false)
     else if (hop < redirChainLen)
       (302, Some(s"https://$host/r$hop$path"),
         Map("server" -> srv(x), "location" -> s"https://$host/r$hop$path"), None, false)
@@ -323,8 +328,11 @@ class Universe(val seed: Long) extends Serializable {
           s"sid=${java.lang.Long.toHexString(mix64(x))}; Path=/; HttpOnly${if (port == 443) "; Secure" else ""}; tracker=${Math.floorMod(x, 97L)}"
       if (pct(x >>> 48) < 15)
         hdrs += "alt-svc" -> "h3=\":443\"; ma=86400, h2=\":443\""
+      // a slice of pages carries non-ASCII UTF-8 (háčky) so encoding
+      // detection exercises the utf-8 branch, not just ascii
+      val diacritics = if (pct(x >>> 56) < 20) " čeština příliš žluťoučký" else ""
       (200, None, hdrs,
-        Some(s"<html><body>page ${java.lang.Long.toHexString(x)}</body></html>"), false)
+        Some(s"<html><body>page ${java.lang.Long.toHexString(x)}$diacritics</body></html>"), false)
     }
   }
 

@@ -184,6 +184,26 @@ class ContractSpec extends AnyFunSuite {
     assert(pw.processDomain("d1.cz", "t").worker_hostname.contains("w-07"))
   }
 
+  test("cross-host redirects followed: alt host serves its own cert (web_utils.py:202-223)") {
+    val crossed = (0 to 6000).iterator.map(i => s"d$i.cz").flatMap { d =>
+      u.aFor(d).headOption.map(ip => (d, p.fetchWeb(d, ip, 443)))
+    }.find { case (_, r) =>
+      r.steps.get.exists(s => s.url.startsWith("https://alt-") && s.cert.isDefined)
+    }.get
+    val (d, r) = crossed
+    // the hop served by the alt host carries the ALT host's certificate
+    val served = r.steps.get
+      .find(s => s.url.startsWith("https://alt-") && s.cert.isDefined).get
+    assert(served.cert.get.head.subject("commonName") == s"alt-$d")
+    // and detected encodings include the non-ascii utf-8 page flavor
+    val pc = new Probes(u, CrawlConfig(saveContent = true))
+    val encs = (0 to 600).flatMap { i =>
+      val x = s"d$i.cz"
+      u.aFor(x).headOption.map(ip => pc.fetchWeb(x, ip, 443))
+    }.flatMap(_.steps.get).flatMap(_.detected_encoding).toSet
+    assert(encs.contains("ascii") && encs.contains("utf-8"))
+  }
+
   test("DNS_AUTH ipv4/ipv6 keys omitted when empty (crawl.py:100-104)") {
     val noV6ns = (0 to 6000).map(i => s"d$i.cz").find { d =>
       val ns = u.nsFor(d)

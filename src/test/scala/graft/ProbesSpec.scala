@@ -172,9 +172,18 @@ class ProbesSpec extends AnyFunSuite {
   test("alt-svc parses to protocol map; encoding detection (web_utils.py:67-72,130-152)") {
     assert(Parsers.parseAltSvc("h3=\":443\"; ma=86400, h2=\":443\"") ==
       Map("h3" -> ":443", "h2" -> ":443"))
-    assert(Parsers.detectEncoding(Some("text/html; charset=utf-8"), "x") == "utf-8")
+    // detector guess wins on success; charset header only consulted on
+    // decode FAILURE (autodetect_encoding, web_utils.py:130-152)
+    assert(Parsers.detectEncoding(Some("text/html; charset=utf-8"), "x") == "ascii")
     assert(Parsers.detectEncoding(Some("text/html"), "plain ascii") == "ascii")
-    assert(Parsers.detectEncoding(None, "háčky") == "windows-1250")
+    assert(Parsers.detectEncoding(None, "háčky") == "utf-8")
+    // fallback chain on undecodable bytes: header charset → iso-8859-2
+    val bad = Array[Byte](0x68, 0xE8.toByte, 0x20, 0x68) // invalid UTF-8
+    assert(Parsers.autodetectEncoding(bad, None)._2.contains("iso-8859-2"))
+    assert(Parsers.autodetectEncoding(bad,
+      Some("text/html; charset=windows-1250"))._2.contains("windows-1250"))
+    val (decoded, enc) = Parsers.autodetectEncoding(bad, None)
+    assert(decoded.exists(_.length == 4) && enc.contains("iso-8859-2"))
     // web steps carry the parsed headers end-to-end; detected_encoding
     // exists only under save_content (web_utils.py:283-320)
     val pc = new Probes(u, CrawlConfig(saveContent = true))
