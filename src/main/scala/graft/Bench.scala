@@ -52,7 +52,9 @@ object Bench {
       // warm: plan + scan caches don't dominate the signal
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // queries that cache internal stages pay here
+      name -> dt
     }
 
     val nCrawl = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "4000").toInt

@@ -498,30 +498,34 @@ object SparkEntry {
     },
 
     "q17_minhash_bands" -> {
+      val minCols = (0 until 8).map { i =>
+        val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
+        s"min(substring($h, $off, 8)) AS c$i"
+      }.mkString(", ")
       val bands = (0 until 4).map { b =>
-        s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
-            md5(list_min(list_transform(shl, s -> md5('b${b}r0' || s)))
-             || list_min(list_transform(shl, s -> md5('b${b}r1' || s)))) AS bucket
-            FROM sh"""
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM mins"
       }.mkString("\nUNION ALL\n")
       s"""WITH toks AS (
             SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
             FROM documents),
           sh AS (
-            SELECT doc_id, list_transform(range(len(tk) - 2),
-              i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
-            FROM toks WHERE len(tk) >= 3)
+            SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+              i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+            FROM toks WHERE len(tk) >= 3),
+          hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+          mins AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id)
           $bands"""
     },
 
     "q19_ngram_jaccard" -> {
-      // candidate pairs replicate the q17 MinHash band buckets (same salted
-      // md5 family), then the exact Jaccard verify runs on candidates only
+      // candidate pairs replicate the q17 MinHash band buckets (same
+      // md5-chunk family), then the exact Jaccard verify runs on candidates
+      val minCols = (0 until 8).map { i =>
+        val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
+        s"min(substring($h, $off, 8)) AS c$i"
+      }.mkString(", ")
       val bandSelects = (0 until 4).map { b =>
-        s"""SELECT doc_id, $b AS band,
-            md5(list_min(list_transform(shl, s -> md5('b${b}r0' || s)))
-             || list_min(list_transform(shl, s -> md5('b${b}r1' || s)))) AS bucket
-            FROM sh"""
+        s"SELECT doc_id, $b AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM mins"
       }.mkString("\nUNION ALL\n")
       s"""WITH toks AS (
            SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
@@ -530,6 +534,9 @@ object SparkEntry {
            SELECT doc_id, list_transform(range(len(tk) - 2),
              i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
            FROM toks WHERE len(tk) >= 3),
+         shx AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+         hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM shx),
+         mins AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
          bands AS (
            $bandSelects),
          cand AS (

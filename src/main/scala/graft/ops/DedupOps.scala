@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Input-split guard for compute-bound stages: a corpus-scale scan
+    * arrives in thousands of splits, but a small test/bench input is one
+    * parquet row group = ONE partition, serializing the whole tokenize/
+    * hash pipeline onto a single core. When (and only when) the scan has
+    * fewer partitions than cores, spread it; at scale this is a no-op, so
+    * no shuffle is added to the real path.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact duplicate groups keyed by normalized-text md5. Returns one row
     * per distinct content hash with the kept (minimum) id and the group
     * size — the classic map-side-combinable shape.
@@ -33,27 +45,45 @@ object DedupOps {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash band buckets: `bands` bands of `rowsPerBand`
-    * salted-md5 minima each, band bucket = md5 of the concatenated minima.
-    * Candidate near-dups collide on (band, bucket) — a short-key shuffle.
+  /** Per-document MinHash band buckets. Hash family: TWO md5s per shingle
+    * (`md5(s)`, `md5('~'||s)`) sliced into eight independent 32-bit (8-hex)
+    * chunk components — 4× less hashing than one salted md5 per component,
+    * with chunk width high enough that min-value ties stay negligible
+    * (16-bit chunks measurably inflate unrelated-pair collisions). Minima
+    * aggregate in a hash agg (map-side combine: 8 short strings per doc
+    * leave the mapper); band b's bucket is the concat of its
+    * `rowsPerBand` minima. Candidate near-dups collide on (band, bucket) —
+    * a short-key shuffle. `bands × rowsPerBand ≤ 8` with this family.
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleK)
-    val withSig = docs.select(col(idCol), sh.as("sh")).where(size(col("sh")) > 0)
+    require(bands * rowsPerBand <= 8, "chunk family provides 8 components")
+    val sh = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), shingleK)).as("s"))
+      .select(col(idCol), md5(col("s").cast("binary")).as("h1"),
+        md5(concat(lit("~"), col("s")).cast("binary")).as("h2"))
+    def chunk(i: Int) =
+      if (i < 4) substring(col("h1"), 1 + 8 * i, 8)
+      else substring(col("h2"), 1 + 8 * (i - 4), 8)
+    val minCols = (0 until bands * rowsPerBand).map(i => min(chunk(i)).as(s"c$i"))
+    val mins = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
-      val comps = (0 until rowsPerBand).map(r =>
-        TextOps.minhashComponent(col("sh"), s"b${b}r$r"))
-      struct(lit(b).as("band"), md5(concat(comps: _*).cast("binary")).as("bucket"))
+      val bucket = concat((0 until rowsPerBand).map(r =>
+        col(s"c${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    withSig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    mins.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). */
+  /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). The
+    * band table is cached — it feeds both sides of the bucket self-join,
+    * and recomputing it would double the corpus tokenize+hash scans (at
+    * corpus scale you materialize signatures once; same trade here).
+    */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val bb = minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    val bb = minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand).cache()
     val a = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -70,13 +100,24 @@ object DedupOps {
     */
   def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, minShared: Int = 1): DataFrame = {
-    val ex = docs
-      .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), shingleK)).as("sh"))
-      .distinct()
+    val pairsC = pairs.select("id_a", "id_b").cache()
+    val ids = pairsC.select(col("id_a").as("id"))
+      .union(pairsC.select(col("id_b").as("id"))).distinct()
+    // per-doc dedup happens INSIDE the row (array_distinct — no corpus-wide
+    // distinct shuffle), and only candidate docs' shingles ever materialize:
+    // the candidate-id set is broadcast (ids are a tiny fraction of the
+    // corpus — longs, not text) and the non-candidate rows are dropped
+    // BEFORE any shingle string is built
+    val ex = spread(docs
+      .select(col(idCol).as("id"), col(textCol).as("_jt"))
+      .join(broadcast(ids), "id"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("_jt"), shingleK))).as("sh"))
+      .cache() // feeds sizes + both pair-expansion joins (3 consumers)
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val exA = ex.select(col("id").as("id_a"), col("sh"))
     val exB = ex.select(col("id").as("id_b"), col("sh"))
-    val inter = pairs.select("id_a", "id_b")
+    val inter = pairsC
       .join(exA, "id_a")
       .join(exB, Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
@@ -124,8 +165,8 @@ object DedupOps {
     * near-dup against).
     */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+    val tok = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("t"))
       .select(col(idCol), TextOps.tokenHashHex(col("t")).as("hx"))
     val voteCols = (0 until 64).map(j =>
       sum(TextOps.hexBit(col("hx"), j) * 2 - 1).as(s"v$j"))

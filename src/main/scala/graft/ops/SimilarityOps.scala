@@ -83,7 +83,11 @@ object SimilarityOps {
     val spark = df.sparkSession
     import spark.implicits._
     val pl = planes(dims, bits, tables)
-    df.select(col(idCol).cast("long"), col(vecCol))
+    // input-split guard (see DedupOps.spread): the projection loop is
+    // compute-bound; a one-row-group test input must not serialize it
+    val want = spark.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    src.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, vec) =>

@@ -86,17 +86,22 @@ object TextOps {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 
-  /** One MinHash component: min over shingles of md5(salt || shingle).
-    * Using salted md5 as the hash family keeps the signature reproducible
-    * in any engine (the DuckDB oracle computes the identical min).
+  /** One MinHash chunk component (the family [[graft.ops.DedupOps
+    * .minhashBands]] aggregates): component `i` of 8 is an 8-hex slice of
+    * `md5(shingle)` (i < 4) or `md5('~'||shingle)` (i ≥ 4) — two md5s per
+    * shingle for eight 32-bit components, reproducible in any engine.
     */
-  def minhashComponent(shinglesCol: Column, salt: String): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(salt), s).cast("binary"))))
+  def minhashChunk(shingle: Column, i: Int): Column = {
+    require(i >= 0 && i < 8, "chunk family provides 8 components")
+    if (i < 4) substring(md5(shingle.cast("binary")), 1 + 8 * i, 8)
+    else substring(md5(concat(lit("~"), shingle).cast("binary")), 1 + 8 * (i - 4), 8)
+  }
 
-  /** Full MinHash signature as a struct of `n` salted-md5 minima. */
+  /** Full MinHash signature as a struct of `n ≤ 8` chunk minima. */
   def minhashSignature(text: Column, shingleK: Int, n: Int): Column = {
     val sh = shingles(text, shingleK)
-    struct((0 until n).map(i => minhashComponent(sh, s"s$i").as(s"mh$i")): _*)
+    struct((0 until n).map(i =>
+      array_min(transform(sh, s => minhashChunk(s, i))).as(s"mh$i")): _*)
   }
 
   // ----------------------------------------------------------- simhash
