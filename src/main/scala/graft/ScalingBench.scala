@@ -12,7 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def runAt(cores: Int, nDomains: Int): (Double, Long) = {
+  case class Leg(wallSec: Double, crawled: Long, gcSec: Double, taskCoreSec: Double)
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def runAt(cores: Int, nDomains: Int): Leg = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -22,13 +30,21 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // full-size warm-up: the probe path needs ~10^5 invocations before C2
-    // fully compiles it, so a small warmup leaves the first measured run
-    // part-interpreted. Measure the steady-state (second) run.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskMs.addAndGet(te.taskInfo.duration)
+    })
+    // full-size warm-up: the probe path needs ~10^6 invocations before C2
+    // fully compiles it (measured: core-seconds drop 2.4× between the first
+    // and second full-scale run). Measure the steady-state (second) run.
     Bench.crawlBench(spark, nDomains)
-    val r = Bench.crawlBench(spark, nDomains)
+    taskMs.set(0L)
+    val gc0 = gcMillis
+    val (dt, n) = Bench.crawlBench(spark, nDomains)
+    val leg = Leg(dt, n, (gcMillis - gc0) / 1e3, taskMs.get() / 1e3)
     spark.stop()
-    r
+    leg
   }
 
   /** args: [N] [domains] [mode]; mode `both` (default) runs N then 4N in
@@ -40,26 +56,29 @@ object ScalingBench {
     val domains = args.lift(1).map(_.toInt).getOrElse(2000000)
     val mode = args.lift(2).getOrElse("both")
     if (mode == "single") {
-      val (t, c) = runAt(n, domains)
-      println(f"""{"metric":"throughput","cores":$n,"domains_per_sec":${c / t}%.1f,"domains":$domains,"sec":$t%.2f}""")
+      val l = runAt(n, domains)
+      println(f"""{"metric":"throughput","cores":$n,"domains_per_sec":${l.crawled / l.wallSec}%.1f,"domains":$domains,"sec":${l.wallSec}%.2f,"gc_sec":${l.gcSec}%.2f,"task_core_sec":${l.taskCoreSec}%.1f}""")
     } else {
       // interleaved repeats, min per config: single-box timings are noisy
       // (CPU steal, turbo, GC phase); min is the least-biased estimate of
       // the jobs' intrinsic cost at each parallelism
       val reps = 2
-      var bestN, best4N = Double.MaxValue
-      var cN, c4N = 0L
+      var bestN: Leg = null
+      var best4N: Leg = null
       (1 to reps).foreach { _ =>
-        val (tn, cn) = runAt(n, domains)
-        if (tn < bestN) { bestN = tn; cN = cn }
-        val (t4, c4) = runAt(4 * n, domains)
-        if (t4 < best4N) { best4N = t4; c4N = c4 }
+        val ln = runAt(n, domains)
+        if (bestN == null || ln.wallSec < bestN.wallSec) bestN = ln
+        val l4 = runAt(4 * n, domains)
+        if (best4N == null || l4.wallSec < best4N.wallSec) best4N = l4
       }
-      val thrN = cN / bestN
-      val thr4N = c4N / best4N
+      val thrN = bestN.crawled / bestN.wallSec
+      val thr4N = best4N.crawled / best4N.wallSec
       val eff = (thr4N / thrN) / 4.0
+      // core-seconds inflation: how much more total CPU the same job takes
+      // at 4N threads (memory-bandwidth / GC pressure); 1.0 = perfect
+      val inflation = best4N.taskCoreSec / bestN.taskCoreSec
       println(
-        f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"4n_cores":${4 * n},"throughput_4n":$thr4N%.1f,"domains":$domains,"sec_n":$bestN%.2f,"sec_4n":$best4N%.2f,"reps":$reps}""")
+        f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_cores":$n,"throughput_n":$thrN%.1f,"4n_cores":${4 * n},"throughput_4n":$thr4N%.1f,"domains":$domains,"sec_n":${bestN.wallSec}%.2f,"sec_4n":${best4N.wallSec}%.2f,"core_sec_n":${bestN.taskCoreSec}%.1f,"core_sec_4n":${best4N.taskCoreSec}%.1f,"core_sec_inflation":$inflation%.3f,"gc_sec_n":${bestN.gcSec}%.2f,"gc_sec_4n":${best4N.gcSec}%.2f,"reps":$reps}""")
     }
   }
 }

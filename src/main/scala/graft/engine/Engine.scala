@@ -453,8 +453,11 @@ class Engine(
           .withColumn("pop_rank",
             element_at(typedlit(bOffsets), col("nsBucket")) + row_number().over(rank))
           .select(col("canonical").as("o_domain"), col("pop_rank"))
+        // broadcast the rank side: it is bounded by Σ budgets per round
+        // (tiny), while the nested result rows are heavy — a shuffle join
+        // would move the whole result payload just to attach a long
         val rows = results.toDF().withColumnRenamed("domain", "r_domain")
-          .join(popOrder, col("r_domain") === col("o_domain"))
+          .join(broadcast(popOrder), col("r_domain") === col("o_domain"))
           .select(col("r_domain"), col("pop_rank"), struct(col("r_domain").as("domain"),
             col("timestamp"), col("DNS_LOCAL"), col("DNS_AUTH"), col("MAIL"),
             col("WEB"), col("WEB_paths"), col("HSTS"), col("worker_hostname")).as("result"))

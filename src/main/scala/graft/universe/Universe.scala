@@ -55,10 +55,27 @@ object Universe {
 
 class Universe(val seed: Long) extends Serializable {
 
-  private def h(parts: String*): Long =
-    parts.foldLeft(seed)((acc, p) => mix64(acc ^ graft.ops.TextOps.hashToken(p)))
+  // Fixed-arity mix chains (identical values to the old varargs foldLeft,
+  // without the per-call Seq + closure allocation — these run millions of
+  // times per second inside the probe stage, where allocation rate is the
+  // multi-core scaling ceiling).
+  private def tok(p: String): Long = graft.ops.TextOps.hashToken(p)
+  private def h(a: String): Long = mix64(seed ^ tok(a))
+  private def h(a: String, b: String): Long = mix64(h(a) ^ tok(b))
+  private def h(a: String, b: String, c: String): Long = mix64(h(a, b) ^ tok(c))
+  private def h(a: String, b: String, c: String, d: String): Long =
+    mix64(h(a, b, c) ^ tok(d))
+  private def h(a: String, b: String, c: String, d: String, e: String): Long =
+    mix64(h(a, b, c, d) ^ tok(e))
+  private def h(a: String, b: String, c: String, d: String, e: String, f: String): Long =
+    mix64(h(a, b, c, d, e) ^ tok(f))
 
   private def pct(x: Long): Int = Math.floorMod(x, 100L).toInt
+
+  // interned small-int strings: ports/hops stringify on every probe call
+  private val smallIntStr: Array[String] = Array.tabulate(1024)(_.toString)
+  private def intStr(i: Int): String =
+    if (i >= 0 && i < 1024) smallIntStr(i) else i.toString
 
   // ------------------------------------------------------------- DNS
 
@@ -296,8 +313,8 @@ class Universe(val seed: Long) extends Serializable {
         Map("server" -> "nginx", "content-type" -> "text/html; charset=utf-8"),
         Some(s"<html><title>CZ.NIC</title></html>"), false)
     }
-    val x = h("web", host, ip, port.toString, hop.toString, path)
-    val redirChainLen = Math.floorMod(h("weblen", host, port.toString), 9L).toInt // up to 8 > max_redirects 6
+    val x = h("web", host, ip, intStr(port), intStr(hop), path)
+    val redirChainLen = Math.floorMod(h("weblen", host, intStr(port)), 9L).toInt // up to 8 > max_redirects 6
     if (pct(x) < 8) return (0, None, Map.empty, None, false) // connection error sentinel
     if (hop < redirChainLen && port == 80)
       (301, Some(s"https://$host$path"),
@@ -440,7 +457,7 @@ class Universe(val seed: Long) extends Serializable {
   // ------------------------------------------------------------ mail
 
   def mailBanner(ip: String, port: Int): MailBanner = {
-    val x = h("banner", ip, port.toString)
+    val x = h("banner", ip, intStr(port))
     if (pct(x) < 15) MailBanner(None, Some("timeout"))
     else MailBanner(Some(s"220 smtp${Math.floorMod(x, 50L)}.example ESMTP Postfix"), None)
   }
