@@ -203,7 +203,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // Similarity — SRP-LSH bucketed ANN (approximate; rows-only by design)
+    // Similarity — SRP-LSH bucketed ANN. Approximate vs brute force, but
+    // EXACT as a function of the deterministic planes — the oracle
+    // replicates the bucketing with the same plane constants, so even the
+    // ANN path is hash-checked.
     "q21_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       SimilarityOps.lshTopK(emb, emb.where(col("vec_id") < 8),
@@ -252,7 +255,10 @@ object SparkEntry {
         .select(col("doc_id"), col("pop_seq"))
     }),
 
-    // Multimodal — binary column + partition-batched decode (stubbed codec)
+    // Multimodal — binary column + partition-batched decode. The codec is
+    // an honest STUB (no media libs in this container) but derives its fake
+    // decode from md5 of the payload, so the oracle hash-checks the whole
+    // binary-column path end-to-end.
     "q25_multimodal" -> ((s, dir) =>
       MultiModalOps.demoPipeline(s, s"$dir/documents.parquet")),
 
@@ -568,6 +574,42 @@ object SparkEntry {
            WHERE q.vec_id < 8) t
          WHERE rank <= 5""",
 
+    "q21_ann_lsh" -> {
+      // replicate srpBuckets with the SAME plane constants: per (table,
+      // bit), bit set iff the left-associated double dot product > 0 —
+      // identical FP result to the Scala loop, so buckets match exactly
+      val (dims, bits, tables) = (64, 8, 8)
+      val pl = SimilarityOps.planes(dims, bits, tables)
+      def bucketExpr(t: Int): String = (0 until bits).map { b =>
+        val dot = (0 until dims).map { d =>
+          val w = pl(t * bits + b)(d)
+          s"${if (w < 0) "-" else "+"} ${math.abs(w)} * embedding[${d + 1}]"
+        }.mkString(" ")
+        // leading "0.0" keeps the +/- chain binary and left-associated —
+        // the identical FP accumulation order to the Scala loop
+        s"(CASE WHEN (0.0 $dot) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val bucketSelects = (0 until tables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings")
+        .mkString("\nUNION ALL\n")
+      s"""WITH buckets AS (
+           $bucketSelects),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM buckets q JOIN buckets c
+             ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        cand.neighbor_id) AS rank
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.query_id
+           JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5"""
+    },
+
     "q22_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -583,6 +625,24 @@ object SparkEntry {
       """SELECT doc_id,
          row_number() OVER (ORDER BY md5(source || CAST(doc_id AS VARCHAR)), doc_id) AS pop_seq
          FROM documents""",
+
+    "q25_multimodal" -> {
+      // 3-hex-char slice of md5 → int via nibble math (no hex cast in DuckDB)
+      def chunk(pos: Int) = (0 until 3).map(i =>
+        s"(strpos('0123456789abcdef', substring(hx, ${pos + i + 1}, 1)) - 1) * ${1 << (4 * (2 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS hx
+           FROM documents)
+         SELECT doc_id, media_kind, n_bytes,
+           CAST(16 + ${chunk(0)} % 1024 AS BIGINT) AS width,
+           CAST(16 + ${chunk(3)} % 1024 AS BIGINT) AS height,
+           CAST(${chunk(6)} % 2000 - 1000 AS BIGINT) AS feat0_mill
+         FROM h"""
+    },
 
     "q28_ordered_events" ->
       """SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq_types

@@ -24,20 +24,21 @@ object MultiModalOps {
   /** STUB decoder — deterministic fake standing in for the real
     * image/audio decode (library not present in this environment).
     * Real implementation point: replace the body, keep the signature.
+    * Values derive from md5 of the payload so the DuckDB oracle can
+    * compute the identical "decode" — the stub is thus hash-verified
+    * end-to-end, not just rows-counted.
     */
   object StubCodec {
+    private val md5tl = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      // Deterministic pseudo-decode: dimensions + an 8-dim "embedding"
-      // derived purely from the payload, so tests and oracle runs are
-      // stable across executors, partitionings, and reruns.
-      var h = 0L
-      var i = 0
-      while (i < bytes.length) { h = TextOps.mix64(h ^ (bytes(i) & 0xffL)); i += 1 }
-      val w = 16 + (Math.floorMod(h, 1024L)).toInt
-      val ht = 16 + (Math.floorMod(h >>> 10, 1024L)).toInt
-      val feat = Array.tabulate(8) { d =>
-        (Math.floorMod(TextOps.mix64(h + d), 2000L) - 1000L).toFloat / 1000f
-      }
+      val md = md5tl.get(); md.reset()
+      val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+      def chunk(pos: Int): Int = Integer.parseInt(hex.substring(pos, pos + 3), 16)
+      val w = 16 + chunk(0) % 1024
+      val ht = 16 + chunk(3) % 1024
+      val feat = Array.tabulate(8)(d => (chunk(6 + d * 3) % 2000 - 1000).toFloat / 1000f)
       (w, ht, feat)
     }
   }
@@ -71,6 +72,8 @@ object MultiModalOps {
     extractFeatures(media)
       .select(col("doc_id"), col("media_kind"), col("n_bytes"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-        element_at(col("feat"), 1).cast("double").as("feat0"))
+        // integer mills: feat0 is n/1000f, float error ≪ 0.5 so the round
+        // recovers n exactly — cross-engine float-free
+        round(element_at(col("feat"), 1) * 1000).cast("long").as("feat0_mill"))
   }
 }

@@ -65,9 +65,11 @@ object SimilarityOps {
   }
 
   /** Precomputed plane matrix for (tables × bits) projections — ~tables ×
-    * bits × dims doubles, shipped once in the task closure.
+    * bits × dims doubles, shipped once in the task closure. Public so the
+    * DuckDB oracle generator can interpolate the identical constants
+    * (deterministic planes ⇒ the ANN result is an exact, checkable value).
     */
-  private def planes(dims: Int, bits: Int, tables: Int): Array[Array[Double]] =
+  def planes(dims: Int, bits: Int, tables: Int): Array[Array[Double]] =
     Array.tabulate(tables * bits) { tb =>
       val t = tb / bits; val b = tb % bits
       Array.tabulate(dims)(d => srpWeight(t, b, d))
