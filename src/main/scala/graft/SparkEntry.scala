@@ -214,6 +214,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Similarity — IVF ANN (deterministic sampled coarse quantizer; cells
+    // + probes replicated by the oracle, so this approximate path is also
+    // hash-checked)
+    "q36_ivf_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Dedup — embedding near-dup pairs above cosine threshold: EXACT via a
     // block-distributed equi-join (no BroadcastNestedLoopJoin cartesian;
     // see SimilarityOps.blockedNearDupPairs for why exact-at-threshold
@@ -328,6 +338,19 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("qty"))
+    }),
+
+    // Dedup — transitive near-dup clusters: LSH candidates → exact Jaccard
+    // verify (10·|∩| ≥ 8·|∪| ⇔ J ≥ 0.8, float-free) → connected components
+    // by distributed min-label propagation; cluster = min member id
+    "q35_dup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 4, rowsPerBand = 2)
+      val verified = DedupOps.ngramJaccardForPairs(docs, cand, "doc_id", "text",
+          shingleK = 3, minShared = 1)
+        .where(col("n_inter") * 10 >= col("n_union") * 8)
+      DedupOps.dupClusters(docs, verified, "doc_id")
     }),
 
     // Crawl engine — span-encoded results of a 200-domain synthetic crawl
@@ -564,6 +587,55 @@ object SparkEntry {
          JOIN sizes sb ON sb.id = i.id_b"""
     },
 
+    "q35_dup_clusters" -> {
+      val minCols = (0 until 8).map { i =>
+        val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
+        s"min(substring($h, $off, 8)) AS c$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM mins"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(len(tk) - 2),
+             i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
+           FROM toks WHERE len(tk) >= 3),
+         shx AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+         hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM shx),
+         mins AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
+         bands AS (
+           $bandSelects),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         d AS (SELECT DISTINCT doc_id AS id, unnest(shl) AS s FROM sh),
+         sizes AS (SELECT id, count(*) AS n_sh FROM d GROUP BY id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS n_inter
+           FROM cand c
+           JOIN d x ON x.id = c.id_a
+           JOIN d y ON y.id = c.id_b AND y.s = x.s
+           GROUP BY 1, 2),
+         e AS (
+           SELECT i.id_a, i.id_b
+           FROM inter i
+           JOIN sizes sa ON sa.id = i.id_a
+           JOIN sizes sb ON sb.id = i.id_b
+           WHERE i.n_inter * 10 >= (sa.n_sh + sb.n_sh - i.n_inter) * 8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM und) t
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         clus AS (SELECT src, min(dst) AS cluster FROM reach GROUP BY src)
+         SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+         FROM documents dd LEFT JOIN clus c ON c.src = dd.doc_id"""
+    },
+
     "q20_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -609,6 +681,39 @@ object SparkEntry {
            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
          SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5"""
     },
+
+    "q36_ivf_ann" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id AS neighbor_id, cid AS cell FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c) t
+           WHERE rn = 1),
+         qprobe AS (
+           SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c
+             WHERE e.vec_id < 8) t
+           WHERE rn <= 4),
+         cand AS (
+           SELECT q.query_id, a.neighbor_id
+           FROM qprobe q JOIN assign a ON a.cell = q.cell
+           WHERE a.neighbor_id <> q.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        cand.neighbor_id) AS rank
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.query_id
+           JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5""",
 
     "q22_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

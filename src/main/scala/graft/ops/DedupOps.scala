@@ -196,6 +196,45 @@ object DedupOps {
       .select("id_a", "id_b")
   }
 
+  /** Connected components over an undirected near-dup pair set:
+    * cluster id = min member id of the component (the canonical keep-one
+    * representative for transitive near-dup groups — A≈B, B≈C ⇒ {A,B,C}
+    * dedupe together even when A≉C directly).
+    *
+    * Distributed min-label propagation: labels live in a DataFrame, each
+    * round joins them over the (symmetrized) edge set and takes the min of
+    * self and neighbors — no driver-side graph, per-round cost is one
+    * shuffle on id. Near-dup components are tiny (bands connect most pairs
+    * directly), so rounds ≈ component diameter ≤ `maxIters`; the loop exits
+    * early on convergence (a count of changed labels — O(1) driver data).
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("lbl", col("id")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))
+      val next = labels.join(viaEdges, Seq("id"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** Keep-one policy over exact groups: retain min id per fingerprint. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextOps.normFingerprint(col(textCol)))

@@ -136,6 +136,62 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Scala-side double cosine (same accumulation order as [[cosine]]). */
+  private def vecCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot, na, nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the FAISS-style scale path:
+    * a coarse quantizer of `nlist` centroids partitions the corpus into
+    * cells (one shuffle on the short cell id), each query probes its
+    * `nprobe` nearest cells, and candidates re-rank exactly — per-query
+    * work ≈ |corpus|·nprobe/nlist instead of |corpus|.
+    *
+    * The quantizer is deterministic (the `nlist` lowest-id corpus vectors
+    * — a sampled quantizer, no Lloyd iterations whose float reductions
+    * would make centroids partitioning-dependent), so the result is an
+    * exact checkable value: the DuckDB oracle recomputes the same cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].orderBy(col(idCol).cast("long")).limit(nlist).collect()
+    val cb = spark.sparkContext.broadcast(cents)
+    // nearest cells by (cosine desc, centroid id asc) — the same
+    // tie-break the oracle's row_number ordering uses
+    def nearestCells(vec: Array[Float], n: Int): Seq[Long] =
+      cb.value.map { case (cid, cvec) => (cid, vecCosine(vec, cvec)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1).toSeq
+    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, vec) => (id, vec, nearestCells(vec, 1).head) })
+      .toDF("neighbor_id", "nvec", "cell")
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        nearestCells(vec, nprobe).map(c => (id, vec, c))
+      })
+      .toDF("query_id", "qvec", "cell")
+    val cand = assigned.join(probes, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = bucket collisions in any
     * of `tables` SRP tables; exact cosine re-rank on candidates only.
     */

@@ -87,4 +87,34 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(f.insert(42L)); assert(f.insert(42L))
     assert(f.size == 1)
   }
+
+  test("stash bucket affinity: a stashed fp does not alias the whole partition") {
+    // Overfill a tiny filter so the stash is populated, then measure the
+    // false-positive rate over fresh keys. Without bucket affinity ~128
+    // stash fps would alias ~0.2% of ALL future keys (2^-16 each); with
+    // (bucket, fp) entries the stash adds ~1/(2^16·buckets) per entry.
+    val f = CuckooFilter.create(100)
+    (0 until 500).foreach(i => f.insert(graft.ops.TextOps.mix64(i.toLong * 17 + 3)))
+    val fps = (2000000 until 2100000)
+      .count(i => f.contains(graft.ops.TextOps.mix64(i.toLong)))
+    // the table itself is tiny+saturated so table FPs dominate; the check
+    // is that the rate stays near the saturated-table expectation instead
+    // of jumping by stash_size/2^16 ≈ 0.5% (≈500+ extra hits per 100k)
+    assert(fps < 1000, s"stash aliasing suspected: $fps/100000")
+  }
+
+  test("merge does not double-count fps already present (count stays = union size)") {
+    val a = CuckooFilter.create(100)
+    val b = CuckooFilter.create(100)
+    val shared = (0 until 250).map(i => graft.ops.TextOps.mix64(i.toLong * 7))
+    val onlyB = (9000 until 9100).map(i => graft.ops.TextOps.mix64(i.toLong))
+    shared.foreach(a.insert); shared.foreach(b.insert) // b's copies include stashed ones
+    onlyB.foreach(b.insert)
+    val m = a.merge(b)
+    (shared ++ onlyB).foreach(k => assert(m.contains(k)))
+    // count can over-estimate only by genuine fp collisions, never by
+    // re-adding b's stash entries that a already holds
+    assert(m.size <= a.size + onlyB.size + 10,
+      s"merge double-count: ${m.size} vs ${a.size} + ${onlyB.size}")
+  }
 }

@@ -102,6 +102,65 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(nearD < reshuffleD, s"near=$nearD not closer than reshuffle=$reshuffleD")
   }
 
+  test("dupClusters: transitive chains cluster together under min-label propagation") {
+    import org.apache.spark.sql.functions.col
+    // planted chain: A≈B, B≈C but A and C differ by 4 edits (may miss the
+    // direct pair) — the component must still merge all three
+    val base = mkDoc(99L, words = 80)
+    val b = edit(base, 2, 991L)
+    val c = edit(b, 2, 992L)
+    val docs = Seq((1L, base), (2L, b), (3L, c), (50L, mkDoc(7L)), (51L, mkDoc(8L)))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // chain only
+    val clusters = DedupOps.dupClusters(docs, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"chain not merged: $clusters")
+    assert(clusters(50L) == 50L && clusters(51L) == 51L) // isolated stay put
+    // determinism: same output at a different partitioning
+    val again = DedupOps.dupClusters(docs.repartition(7), pairs.repartition(3), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(again == clusters)
+    // end-to-end on the planted corpus: every exact copy and near-dup
+    // lands in its base doc's cluster
+    val cand = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text")
+    val verified = DedupOps.ngramJaccardForPairs(corpus, cand, "doc_id", "text",
+      shingleK = 3, minShared = 1)
+      .where(col("n_inter") * 10 >= col("n_union") * 5)
+    val cl = DedupOps.dupClusters(corpus, verified, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    (0 until 12).foreach { i =>
+      assert(cl(i * 10L + 1) == i * 10L, s"exact copy of $i not clustered")
+      assert(cl(i * 10L + 2) == i * 10L, s"near-dup of $i not clustered")
+    }
+  }
+
+  test("IVF ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val rows = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 16 === 0)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"IVF mean recall@5 = $mean")
+  }
+
   test("SRP-LSH ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
     // 8 clusters x 16 points: unit-ish center + small deterministic noise
     val dims = 32
