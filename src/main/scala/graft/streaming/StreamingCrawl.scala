@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.canon.Canon
+import graft.model.Model._
+import graft.probes.{CrawlConfig, Probes}
+import graft.universe.Universe
+
+/** End-to-end Structured-Streaming crawl (north star: "readStream →
+  * transforms → writeStream; watermarks + windowed aggs;
+  * mapGroupsWithState for custom state"):
+  *
+  *   interleaved-doc stream → seed extraction (Catalyst expressions) →
+  *   canonicalize→punycode→xxhash64 → [[StreamingFrontier.admitStream]]
+  *   (cuckoo seen-set in GroupState) → [[politeStream]] (token-bucket
+  *   politeness per nameserver bucket in GroupState — over-budget entries
+  *   WAIT IN STATE and drain in later micro-batches, the streaming twin of
+  *   the batch engine's deferred backlog) → probe fan-out → nested
+  *   [[DomainResult]] rows for any sink.
+  *
+  * Semantics match the batch engine: same canonicalization, same
+  * first-enqueue dedup, same per-bucket budget ordering
+  * (priority, seq, canonical), same probe leaves.
+  */
+object StreamingCrawl {
+
+  /** Deferred-entry buffer per nameserver bucket. */
+  case class PoliteState(buffered: Seq[FrontierEntry])
+
+  /** Token-bucket politeness as keyed state: each micro-batch a bucket may
+    * emit `budgetPerBatch(bucket)` entries, chosen in the deterministic
+    * (priority, seq, canonical) order over buffered ∪ incoming; the rest
+    * wait in state. `maxBuffer` is the loud-failure backpressure bound —
+    * the batch engine's backlog table plays this role durably; in
+    * streaming, unbounded silent buffering would hide a mis-sized budget.
+    */
+  def politeStream(entries: Dataset[FrontierEntry],
+      budgetPerBatch: Int => Int,
+      maxBuffer: Int = 1 << 20,
+      drainInterval: String = "100 milliseconds"): Dataset[FrontierEntry] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_.nsBucket)
+      // ProcessingTimeTimeout: a bucket whose buffer is non-empty re-arms a
+      // timer, so deferred entries DRAIN even when no new input arrives for
+      // that bucket (flatMapGroupsWithState only fires per-key on input or
+      // timeout — without the timer a starved bucket would hold its backlog
+      // forever)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (bucket: Int, it: Iterator[FrontierEntry], state: GroupState[PoliteState]) =>
+          val pending = state.getOption.map(_.buffered).getOrElse(Seq.empty) ++ it
+          val ordered = pending.sortBy(e => (e.priority, e.seq, e.canonical))
+          val (emit, defer) = ordered.splitAt(math.max(0, budgetPerBatch(bucket)))
+          if (defer.length > maxBuffer)
+            throw new IllegalStateException(
+              s"politeness buffer for bucket $bucket exceeds $maxBuffer — raise budgets")
+          if (defer.isEmpty) state.remove()
+          else {
+            state.update(PoliteState(defer))
+            state.setTimeoutDuration(drainInterval)
+          }
+          emit.iterator
+      }
+  }
+
+  /** Doc stream → admitted, politeness-bounded frontier entries. */
+  def frontierStream(docs: Dataset[Doc], u: Universe, partitions: Int,
+      budgetPerBatch: Int => Int,
+      filterCapacity: Long = 1L << 18): Dataset[FrontierEntry] = {
+    import docs.sparkSession.implicits._
+    val seeds = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "text")
+      .select(col("s.text").as("domain"),
+        (xxhash64(col("doc_id")) .bitwiseAND(lit(0xffffffffL)) * lit(1L << 22)
+          + least(col("s.offset"), lit((1L << 22) - 1))).as("seq"))
+      .where(col("domain").rlike("^[\\p{L}0-9.-]+\\.[\\p{L}]{2,}\\.?\\s*$"))
+      .withColumn("canonical", Canon.canonicalizeDomainCol(col("domain")))
+      .withColumn("key", xxhash64(col("canonical")))
+      .as[(String, Long, String, Long)]
+      .map { case (domain, seq, canonical, key) =>
+        FrontierEntry(domain, canonical, key,
+          nsBucket = u.nsProvider(canonical),
+          priority = u.ttlFor(canonical),
+          seq = seq)
+      }
+    politeStream(
+      StreamingFrontier.admitStream(seeds, partitions, filterCapacity),
+      budgetPerBatch)
+  }
+
+  /** Full pipeline: doc stream in, nested result documents out — attach
+    * any `writeStream` sink (or `JsonSink.jsonLines` for the reference's
+    * JSON-lines format).
+    */
+  def crawlStream(docs: Dataset[Doc], u: Universe, cfg: CrawlConfig,
+      partitions: Int, budgetPerBatch: Int => Int,
+      clock: String = "2026-01-01 00:00:00"): Dataset[DomainResult] = {
+    import docs.sparkSession.implicits._
+    frontierStream(docs, u, partitions, budgetPerBatch)
+      .mapPartitions { it =>
+        val p = new Probes(u, cfg)
+        it.map(e => p.processDomain(e.canonical, clock))
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Model.{Doc, DomainResult, Span}
+import graft.probes.{CrawlConfig, Probes}
+import graft.streaming.StreamingCrawl
+import graft.universe.Universe
+
+/** One nameserver bucket so the per-batch token budget is observable. */
+class OneBucketUniverse(seed: Long) extends Universe(seed) {
+  override def nsProvider(domain: String): Int = 0
+}
+
+class StreamingCrawlSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val u = new OneBucketUniverse(42L)
+
+  private def doc(id: String, domains: String*): Doc =
+    Doc(id, domains.zipWithIndex.map { case (d, i) => Span("text", d, null, i) })
+
+  test("token-bucket politeness: per-micro-batch budget, deferred entries drain via timer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = StreamingCrawl.frontierStream(input.toDS(), u,
+      partitions = 4, budgetPerBatch = _ => 2)
+    val q = out.writeStream.format("memory").queryName("polite_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    // NOTE: no processAllAvailable here — with pending processing-time
+    // timers the engine legitimately always has another batch scheduled,
+    // so the test polls the sink instead
+    def drainedTo(n: Long, timeoutSec: Int = 60): Long = {
+      val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+      var c = spark.table("polite_out").count()
+      while (c < n && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        c = spark.table("polite_out").count()
+      }
+      c
+    }
+    try {
+      // 5 admitted entries at budget 2/trigger: they drain over ≥3 batches
+      // via the state timer, with NO further input
+      input.addData(doc("doc-1", "a1.cz", "a2.cz", "a3.cz", "a4.cz", "a5.cz"))
+      assert(drainedTo(5) == 5, "initial batch did not fully drain")
+      // second wave: one new domain + one cross-batch duplicate
+      input.addData(doc("doc-2", "a6.cz", "a1.cz"))
+      assert(drainedTo(6) == 6, "second wave did not drain")
+      val all = spark.table("polite_out")
+        .select("canonical").as[String].collect().toSeq
+      assert(all.distinct.size == 6) // dedup across batches held
+      assert(all.toSet == Set("a1.cz", "a2.cz", "a3.cz", "a4.cz", "a5.cz", "a6.cz"))
+      // the politeness bound: NO micro-batch ever emitted more than the
+      // per-bucket budget (one bucket here), and at least one batch hit it
+      val perBatch = q.recentProgress.toSeq.map(_.sink.numOutputRows).filter(_ > 0)
+      assert(perBatch.nonEmpty && perBatch.forall(_ <= 2),
+        s"budget 2/batch violated: $perBatch")
+      assert(perBatch.max == 2)
+    } finally q.stop()
+  }
+
+  test("streaming crawl results equal the batch probe path for the same domains") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val cfg = CrawlConfig()
+    val results = StreamingCrawl.crawlStream(input.toDS(), u, cfg,
+      partitions = 4, budgetPerBatch = _ => 100)
+    val q = results.writeStream.format("memory").queryName("crawl_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      input.addData(doc("doc-1", "d1.cz", "d2.cz", "nic.cz"))
+      q.processAllAvailable()
+      val out = spark.table("crawl_out").as[DomainResult].collect()
+        .map(r => r.domain -> r).toMap
+      assert(out.keySet == Set("d1.cz", "d2.cz", "nic.cz"))
+      val p = new Probes(u, cfg)
+      out.foreach { case (d, r) =>
+        assert(r == p.processDomain(d, "2026-01-01 00:00:00"),
+          s"streaming result for $d diverges from the batch probe path")
+      }
+    } finally q.stop()
+  }
+}
