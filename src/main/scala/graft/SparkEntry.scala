@@ -353,6 +353,22 @@ object SparkEntry {
       DedupOps.dupClusters(docs, verified, "doc_id")
     }),
 
+    // SQL surface (U-layer) — the same operators through the registered
+    // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
+    // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
+    // path end-to-end; the is_global_ip filter sweeps first octets 0-255.
+    "q37_sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id,
+               canonicalize_domain(concat(source, '.ExAmple.CZ.')) AS canon,
+               CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+               graft_norm_fingerprint(text) AS fp
+        FROM graft_documents
+        WHERE is_global_ip(concat(CAST(doc_id % 256 AS STRING), '.0.113.7'))""")
+    }),
+
     // Crawl engine — span-encoded results of a 200-domain synthetic crawl
     // (deterministic universe; rows-only — no SQL oracle can crawl)
     "q26_crawl_spans" -> ((s, _) => {
@@ -788,6 +804,17 @@ object SparkEntry {
     "q34_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(SUM(l_quantity) AS BIGINT) AS qty
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
+    // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]
+    // (0/8, 10/8, 127/8, 203.0.113/24 TEST-NET-3, 224/4+240/4).
+    "q37_sql_surface" ->
+      """SELECT doc_id,
+         regexp_replace(lower(trim(source || '.ExAmple.CZ.')), '\.$', '') AS canon,
+         CAST(len(list_filter(str_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents
+         WHERE NOT ((doc_id % 256) IN (0, 10, 127, 203) OR (doc_id % 256) >= 224)"""
   )
 }

@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Eager Column→Expression conversion. `toExpr` wraps the column's node
+    * in a LAZY `ColumnNodeExpression`, which the analyzer only unwraps on
+    * normal Dataset paths — inside a `FunctionRegistry` builder it would
+    * survive to codegen unresolved and fail. This converts the node tree
+    * up front (function invocations become real `UnresolvedFunction`s the
+    * analyzer resolves in place), so registered SQL functions can be built
+    * from `functions._`-composed Columns.
+    */
+  def toExprEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

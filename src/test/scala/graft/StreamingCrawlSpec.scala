@@ -71,10 +71,19 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val results = StreamingCrawl.crawlStream(input.toDS(), u, cfg,
       partitions = 4, budgetPerBatch = _ => 100)
     val q = results.writeStream.format("memory").queryName("crawl_out")
-      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      .outputMode("append").trigger(Trigger.ProcessingTime("200 milliseconds")).start()
     try {
       input.addData(doc("doc-1", "d1.cz", "d2.cz", "nic.cz"))
-      q.processAllAvailable()
+      // poll, don't processAllAvailable: with processing-time timers in the
+      // polite stage the engine always has another batch scheduled (see the
+      // politeness test above), so processAllAvailable can block forever
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("crawl_out").count() < 3 && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(200)
+      }
+      assert(spark.table("crawl_out").count() == 3,
+        s"stream did not drain 3 results in 120s; progress=${q.recentProgress.length}")
       val out = spark.table("crawl_out").as[DomainResult].collect()
         .map(r => r.domain -> r).toMap
       assert(out.keySet == Set("d1.cz", "d2.cz", "nic.cz"))
