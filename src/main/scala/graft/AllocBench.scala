@@ -37,5 +37,27 @@ object AllocBench {
     leg("warmup-2", n)
     leg("steady-1", n)
     leg("steady-2", n)
+
+    // per-phase breakdown (each includes its own getDnsLocal dependency
+    // where the real pipeline shares one — subtract dns to decompose)
+    def phase(label: String, count: Int)(f: String => Any): Unit = {
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < count) { f(u.seedDomain(i.toLong % 1000000)); i += 1 }
+      val dt = System.nanoTime() - t0
+      val da = tmx.getThreadAllocatedBytes(tid) - a0
+      println(f"[alloc] $label n=$count ns=${dt.toDouble / count}%.0f " +
+        f"bytes=${da.toDouble / count}%.0f")
+    }
+    val m = n / 2
+    phase("dns_local", m)(d => p.getDnsLocal(d))
+    phase("dns_auth", m)(d => p.getDnsAuth(d))
+    val dlCache = new java.util.HashMap[String, graft.model.Model.DnsLocal]()
+    def dl(d: String) = { var v = dlCache.get(d); if (v == null) { v = p.getDnsLocal(d); if (dlCache.size < 1100000) dlCache.put(d, v) }; v }
+    phase("warm-dl", m)(d => dl(d))
+    phase("mail(+dl cached)", m)(d => p.getMail(d, dl(d)))
+    phase("web(+dl cached)", m)(d => p.getWeb(d, dl(d)))
+    phase("web_paths(+dl cached)", m)(d => p.getWebPaths(d, dl(d)))
   }
 }
