@@ -136,7 +136,7 @@ class Engine(
     * probed, updated with the admitted keys, and re-snapshotted — the raw
     * key set never moves to the driver.
     */
-  private def admitUnseen(entries: Dataset[FrontierEntry], round: Int)
+  private[graft] def admitUnseen(entries: Dataset[FrontierEntry], round: Int)
       : Dataset[FrontierEntry] = {
     val refs = loadFilterRefs().filter(_._2.nonEmpty)
     val refsB = spark.sparkContext.broadcast(refs)
