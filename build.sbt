@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrently in one JVM; 8 g is OOM-borderline there (and makes the
   // 32-thread benches GC-bound). The box has 125 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.engine.Engine
+import graft.model.Model.{Doc, DomainResult}
+import graft.probes.CrawlConfig
+import graft.spans.JsonSink
+import graft.universe.Universe
+
+/** The user-facing crawl entry point — the spark-submit twin of the
+  * reference CLI (`single.py:36-61` for plaintext lists; the
+  * controller/worker loop for big corpora):
+  *
+  * {{{
+  * spark-submit --class graft.CrawlMain graft.jar <input> [options]
+  *   <input>           .txt  → plaintext domain list, one per line, empty
+  *                             lines ignored (single.py:50) → one-shot crawl
+  *                     .parquet → interleaved-docs table (doc_id, spans) →
+  *                             full frontier loop with politeness budgets,
+  *                             cuckoo seen-set, MERGE checkpoints, resume
+  *   --out DIR         write results there (default: JSON lines on stdout,
+  *                             like the reference, single.py:55)
+  *   --format jsonl|parquet    output format for --out (default jsonl)
+  *   --work DIR        checkpoint/table dir (default: temp) — re-running
+  *                             with the same dir RESUMES from the last
+  *                             committed round
+  *   --max-rounds N    stop after N frontier rounds
+  *   --partitions P    frontier partitions (default 32)
+  *   --seed N          universe seed (default 42; the synthetic universe
+  *                             stands in for the network in this sandbox —
+  *                             probe leaves are the single place a real
+  *                             resolver/HTTP client would plug in)
+  * }}}
+  *
+  * Progress goes to stderr with timestamps, mirroring the reference's
+  * `single.py:52-59` progress contract.
+  */
+object CrawlMain {
+
+  private def err(msg: String): Unit = {
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    System.err.println(s"$ts $msg")
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args.contains("-h") || args.contains("--help")) {
+      System.err.println("Usage: spark-submit --class graft.CrawlMain graft.jar " +
+        "<input.txt|input.parquet> [--out DIR] [--format jsonl|parquet] " +
+        "[--work DIR] [--max-rounds N] [--partitions P] [--seed N]")
+      sys.exit(1)
+    }
+    val input = args(0)
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val outDir = opt("--out")
+    val format = opt("--format").getOrElse("jsonl")
+    val workDir = opt("--work").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-crawl").toString)
+    val maxRounds = opt("--max-rounds").map(_.toInt).getOrElse(Int.MaxValue)
+    val partitions = opt("--partitions").map(_.toInt).getOrElse(32)
+    val seed = opt("--seed").map(_.toLong).getOrElse(42L)
+
+    // spark-submit provides the master; standalone runs fall back to local
+    val spark = SparkSession.builder()
+      .appName("graft-crawl")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", partitions.toString))
+      .master(sys.props.getOrElse("spark.master",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = CrawlConfig()
+    val u = new Universe(seed)
+    val eng = new Engine(spark, u, cfg, workDir = workDir,
+      frontierPartitions = partitions)
+
+    val results: Dataset[DomainResult] =
+      if (input.endsWith(".parquet")) {
+        err(s"Reading interleaved docs from $input.")
+        val raw = spark.read.parquet(input)
+        if (!raw.columns.contains("spans")) {
+          System.err.println("Expected the interleaved-docs schema " +
+            "(doc_id: string, spans: array<struct<kind, text, media_ref, offset>>); " +
+            s"got [${raw.columns.mkString(", ")}]. For a plain domain list use a .txt input.")
+          sys.exit(2)
+        }
+        val docs = raw.select(raw("doc_id").cast("string").as("doc_id"),
+          raw("spans")).as[Doc]
+        val stats = eng.run(docs, maxRounds)
+        stats.foreach(s => err(f"round ${s.round}: admitted=${s.admitted} " +
+          f"crawled=${s.crawled} deferred=${s.deferred} ${s.seconds}%.1f s"))
+        eng.resultsTable.read() match {
+          case Some(df) => df.select("result.*").as[DomainResult]
+          case None => spark.emptyDataset[DomainResult]
+        }
+      } else {
+        err(s"Reading domains from $input.")
+        val domains = spark.read.textFile(input)
+          .map(_.trim).filter(_.nonEmpty) // empty lines ignored (single.py:50)
+        err(s"Read ${domains.count()} domains.")
+        eng.crawlDomains(domains)
+      }
+
+    outDir match {
+      case Some(dir) if format == "parquet" =>
+        results.write.mode("overwrite").parquet(dir)
+        err(s"Finished. Results: $dir (parquet), state: $workDir.")
+      case Some(dir) =>
+        JsonSink.jsonLines(results, cfg).write.mode("overwrite").text(dir)
+        err(s"Finished. Results: $dir (JSON lines), state: $workDir.")
+      case None =>
+        // reference contract: one JSON document per line on stdout
+        // (single.py:55); toLocalIterator keeps the driver at O(1 row)
+        val it = JsonSink.jsonLines(results, cfg).toLocalIterator()
+        while (it.hasNext) println(it.next())
+        err(s"Finished. State: $workDir.")
+    }
+    spark.stop()
+  }
+}
