@@ -63,6 +63,8 @@ object CrawlMain {
     val seed = opt("--seed").map(_.toLong).getOrElse(42L)
 
     // spark-submit provides the master; standalone runs fall back to local
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
@@ -120,6 +122,7 @@ object CrawlMain {
         while (it.hasNext) println(it.next())
         err(s"Finished. State: $workDir.")
     }
-    spark.stop()
+    // don't tear down a session we joined (library/test embedding)
+    if (!hadSession) spark.stop()
   }
 }

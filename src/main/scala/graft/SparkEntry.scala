@@ -353,6 +353,26 @@ object SparkEntry {
       DedupOps.dupClusters(docs, verified, "doc_id")
     }),
 
+    // Star join — the canonical 100 TB OLAP plan shape: the two big fact
+    // tables shuffle-join once on the fact key; every dimension broadcasts
+    // (customer at this SF broadcasts too under the 10 MB default; at real
+    // scale it would shuffle and nation/region still broadcast). Exact
+    // decimal-cents revenue discipline as q02.
+    "q38_star_join" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("rev_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -805,6 +825,17 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(SUM(l_quantity) AS BIGINT) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q38_star_join" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+         count(*) AS n_rows
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
 
     // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
     // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI contract (reference `single.py:36-61`): plaintext list in → one
+  * JSON document per domain out; parquet interleaved docs → frontier loop
+  * with resume. Runs `CrawlMain.main` in-process against the shared
+  * session (main must not stop a session it joined).
+  */
+class CrawlMainSpec extends AnyFunSuite {
+  private val spark = SparkSessionFixture.spark
+
+  test("plaintext list: one JSON line per canonical domain, jsonl out") {
+    val in = Files.createTempFile("domains", ".txt")
+    Files.writeString(in, "nic.cz\n\n  \nSeznam.CZ\nexample.cz.\n")
+    val out = Files.createTempDirectory("crawl-out").toString + "/res"
+    val work = Files.createTempDirectory("crawl-work").toString
+    CrawlMain.main(Array(in.toString, "--out", out, "--work", work))
+    val lines = spark.read.textFile(out).collect()
+    assert(lines.length == 3) // empty/blank lines ignored
+    assert(lines.forall(l => l.startsWith("{\"domain\":\"") && l.endsWith("}")))
+    assert(lines.exists(_.contains("\"domain\":\"nic.cz\"")))
+    // the golden nic.cz NS set from the reference e2e fixture
+    assert(lines.find(_.contains("\"domain\":\"nic.cz\"")).get
+      .contains("a.ns.nic.cz"))
+    assert(spark.sparkContext.isStopped == false) // joined session survives
+  }
+
+  test("interleaved parquet: frontier loop crawls and resume re-emits identically") {
+    import spark.implicits._
+    import graft.model.Model.{Doc, Span}
+    val docs = (0 until 40).map(i =>
+      Doc(f"doc-$i%04d", Seq(Span("text", s"site${i % 25}.cz", null, 0),
+        Span("image", null, s"blob://img-$i", 1))))
+    val in = Files.createTempDirectory("crawl-in").toString + "/docs.parquet"
+    spark.createDataset(docs).write.parquet(in)
+    val work = Files.createTempDirectory("crawl-work").toString
+    val out1 = Files.createTempDirectory("crawl-out").toString + "/r1"
+    CrawlMain.main(Array(in, "--out", out1, "--work", work, "--partitions", "4"))
+    val r1 = spark.read.textFile(out1).collect().sorted
+    assert(r1.length == 25) // dedup across docs
+    // resume: same work dir, nothing new to crawl, identical output
+    val out2 = Files.createTempDirectory("crawl-out").toString + "/r2"
+    CrawlMain.main(Array(in, "--out", out2, "--work", work, "--partitions", "4"))
+    val r2 = spark.read.textFile(out2).collect().sorted
+    assert(r1.sameElements(r2))
+  }
+}
