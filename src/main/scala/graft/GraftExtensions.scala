@@ -29,8 +29,12 @@ import graft.ops.TextOps
   * black-box UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator surface: plans graft.plans.CuckooAdmit (first-seen
+    // admission over a partitioned cuckoo filter) into CuckooAdmitExec
+    ext.injectPlannerStrategy(_ => graft.plans.CuckooAdmitStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -22,4 +22,11 @@ object GraftSqlBridge {
     */
   def toExprEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** DataFrame from a logical plan (`Dataset.ofRows` went `private[sql]`
+    * in Spark 4) — needed to hand custom logical operators to Catalyst.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftOps
+
+/** The custom whole-operator admission ([[graft.plans.CuckooAdmit]]):
+  * logical node → injected strategy → physical exec, equivalent to
+  * `dropDuplicates` on the key, visible in `explain()`.
+  */
+class CuckooAdmitPlanSpec extends AnyFunSuite {
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def dupDf = spark.range(2000)
+    .select((col("id") % 437).as("k"), col("id"))
+    .withColumn("key", xxhash64(col("k")))
+
+  test("admits exactly one row per key, equal to dropDuplicates on the key") {
+    val admitted = GraftOps.admitFirstSeen(dupDf, col("key"), partitions = 4)
+    assert(admitted.count() == 437)
+    assert(admitted.select("k").as[Long].collect().sorted.toSeq ==
+      (0L until 437L))
+    // set equality with the built-in dedup (kept-row choice may differ:
+    // dropDuplicates keeps an arbitrary row, CuckooAdmit the partition-first)
+    assert(admitted.select("key").as[Long].collect().toSet ==
+      dupDf.dropDuplicates("key").select("key").as[Long].collect().toSet)
+  }
+
+  test("plans as CuckooAdmitExec behind a Catalyst-planned shuffle") {
+    val admitted = GraftOps.admitFirstSeen(dupDf, col("key"), partitions = 4)
+    val plan = admitted.queryExecution.executedPlan.toString
+    assert(plan.contains("CuckooAdmit"), plan)
+    assert(plan.contains("Exchange"), plan) // the required distribution
+    assert(admitted.rdd.getNumPartitions == 4)
+  }
+
+  test("co-partitioned input needs no second shuffle (exchange reuse)") {
+    val admitted = GraftOps.admitFirstSeen(dupDf, col("key"), partitions = 4)
+    // admitting twice on the same key keeps one Exchange for the chain:
+    // the exec's outputPartitioning satisfies the second node's requirement
+    val twice = GraftOps.admitFirstSeen(admitted, col("key"), partitions = 4)
+    val nExchanges = "(?<!Reused)Exchange".r
+      .findAllIn(twice.queryExecution.executedPlan.toString).size
+    assert(twice.count() == 437)
+    assert(nExchanges == 1,
+      s"expected a single shuffle:\n${twice.queryExecution.executedPlan}")
+  }
+
+  test("crawl-shaped use: first-enqueue per canonical domain key") {
+    val raws = Seq("Nic.CZ", "nic.cz.", "nic.cz", "seznam.cz", "SEZNAM.cz")
+      .toDF("domain")
+    val keyed = raws.withColumn("key",
+      graft.canon.Canon.domainKey(col("domain")))
+    val admitted = GraftOps.admitFirstSeen(keyed, col("key"), partitions = 2)
+    assert(admitted.count() == 2) // {nic.cz, seznam.cz}
+  }
+}
