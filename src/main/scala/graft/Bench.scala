@@ -18,7 +18,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q02_agg_pricing", "q03_join_regions", "q05_dedup_exact",
     "q07_topk_orders", "q12_hourly_rollup", "q17_minhash_bands",
-    "q19_ngram_jaccard", "q20_cosine_topk", "q21_ann_lsh", "q25_multimodal")
+    "q19_ngram_jaccard", "q20_cosine_topk", "q21_ann_lsh", "q25_multimodal",
+    "q38_star_join")
 
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._

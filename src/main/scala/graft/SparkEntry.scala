@@ -373,6 +373,20 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Whole-operator surface — the custom CuckooAdmit logical/physical
+    // operator (first-seen admission per key, Catalyst-planned shuffle).
+    // Projecting only `canonical` keeps the output deterministic: key →
+    // canonical is functional, so WHICH duplicate row survives is
+    // irrelevant, and the oracle is plain DISTINCT.
+    "q39_admit_plan" -> ((s, dir) => {
+      val keyed = T(s, dir, "documents")
+        .select(Canon.canonicalizeDomainCol(
+          concat(col("source"), lit(".Example.CZ"))).as("canonical"))
+        .withColumn("key", xxhash64(col("canonical")))
+      graft.plans.GraftOps.admitFirstSeen(keyed, col("key"), partitions = 8)
+        .select("canonical")
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -836,6 +850,10 @@ object SparkEntry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+
+    "q39_admit_plan" ->
+      """SELECT DISTINCT lower(trim(source || '.Example.CZ')) AS canonical
+         FROM documents""",
 
     // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
     // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]
