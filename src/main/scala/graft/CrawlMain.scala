@@ -16,9 +16,14 @@ import graft.universe.Universe
   * spark-submit --class graft.CrawlMain graft.jar <input> [options]
   *   <input>           .txt  → plaintext domain list, one per line, empty
   *                             lines ignored (single.py:50) → one-shot crawl
+  *                             (no frontier state — low latency, right for
+  *                             ad-hoc lists)
   *                     .parquet → interleaved-docs table (doc_id, spans) →
   *                             full frontier loop with politeness budgets,
-  *                             cuckoo seen-set, MERGE checkpoints, resume
+  *                             cuckoo seen-set, MERGE checkpoints, resume.
+  *                             Each round carries a fixed stage/commit cost
+  *                             that amortizes at corpus scale (≥10⁵ domains
+  *                             per round) — use .txt for tiny inputs
   *   --out DIR         write results there (default: JSON lines on stdout,
   *                             like the reference, single.py:55)
   *   --format jsonl|parquet    output format for --out (default jsonl)
@@ -68,6 +73,7 @@ object CrawlMain {
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", partitions.toString))
       .master(sys.props.getOrElse("spark.master",
