@@ -48,6 +48,32 @@ class CuckooAdmitPlanSpec extends AnyFunSuite {
       s"expected a single shuffle:\n${twice.queryExecution.executedPlan}")
   }
 
+  test("exact at high cardinality: no fingerprint false-positive drops") {
+    // 300k distinct keys through 2 partitions — the old cuckoo-fingerprint
+    // membership lost ~n²/2^16 rows per partition at this scale; the exact
+    // LongOpenHashSet must keep every distinct key.
+    val n = 300000L
+    val big = spark.range(n).withColumn("key", xxhash64(col("id")))
+    val admitted = GraftOps.admitFirstSeen(big, col("key"), partitions = 2)
+    assert(admitted.count() == n)
+  }
+
+  test("null key groups like dropDuplicates: first null-keyed row kept") {
+    val df = Seq[(java.lang.Long, Int)]((1L, 10), (null, 20), (1L, 30),
+      (null, 40), (2L, 50)).toDF("key", "v")
+    val admitted = GraftOps.admitFirstSeen(df, col("key"), partitions = 2)
+    assert(admitted.count() == 3) // {1, null, 2}
+    assert(admitted.where(col("key").isNull).count() == 1)
+  }
+
+  test("non-Long key is rejected at call time, not runtime") {
+    val df = Seq("a", "b").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.admitFirstSeen(df, col("s"), partitions = 2)
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("crawl-shaped use: first-enqueue per canonical domain key") {
     val raws = Seq("Nic.CZ", "nic.cz.", "nic.cz", "seznam.cz", "SEZNAM.cz")
       .toDF("domain")
