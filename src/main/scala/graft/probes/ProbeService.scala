@@ -1,0 +1,210 @@
+package graft.probes
+
+import java.util.concurrent.{Callable, ExecutorService, Executors, TimeUnit, TimeoutException}
+
+import graft.model.Model._
+
+/** The pluggable network boundary of the crawl (T3/S-leaf seam).
+  *
+  * Everything above this trait — branch logic, gating, assembly, the JSON
+  * shape — is deterministic [[Probes]] code; everything below it is what a
+  * production deployment swaps for real sockets: a DNS resolver
+  * (reference `dns_utils.py`), an HTTP session (`web_utils.py`), an SMTP
+  * client (`mail_utils.py`). [[graft.universe.Universe]] is the
+  * deterministic in-repo implementation.
+  *
+  * Contract notes for implementors:
+  *  - DNS leaves return `Seq.empty` for NXDOMAIN/timeout (the reference's
+  *    resolver returns no answer; [[Probes.resolve]] collapses to None).
+  *  - `webStep` returns status 0 for a connect/read timeout —
+  *    [[Probes.fetchWeb]] maps that to the reference's
+  *    `{"error": "timeout"}` step (`web_utils.py:122-127`).
+  *  - `geo`, `sourceAddress` and `hstsPreload` are *local* lookups (mmdb,
+  *    getsockname, preload list) — they are not guarded by the job
+  *    deadline wrapper.
+  */
+trait ProbeService extends Serializable {
+  // ---- DNS leaves (dns_utils.py)
+  def ttlFor(domain: String): Int
+  def cnameFor(name: String): Option[String]
+  def aFor(name: String): Seq[String]
+  def aaaaFor(name: String): Seq[String]
+  def nsFor(domain: String): Seq[String]
+  def mxFor(domain: String): Seq[String]
+  def txtFor(domain: String): Seq[String]
+  def dsFor(domain: String): Seq[String]
+  def dnskeyFor(domain: String): Seq[String]
+  def tlsaFor(name: String): Seq[String]
+  def dnssecState(domain: String): String
+  def rrsigFor(domain: String): Seq[String]
+  def additionalFor(domain: String, rrtype: String): Seq[String]
+  def nsIps4(ns: String): Seq[String]
+  def nsIps6(ns: String): Seq[String]
+  def chaosTxt(ip: String, qname: String): ChaosTxt
+  // ---- local annotate / worker-scope probes (ip_utils.py, geoip_utils.py)
+  def geo(ip: String): GeoIp
+  def sourceAddress(fam: Int, target: Option[String]): Option[String]
+  def hstsPreload(domain: String): Boolean
+  // ---- web leaves (web_utils.py, certificate.py)
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+      : (Int, Option[String], Map[String, String], Option[String], Boolean)
+  def tlsInfo(host: String, ip: String): (String, String)
+  def certFor(host: String): Certificate
+  def certChainFor(host: String): Seq[Certificate]
+  // ---- mail leaves (mail_utils.py)
+  def mailBanner(ip: String, port: Int): MailBanner
+}
+
+/** Delegating base for [[ProbeService]] decorators (rate limiters,
+  * metrics, fault injection, the spec's slow-leaf fakes): override only
+  * the leaves you change.
+  */
+class ForwardingProbeService(protected val inner: ProbeService) extends ProbeService {
+  def ttlFor(domain: String): Int = inner.ttlFor(domain)
+  def cnameFor(name: String): Option[String] = inner.cnameFor(name)
+  def aFor(name: String): Seq[String] = inner.aFor(name)
+  def aaaaFor(name: String): Seq[String] = inner.aaaaFor(name)
+  def nsFor(domain: String): Seq[String] = inner.nsFor(domain)
+  def mxFor(domain: String): Seq[String] = inner.mxFor(domain)
+  def txtFor(domain: String): Seq[String] = inner.txtFor(domain)
+  def dsFor(domain: String): Seq[String] = inner.dsFor(domain)
+  def dnskeyFor(domain: String): Seq[String] = inner.dnskeyFor(domain)
+  def tlsaFor(name: String): Seq[String] = inner.tlsaFor(name)
+  def dnssecState(domain: String): String = inner.dnssecState(domain)
+  def rrsigFor(domain: String): Seq[String] = inner.rrsigFor(domain)
+  def additionalFor(domain: String, rrtype: String): Seq[String] =
+    inner.additionalFor(domain, rrtype)
+  def nsIps4(ns: String): Seq[String] = inner.nsIps4(ns)
+  def nsIps6(ns: String): Seq[String] = inner.nsIps6(ns)
+  def chaosTxt(ip: String, qname: String): ChaosTxt = inner.chaosTxt(ip, qname)
+  def geo(ip: String): GeoIp = inner.geo(ip)
+  def sourceAddress(fam: Int, target: Option[String]): Option[String] =
+    inner.sourceAddress(fam, target)
+  def hstsPreload(domain: String): Boolean = inner.hstsPreload(domain)
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+      : (Int, Option[String], Map[String, String], Option[String], Boolean) =
+    inner.webStep(host, ip, port, hop, path)
+  def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
+  def certFor(host: String): Certificate = inner.certFor(host)
+  def certChainFor(host: String): Seq[Certificate] = inner.certChainFor(host)
+  def mailBanner(ip: String, port: Int): MailBanner = inner.mailBanner(ip, port)
+}
+
+/** Injectable monotonic clock so the deadline is testable without sleeping
+  * 80 s of wall time.
+  */
+trait ProbeClock extends Serializable { def nanos(): Long }
+object ProbeClock {
+  val system: ProbeClock = new ProbeClock {
+    def nanos(): Long = System.nanoTime()
+  }
+}
+
+/** Enforces the per-domain job deadline (T3, reference `config.yml:19`
+  * `job_timeout: 80`; the controller kills an over-budget RQ job,
+  * `controller.py:60`) at the probe-leaf boundary.
+  *
+  * Semantics: [[Probes.processDomain]] calls [[startJob]] once per domain;
+  * every *network* leaf first checks the budget. Once expired, each leaf
+  * returns its timeout shape — empty DNS answers, `webStep` status 0
+  * (→ the reference's `{"error": "timeout"}` step), `mailBanner`/`chaosTxt`
+  * error `"timeout"`, `dnssecState` `"timeout"` — so the domain completes
+  * with the same partial-result-with-timeout-errors document a killed
+  * reference worker's last write would show, instead of running without
+  * bound. Local lookups (`geo`, `sourceAddress`, `hstsPreload`) pass
+  * through unguarded, as do `tlsInfo`/`certFor` (connection-attached
+  * metadata of an already-completed `webStep` in a real client).
+  *
+  * Two enforcement modes:
+  *  - cooperative (default): the budget is checked *before* each leaf call
+  *    at the cost of one clock read (~20 ns); a leaf that returns late
+  *    trips the guard for all later leaves, bounding the domain at
+  *    budget + one leaf. Deterministic whenever leaves are instant (the
+  *    in-repo Universe), which keeps every oracle/spec result identical.
+  *  - hard (`hardLeafTimeouts = true`): each leaf runs on a daemon worker
+  *    thread with a timed wait capped at the remaining budget; on timeout
+  *    the leaf is interrupted and the timeout shape returned, so even a
+  *    leaf that hangs forever (a dead resolver, a black-holed TCP connect)
+  *    cannot exceed the budget. This is the production mode for real
+  *    socket-backed [[ProbeService]]s; it costs a thread hop per leaf, so
+  *    it is off for the deterministic in-memory universe.
+  */
+final class DeadlineProbeService(
+    inner: ProbeService,
+    budgetNanos: Long,
+    clock: ProbeClock = ProbeClock.system,
+    hardLeafTimeouts: Boolean = false) extends ProbeService {
+  require(budgetNanos > 0, "DeadlineProbeService: budget must be positive")
+
+  @volatile private[this] var jobStart: Long = clock.nanos()
+
+  /** Reset the budget — called once per domain by [[Probes.processDomain]]. */
+  def startJob(): Unit = jobStart = clock.nanos()
+
+  def expired: Boolean = clock.nanos() - jobStart >= budgetNanos
+  def remainingNanos: Long =
+    math.max(0L, budgetNanos - (clock.nanos() - jobStart))
+
+  // one daemon worker, created lazily only in hard mode; a leaf that
+  // ignores its interrupt poisons the worker, but by then the deadline is
+  // expired so every later call short-circuits to its shape without
+  // touching the executor
+  @transient private[this] lazy val leafExec: ExecutorService =
+    Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-probe-leaf")
+      t.setDaemon(true)
+      t
+    }
+
+  private def guard[A](timeoutShape: => A)(leaf: => A): A = {
+    if (expired) timeoutShape
+    else if (!hardLeafTimeouts) leaf
+    else {
+      val fut = leafExec.submit(new Callable[A] { def call(): A = leaf })
+      try fut.get(remainingNanos, TimeUnit.NANOSECONDS)
+      catch {
+        case _: TimeoutException => fut.cancel(true); timeoutShape
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+  }
+
+  // DNS: timeout → no answer (Probes.resolve collapses empty → None)
+  def ttlFor(domain: String): Int = guard(0)(inner.ttlFor(domain))
+  def cnameFor(name: String): Option[String] = guard(Option.empty[String])(inner.cnameFor(name))
+  def aFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.aFor(name))
+  def aaaaFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.aaaaFor(name))
+  def nsFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.nsFor(domain))
+  def mxFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.mxFor(domain))
+  def txtFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.txtFor(domain))
+  def dsFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.dsFor(domain))
+  def dnskeyFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.dnskeyFor(domain))
+  def tlsaFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.tlsaFor(name))
+  def dnssecState(domain: String): String = guard("timeout")(inner.dnssecState(domain))
+  def rrsigFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.rrsigFor(domain))
+  def additionalFor(domain: String, rrtype: String): Seq[String] =
+    guard(Seq.empty[String])(inner.additionalFor(domain, rrtype))
+  def nsIps4(ns: String): Seq[String] = guard(Seq.empty[String])(inner.nsIps4(ns))
+  def nsIps6(ns: String): Seq[String] = guard(Seq.empty[String])(inner.nsIps6(ns))
+  def chaosTxt(ip: String, qname: String): ChaosTxt =
+    guard(ChaosTxt(None, Some("timeout")))(inner.chaosTxt(ip, qname))
+
+  // local lookups: unguarded
+  def geo(ip: String): GeoIp = inner.geo(ip)
+  def sourceAddress(fam: Int, target: Option[String]): Option[String] =
+    inner.sourceAddress(fam, target)
+  def hstsPreload(domain: String): Boolean = inner.hstsPreload(domain)
+
+  // web: status 0 is the fetch-timeout sentinel Probes.fetchWeb maps to
+  // the reference's {"error": "timeout"} step
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+      : (Int, Option[String], Map[String, String], Option[String], Boolean) =
+    guard((0, Option.empty[String], Map.empty[String, String],
+      Option.empty[String], false))(inner.webStep(host, ip, port, hop, path))
+  def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
+  def certFor(host: String): Certificate = inner.certFor(host)
+  def certChainFor(host: String): Seq[Certificate] = inner.certChainFor(host)
+
+  def mailBanner(ip: String, port: Int): MailBanner =
+    guard(MailBanner(None, Some("timeout")))(inner.mailBanner(ip, port))
+}

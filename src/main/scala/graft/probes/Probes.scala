@@ -2,15 +2,34 @@ package graft.probes
 
 import graft.model.Model._
 import graft.parsers.Parsers
-import graft.universe.Universe
 
 /** Probe leaves: the "fetch" functions of the crawl, each the semantic twin
-  * of a reference network leaf, backed by the deterministic [[Universe]].
-  * Branch logic (CNAME flattening, DNSSEC classification, redirect loops,
-  * null short-circuits) is reproduced from the cited reference lines; only
-  * the socket I/O is synthetic.
+  * of a reference network leaf, backed by a pluggable [[ProbeService]]
+  * (the deterministic [[graft.universe.Universe]] in-repo; real
+  * resolver/HTTP/SMTP clients in production). Branch logic (CNAME
+  * flattening, DNSSEC classification, redirect loops, null short-circuits)
+  * is reproduced from the cited reference lines; only the socket I/O is
+  * behind the service seam.
+  *
+  * The per-domain job deadline (T3, `config.yml:19` job_timeout) is
+  * enforced here: when `cfg.jobTimeoutSeconds > 0` the service is wrapped
+  * in a [[DeadlineProbeService]] and [[processDomain]] arms the budget per
+  * domain; leaves called after expiry return their timeout shapes. Set
+  * `hardLeafTimeouts = true` (production, real sockets) to also bound a
+  * single hanging leaf by interrupt.
   */
-class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
+class Probes(
+    rawService: ProbeService,
+    val cfg: CrawlConfig,
+    clock: ProbeClock = ProbeClock.system,
+    hardLeafTimeouts: Boolean = false) extends Serializable {
+
+  private val deadline: Option[DeadlineProbeService] =
+    Option.when(cfg.jobTimeoutSeconds > 0)(new DeadlineProbeService(
+      rawService, cfg.jobTimeoutSeconds * 1000000000L, clock, hardLeafTimeouts))
+
+  /** The leaf service all probe code calls — deadline-guarded when T3 is on. */
+  val u: ProbeService = deadline.getOrElse(rawService)
 
   /** Source-address probe (S8, reference `ip_utils.py:44-75` +
     * `get_source_addresses`): resolved once per Probes (≈ per worker, like
@@ -72,6 +91,7 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
     case "signed" => Dnssec(Some(true), Some(u.rrsigFor(domain)), None, None)
     case "bogus" => Dnssec(Some(false), None, None,
       Some("SERVFAIL — validation failed"))
+    case "timeout" => Dnssec(None, None, Some("timeout"), None) // T3-expired leaf
     case _ => Dnssec(None, None, Some("Missing DS or DNSKEY records"), None)
   }
 
@@ -337,9 +357,12 @@ class Probes(val u: Universe, val cfg: CrawlConfig) extends Serializable {
   }
 
   /** Full per-domain pipeline (reference `process_domain`,
-    * `crawl.py:136-183`) with an injected clock for determinism.
+    * `crawl.py:136-183`) with an injected clock for determinism. Arms the
+    * per-domain T3 budget (reference kills the RQ job at job_timeout,
+    * `controller.py:60`); leaves probed after expiry return timeout shapes.
     */
   def processDomain(domain: String, timestamp: String): DomainResult = {
+    deadline.foreach(_.startJob())
     val dl = getDnsLocal(domain)
     DomainResult(
       domain = domain,

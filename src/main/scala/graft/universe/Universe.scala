@@ -53,7 +53,7 @@ object Universe {
   }
 }
 
-class Universe(val seed: Long) extends Serializable {
+class Universe(val seed: Long) extends graft.probes.ProbeService {
 
   // Fixed-arity mix chains (identical values to the old varargs foldLeft,
   // without the per-call Seq + closure allocation — these run millions of

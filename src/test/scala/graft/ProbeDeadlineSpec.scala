@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Model._
+import graft.probes._
+import graft.spans.JsonSink
+import graft.universe.Universe
+
+/** T3 — the per-domain job deadline (reference `config.yml:19`
+  * `job_timeout: 80`; `controller.py:60` kills over-budget jobs), enforced
+  * at the [[ProbeService]] leaf boundary by [[DeadlineProbeService]].
+  */
+class ProbeDeadlineSpec extends AnyFunSuite {
+
+  private val u = new Universe(7L)
+
+  /** Deterministic fake time, advanced by the slow-leaf fakes. */
+  private final class FakeClock(var t: Long = 0L) extends ProbeClock {
+    def nanos(): Long = t
+    def advanceSeconds(s: Long): Unit = t += s * 1000000000L
+  }
+
+  test("instant leaves: enabled deadline changes nothing (default path)") {
+    val d = "nic.cz"
+    val on = new Probes(u, CrawlConfig()) // jobTimeoutSeconds = 80
+    val off = new Probes(u, CrawlConfig(jobTimeoutSeconds = 0))
+    assert(JsonSink.toJson(on.processDomain(d, "t"), on.cfg) ==
+      JsonSink.toJson(off.processDomain(d, "t"), off.cfg))
+  }
+
+  test("cooperative: a slow DNS leaf trips the budget; later leaves return " +
+      "timeout shapes; run is deterministic") {
+    val clock = new FakeClock()
+    // every TXT lookup "takes" 50 fake seconds — the second one crosses an
+    // 80 s budget, so everything after it must carry the timeout shape
+    val slow = new ForwardingProbeService(u) {
+      override def txtFor(domain: String): Seq[String] = {
+        clock.advanceSeconds(50); inner.txtFor(domain)
+      }
+    }
+    def run(): DomainResult =
+      new Probes(slow, CrawlConfig(), clock).processDomain("nic.cz", "t")
+    val r = run()
+    // getDnsLocal resolves TXT first (50 s in), then _dmarc TXT — which
+    // starts inside budget and *returns* at 100 s, past it (cooperative
+    // semantics: the crossing leaf completes; everything after sees the
+    // tripped guard and gets the timeout shape)
+    assert(r.DNS_LOCAL.TXT.isDefined)       // before expiry: real answer
+    assert(r.DNS_LOCAL.TXT_openid.isEmpty)  // first leaf after the crossing
+    assert(r.DNS_LOCAL.DS.isEmpty)
+    assert(r.DNS_LOCAL.DNSSEC == Dnssec(None, None, Some("timeout"), None))
+    assert(r.DNS_AUTH.isEmpty)             // NS resolve after expiry → None
+    assert(r.WEB.WEB4_80.isEmpty)          // A-records gone → no web combos
+    // deterministic: identical fake time-line → identical document
+    val clock2 = new FakeClock()
+    val slow2 = new ForwardingProbeService(u) {
+      override def txtFor(domain: String): Seq[String] = {
+        clock2.advanceSeconds(50); inner.txtFor(domain)
+      }
+    }
+    val r2 = new Probes(slow2, CrawlConfig(), clock2).processDomain("nic.cz", "t")
+    assert(JsonSink.toJson(r, CrawlConfig()) == JsonSink.toJson(r2, CrawlConfig()))
+  }
+
+  test("cooperative: budget re-arms per domain") {
+    val clock = new FakeClock()
+    val slow = new ForwardingProbeService(u) {
+      override def txtFor(domain: String): Seq[String] = {
+        clock.advanceSeconds(50); inner.txtFor(domain)
+      }
+    }
+    val p = new Probes(slow, CrawlConfig(), clock)
+    assert(p.processDomain("nic.cz", "t").DNS_AUTH.isEmpty) // expired mid-domain
+    // next domain starts a fresh 80 s budget: without the re-arm, the guard
+    // (tripped 100 fake-seconds into domain 1) would blank even the first
+    // TXT of domain 2; with it, the first TXT lands inside the new budget
+    // (nic.cz again — a domain test 2 already shows has real TXT records)
+    val r2 = p.processDomain("nic.cz", "t")
+    assert(r2.DNS_LOCAL.TXT.isDefined)
+  }
+
+  test("hard mode: a leaf that hangs past the budget is interrupted and the " +
+      "web step carries the reference timeout error, within wall budget") {
+    val hang = new ForwardingProbeService(u) {
+      override def webStep(host: String, ip: String, port: Int, hop: Int,
+          path: String) = {
+        Thread.sleep(30000) // would blow way past the 1 s budget
+        inner.webStep(host, ip, port, hop, path)
+      }
+    }
+    val p = new Probes(hang, CrawlConfig(jobTimeoutSeconds = 1),
+      ProbeClock.system, hardLeafTimeouts = true)
+    val t0 = System.nanoTime()
+    val r = p.processDomain("nic.cz", "t")
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // one hanging leaf is cut at the remaining budget; everything after
+    // short-circuits, so the whole domain lands well under the hang time
+    assert(elapsedSec < 10.0, s"took $elapsedSec s")
+    val steps = r.WEB.WEB4_80.get.head.steps.get
+    assert(steps.head.error.contains("timeout")) // web_utils.py:122-127 shape
+    assert(steps.head.status.isEmpty)
+  }
+
+  test("jobTimeoutSeconds = 0 disables the wrapper entirely") {
+    val p = new Probes(u, CrawlConfig(jobTimeoutSeconds = 0))
+    assert(p.u eq u) // no DeadlineProbeService in the path
+  }
+}
