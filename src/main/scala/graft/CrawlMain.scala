@@ -24,6 +24,10 @@ import graft.universe.Universe
   *                             Each round carries a fixed stage/commit cost
   *                             that amortizes at corpus scale (≥10⁵ domains
   *                             per round) — use .txt for tiny inputs
+  *   --config FILE     reference-format config.yml (config_loader.py
+  *                             semantics: defaults-merge, string coercion,
+  *                             legacy-format detection); missing file →
+  *                             defaults
   *   --out DIR         write results there (default: JSON lines on stdout,
   *                             like the reference, single.py:55)
   *   --format jsonl|parquet    output format for --out (default jsonl)
@@ -52,8 +56,9 @@ object CrawlMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty || args.contains("-h") || args.contains("--help")) {
       System.err.println("Usage: spark-submit --class graft.CrawlMain graft.jar " +
-        "<input.txt|input.parquet> [--out DIR] [--format jsonl|parquet] " +
-        "[--work DIR] [--max-rounds N] [--partitions P] [--seed N]")
+        "<input.txt|input.parquet> [--config config.yml] [--out DIR] " +
+        "[--format jsonl|parquet] [--work DIR] [--max-rounds N] " +
+        "[--partitions P] [--seed N]")
       sys.exit(1)
     }
     val input = args(0)
@@ -82,7 +87,14 @@ object CrawlMain {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = CrawlConfig()
+    // reference-compatible YAML config (config_loader.py): defaults-merge
+    // with string coercion; missing/empty file falls back to defaults
+    val cfg = opt("--config") match {
+      case Some(path) =>
+        err(s"Loading config from $path.")
+        graft.probes.ConfigLoader.load(path)
+      case None => CrawlConfig()
+    }
     val u = new Universe(seed)
     val eng = new Engine(spark, u, cfg, workDir = workDir,
       frontierPartitions = partitions)
