@@ -164,15 +164,32 @@ class Engine(
           }
         }
         val ref = s"$outDir/part$idx.bin"
+        // Snapshot discipline: write to a per-attempt temp file, then an
+        // atomic rename — a speculative or retried task racing a sibling
+        // can never leave a torn part$idx.bin (each attempt publishes a
+        // complete file; last rename wins). The write fires on full drain
+        // AND on task completion (backstop), so a consumer that stops
+        // early (limit/take, AQE early-out) still records the keys it
+        // actually admitted; a failed attempt's write is harmless because
+        // this round's refs are only committed after the round succeeds.
+        val ctx = org.apache.spark.TaskContext.get()
+        var snapped = false
+        // function value, not a nested def: a def would compile to an
+        // Engine method and pull `this` into the task closure
+        val snapshot: () => Unit = () => if (!snapped) {
+          snapped = true
+          val attempt = if (ctx != null) ctx.taskAttemptId() else System.nanoTime()
+          val tmp = Paths.get(s"$ref.a$attempt.tmp")
+          Files.write(tmp, seen.serialize())
+          Files.move(tmp, Paths.get(ref),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => snapshot())
         new Iterator[FrontierEntry] {
-          private var snapped = false
           def hasNext: Boolean = {
             val h = fresh.hasNext
-            if (!h && !snapped) {
-              // executor-side snapshot write (shared FS), after full drain
-              Files.write(Paths.get(ref), seen.serialize())
-              snapped = true
-            }
+            if (!h) snapshot() // full drain: publish without waiting for task end
             h
           }
           def next(): FrontierEntry = fresh.next()
@@ -284,14 +301,18 @@ class Engine(
     val u = universe
     val conf = cfg
     val ts = clock
-    val input = entries.cache()
+    // cache only if the caller hasn't (run() passes already-cached rounds;
+    // re-caching would log "already cached" and double-register storage)
+    val needCache = entries.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val input = if (needCache) entries.cache() else entries
     val salts = saltCounts(input)
     val saltOf = udf((b: Int) => salts.getOrElse(b, 1))
     // Explicit partition count: the probe stage is compute-bound on tiny
     // rows, so AQE's byte-based coalescing would collapse it onto a few
     // cores (40 MB of FrontierEntry rows ≈ hours of probe CPU at real
-    // scale). 2× cores gives straggler slack; user-specified N is
-    // preserved by AQE.
+    // scale). 4× cores gives straggler slack — probe cost varies per
+    // domain (NS fan-out, redirect chains), so finer tasks level the load;
+    // user-specified N is preserved by AQE.
     val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 4
     val salted = input
       .withColumn("_salt", pmod(col("key"), saltOf(col("nsBucket"))))
@@ -299,7 +320,7 @@ class Engine(
       .drop("_salt")
       .as[FrontierEntry]
 
-    if (!dedupAcrossPartitions) {
+    val result = if (!dedupAcrossPartitions) {
       // single narrow pass: per-partition NS-probe cache + full assembly
       salted.mapPartitions { it =>
         val p = new Probes(u, conf)
@@ -376,6 +397,11 @@ class Engine(
         .as[(DomainResult, Option[Seq[NsAuth]])]
         .map { case (r, a) => r.copy(DNS_AUTH = a.filter(_.nonEmpty)) }
     }
+    // release input's storage once the crawl plan itself has run (the
+    // saltCounts collect above must not trigger it — hence the result
+    // plan, not input, is the listener trigger)
+    if (needCache) graft.ops.DedupOps.unpersistAfter(result, input)
+    result
   }
 
   // ------------------------------------------------------------- run

@@ -26,14 +26,62 @@ object DedupOps {
 
   /** Input-split guard for compute-bound stages: a corpus-scale scan
     * arrives in thousands of splits, but a small test/bench input is one
-    * parquet row group = ONE partition, serializing the whole tokenize/
-    * hash pipeline onto a single core. When (and only when) the scan has
-    * fewer partitions than cores, spread it; at scale this is a no-op, so
-    * no shuffle is added to the real path.
+    * parquet file = one or two partitions, serializing the whole tokenize/
+    * hash pipeline onto a single core. When (and only when) the file scan
+    * has fewer files than cores, spread it; at scale (or for non-file
+    * inputs, which already carry the session parallelism) this is a no-op,
+    * so no shuffle is added to the real path. Probed via `inputFiles` —
+    * no `.rdd` conversion of the plan.
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < want) df.repartition(want) else df
+  }
+
+  /** Unpersist `cached` as soon as the FIRST query that consumes it
+    * completes (success or failure) — the scope of every cache in this
+    * file is "shared sub-plan within one downstream action", so holding
+    * executor storage beyond that action only thrashes the LRU in a
+    * long-running pipeline that calls these builders repeatedly. The
+    * consuming query is recognized by containing the cached frame's
+    * canonicalized analyzed subtree; the listener is one-shot and
+    * unregisters itself. If the caller never runs an action the cache
+    * stays registered but was never materialized, so no executor storage
+    * is held either way.
+    */
+  private[graft] def cacheUntilConsumed[T](df: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val c = df.cache(); unpersistAfter(c, c); c
+  }
+
+  private[graft] def unpersistWhenConsumed[T](cached: org.apache.spark.sql.Dataset[T]): Unit =
+    unpersistAfter(cached, cached)
+
+  /** When the first query whose analyzed plan contains `trigger`'s subtree
+    * completes (success or failure), unpersist `cached` and unregister.
+    * `trigger` may be a frame derived from `cached` — use that when the
+    * cache feeds an intermediate action (e.g. a stats collect) before the
+    * real consumer, so the storage survives until the *final* plan runs.
+    */
+  private[graft] def unpersistAfter[T, U](trigger: org.apache.spark.sql.Dataset[T],
+      cached: org.apache.spark.sql.Dataset[U]): Unit = {
+    val session = cached.sparkSession
+    val target = trigger.queryExecution.analyzed.canonicalized
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.canonicalized == target)) {
+          cached.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybe(qe)
+    }
+    session.listenerManager.register(listener)
   }
 
   /** Exact duplicate groups keyed by normalized-text md5. Returns one row
@@ -79,11 +127,15 @@ object DedupOps {
   /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). The
     * band table is cached — it feeds both sides of the bucket self-join,
     * and recomputing it would double the corpus tokenize+hash scans (at
-    * corpus scale you materialize signatures once; same trade here).
+    * corpus scale you materialize signatures once; same trade here). The
+    * cache is scoped to the first consuming action
+    * ([[cacheUntilConsumed]]), so repeated builder calls in a long-running
+    * pipeline don't accumulate executor storage.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val bb = minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand).cache()
+    val bb = cacheUntilConsumed(
+      minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand))
     val a = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -100,7 +152,7 @@ object DedupOps {
     */
   def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, minShared: Int = 1): DataFrame = {
-    val pairsC = pairs.select("id_a", "id_b").cache()
+    val pairsC = cacheUntilConsumed(pairs.select("id_a", "id_b"))
     val ids = pairsC.select(col("id_a").as("id"))
       .union(pairsC.select(col("id_b").as("id"))).distinct()
     // per-doc dedup happens INSIDE the row (array_distinct — no corpus-wide
@@ -108,12 +160,13 @@ object DedupOps {
     // the candidate-id set is broadcast (ids are a tiny fraction of the
     // corpus — longs, not text) and the non-candidate rows are dropped
     // BEFORE any shingle string is built
-    val ex = spread(docs
+    val ex = cacheUntilConsumed(spread(docs
       .select(col(idCol).as("id"), col(textCol).as("_jt"))
       .join(broadcast(ids), "id"))
       .select(col("id"),
-        explode(array_distinct(TextOps.shingles(col("_jt"), shingleK))).as("sh"))
-      .cache() // feeds sizes + both pair-expansion joins (3 consumers)
+        explode(array_distinct(TextOps.shingles(col("_jt"), shingleK))).as("sh")))
+    // ^ feeds sizes + both pair-expansion joins (3 consumers inside ONE
+    //   downstream query; storage dropped when that query finishes)
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val exA = ex.select(col("id").as("id_a"), col("sh"))
     val exB = ex.select(col("id").as("id_b"), col("sh"))
@@ -232,6 +285,9 @@ object DedupOps {
       it += 1
     }
     edges.unpersist()
+    // the final labels frame stays cached (the loop materialized it) until
+    // the caller's first consuming action, then its storage is released
+    unpersistWhenConsumed(labels)
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 

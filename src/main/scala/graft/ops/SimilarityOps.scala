@@ -87,8 +87,7 @@ object SimilarityOps {
     val pl = planes(dims, bits, tables)
     // input-split guard (see DedupOps.spread): the projection loop is
     // compute-bound; a one-row-group test input must not serialize it
-    val want = spark.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val src = DedupOps.spread(df)
     src.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>

@@ -163,4 +163,39 @@ class EngineSpec extends AnyFunSuite {
       .select("s.media_ref").as[String].collect()
     assert(refs.nonEmpty && refs.forall(_.startsWith("blob://img/")))
   }
+
+  test("seen-filter snapshots are complete, atomically-published files even " +
+      "when the consumer stops early") {
+    import java.nio.file.{Files => F, Paths}
+    val dir = F.createTempDirectory("engine-snap").toString
+    val eng = newEngine(dir)
+    val seeds = spark.createDataset(
+      (0 until 200).map(i => (u.seedDomain(i.toLong), i.toLong)))
+    val entries = eng.toFrontier(seeds)
+    // early-out consumer (the round-1 failure mode the drain-only snapshot
+    // had): limit stops tasks before the iterator drains
+    eng.admitUnseen(entries, round = 0).limit(3).collect()
+    val fdir = Paths.get(s"$dir/filters/r0")
+    // task-completion backstop publishes what each started task admitted;
+    // poll briefly — cancelled tasks finish just after collect returns
+    import scala.jdk.CollectionConverters._
+    def bins = {
+      val s = F.list(fdir); try s.iterator().asScala.map(_.toString).toVector finally s.close()
+    }
+    val deadline = System.nanoTime() + 5000000000L
+    while (bins.count(_.endsWith(".bin")) == 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val published = bins
+    assert(published.exists(_.endsWith(".bin")), s"no snapshot published: $published")
+    // atomic rename: every published file is a complete, parseable filter
+    published.filter(_.endsWith(".bin")).foreach { f =>
+      graft.frontier.CuckooFilter.deserialize(F.readAllBytes(Paths.get(f)))
+    }
+    // a full drain on a later round leaves no temp files behind
+    eng.admitUnseen(entries, round = 1).count()
+    val fdir1 = Paths.get(s"$dir/filters/r1")
+    val s1 = F.list(fdir1)
+    val all1 = try s1.iterator().asScala.map(_.getFileName.toString).toVector finally s1.close()
+    assert(all1.nonEmpty && all1.forall(_.endsWith(".bin")), s"leftovers: $all1")
+  }
 }
