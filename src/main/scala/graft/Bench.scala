@@ -48,19 +48,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query result: best-of-2 time over the SUCCESSFUL reps only, or
+    // NaN + an error entry when every rep throws — a failing query must
+    // never report its fast time-to-failure as a benchmark number
+    var errors = Vector.empty[(String, String)]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       // best-of-2: the first rep also pays JVM/C2/codegen warm-up, and this
       // box has measured multi-minute CPU-steal windows that swing identical
       // runs several-fold — a single cold sample is mostly noise
-      val dt = (1 to 2).map { _ =>
+      val reps = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors :+= name -> e.toString.takeWhile(_ != '\n').take(200)
+            false
+        }
         val d = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // queries that cache internal stages pay here
-        d
-      }.min
-      name -> dt
+        Option.when(ok)(d)
+      }
+      name -> (if (reps.nonEmpty) reps.min else Double.NaN)
     }
 
     val nCrawl = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "4000").toInt
@@ -69,11 +77,24 @@ object Bench {
       crawlBench(spark, nCrawl)).minBy(_._1)
     val domPerSec = if (crawlSec > 0) crawled / crawlSec else 0.0
 
+    // failed queries serialize as null (NaN is not valid JSON) and are
+    // excluded from the total; the errors field keeps the signal loud
     val qs = (results :+ ("crawl" -> crawlSec))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + crawlSec
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN) "null" else f"$v%.3f")
+      }.mkString("{", ",", "}")
+    val total = results.map(_._2).filterNot(_.isNaN).sum + crawlSec
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (q, m) =>
+        "\"" + q + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString(""","errors":{""", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_domains":$crawled,"crawl_domains_per_sec":$domPerSec%.1f,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_domains":$crawled,"crawl_domains_per_sec":$domPerSec%.1f,"cpus":$cpus$errJson}""")
+    if (errors.nonEmpty) {
+      errors.foreach { case (q, m) => System.err.println(s"BENCH FAILURE $q: $m") }
+      sys.exit(3) // a bench with failing queries must not look green
+    }
     spark.stop()
   }
 }

@@ -99,6 +99,9 @@ object CrawlMain {
     val eng = new Engine(spark, u, cfg, workDir = workDir,
       frontierPartitions = partitions)
 
+    // for .txt inputs: the reference's single.py contract — one JSON per
+    // input line, duplicates included, in input order
+    var orderedJson: Option[Dataset[String]] = None
     val results: Dataset[DomainResult] =
       if (input.endsWith(".parquet")) {
         err(s"Reading interleaved docs from $input.")
@@ -120,23 +123,45 @@ object CrawlMain {
         }
       } else {
         err(s"Reading domains from $input.")
-        val domains = spark.read.textFile(input)
-          .map(_.trim).filter(_.nonEmpty) // empty lines ignored (single.py:50)
-        err(s"Read ${domains.count()} domains.")
-        eng.crawlDomains(domains)
+        import org.apache.spark.sql.functions.{col, length, trim}
+        // line numbers = file order (zipWithIndex is deterministic for a
+        // given file); the reference emits one JSON result per input LINE,
+        // duplicates included, in input order (single.py:50-59) — the
+        // engine still crawls each canonical domain once, then results fan
+        // back out per line below
+        val lines = spark.createDataset(
+            spark.sparkContext.textFile(input).zipWithIndex())
+          .toDF("raw", "line_no")
+          .select(trim(col("raw")).as("domain"), col("line_no"))
+          .where(length(col("domain")) > 0) // empty lines ignored (single.py:50)
+          .cache()
+        err(s"Read ${lines.count()} domains.")
+        val res = eng.crawlDomains(lines.select("domain").as[String])
+        val keyed = res.map(r => (r.domain, JsonSink.toJson(r, cfg)))
+          .toDF("canonical", "json")
+        orderedJson = Some(lines
+          .withColumn("canonical", graft.canon.Canon.canonicalizeDomainCol(col("domain")))
+          .join(keyed, "canonical")
+          .orderBy("line_no")
+          .select("json").as[String])
+        res
       }
 
     outDir match {
       case Some(dir) if format == "parquet" =>
+        // parquet is our extension (no reference analog): the deduped
+        // result set, unordered — order carries no meaning in parquet
         results.write.mode("overwrite").parquet(dir)
         err(s"Finished. Results: $dir (parquet), state: $workDir.")
       case Some(dir) =>
-        JsonSink.jsonLines(results, cfg).write.mode("overwrite").text(dir)
+        orderedJson.getOrElse(JsonSink.jsonLines(results, cfg))
+          .write.mode("overwrite").text(dir)
         err(s"Finished. Results: $dir (JSON lines), state: $workDir.")
       case None =>
         // reference contract: one JSON document per line on stdout
         // (single.py:55); toLocalIterator keeps the driver at O(1 row)
-        val it = JsonSink.jsonLines(results, cfg).toLocalIterator()
+        val it = orderedJson.getOrElse(JsonSink.jsonLines(results, cfg))
+          .toLocalIterator()
         while (it.hasNext) println(it.next())
         err(s"Finished. State: $workDir.")
     }

@@ -47,6 +47,12 @@ object FrontierScaleBench {
     }
     leg() // warm-up (C2 + shuffle services)
     val (dt, admitted) = leg()
+    // the warm-up leg must not contaminate the measured leg: its snapshots
+    // are never committed to the checkpoint table, so the measured leg
+    // re-admits the full key set; fail loudly if that invariant breaks
+    // (admitted == 0 would also put Infinity — invalid JSON — below)
+    require(admitted > 0,
+      s"measured leg admitted 0 of $n keys — warm-up leg contaminated the seen-set")
 
     val filterBytes = {
       val d = new java.io.File(s"$dir/filters")

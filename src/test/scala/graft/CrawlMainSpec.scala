@@ -12,19 +12,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class CrawlMainSpec extends AnyFunSuite {
   private val spark = SparkSessionFixture.spark
 
-  test("plaintext list: one JSON line per canonical domain, jsonl out") {
+  test("plaintext list: one JSON line per input line, duplicates included, " +
+      "input order (single.py contract)") {
     val in = Files.createTempFile("domains", ".txt")
-    Files.writeString(in, "nic.cz\n\n  \nSeznam.CZ\nexample.cz.\n")
+    // Seznam.CZ and seznam.cz. are the same canonical domain — the
+    // reference still emits one result per input line (single.py:52-59)
+    Files.writeString(in, "nic.cz\n\n  \nSeznam.CZ\nexample.cz.\nseznam.cz.\n")
     val out = Files.createTempDirectory("crawl-out").toString + "/res"
     val work = Files.createTempDirectory("crawl-work").toString
     CrawlMain.main(Array(in.toString, "--out", out, "--work", work))
-    val lines = spark.read.textFile(out).collect()
-    assert(lines.length == 3) // empty/blank lines ignored
+    // read part files in name order — the ordered write preserves the
+    // line order across the sorted range partitions
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(java.nio.file.Paths.get(out))
+    val parts = try listing.iterator().asScala.toVector.sortBy(_.toString)
+      finally listing.close()
+    val lines = parts
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        !p.getFileName.toString.endsWith(".crc"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+    assert(lines.length == 4) // empty/blank lines ignored; duplicate kept
     assert(lines.forall(l => l.startsWith("{\"domain\":\"") && l.endsWith("}")))
-    assert(lines.exists(_.contains("\"domain\":\"nic.cz\"")))
+    // input order preserved; canonical domain in the output document
+    assert(lines(0).contains("\"domain\":\"nic.cz\""))
+    assert(lines(1).contains("\"domain\":\"seznam.cz\""))
+    assert(lines(2).contains("\"domain\":\"example.cz\""))
+    assert(lines(3).contains("\"domain\":\"seznam.cz\""))
+    assert(lines(1) == lines(3)) // same canonical → identical document
     // the golden nic.cz NS set from the reference e2e fixture
-    assert(lines.find(_.contains("\"domain\":\"nic.cz\"")).get
-      .contains("a.ns.nic.cz"))
+    assert(lines(0).contains("a.ns.nic.cz"))
     assert(spark.sparkContext.isStopped == false) // joined session survives
   }
 
