@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, and decode / feature-extract
   * runs as a partition-batched transform.
   *
-  * The Spark-side architecture is real and tested — schema, partition
-  * batching, feature row shape, deterministic output — while the codec
-  * itself is STUBBED: this container has no image/audio libraries, so
-  * [[StubCodec.decode]] derives a deterministic fake feature vector from
-  * the bytes. On a real cluster the stub body is replaced by the actual
-  * decoder (e.g. JNI image lib, or `mapInPandas`+PIL on the PySpark side)
-  * with zero changes to the pipeline shape.
+  * The decode is REAL for the formats the JDK ships codecs for —
+  * PNG/JPEG/BMP/GIF ([[JvmCodec]] via `javax.imageio`) and PCM WAV
+  * (`javax.sound.sampled`) — recognized by magic bytes. Formats outside
+  * the JDK's reach (video, webp, ogg, …) fall back to [[StubCodec]]'s
+  * deterministic md5-derived fake, the declared plug-in point for a
+  * JNI/native decoder (or `mapInPandas`+PIL on the PySpark side) with
+  * zero changes to the pipeline shape.
   */
 object MultiModalOps {
 
@@ -21,12 +21,141 @@ object MultiModalOps {
   case class MediaFeatures(doc_id: Long, media_kind: String, n_bytes: Long,
       width: Int, height: Int, feat: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for the real
-    * image/audio decode (library not present in this environment).
-    * Real implementation point: replace the body, keep the signature.
-    * Values derive from md5 of the payload so the DuckDB oracle can
-    * compute the identical "decode" — the stub is thus hash-verified
-    * end-to-end, not just rows-counted.
+  /** REAL in-JVM decoder for the common formats the JDK ships codecs for:
+    * PNG/JPEG/BMP/GIF via `javax.imageio` and WAV (PCM) via
+    * `javax.sound.sampled` — no external libraries. Formats are recognized
+    * by magic bytes, not the caller's `media_kind` hint, so a mislabeled
+    * blob still decodes (or falls back) correctly.
+    *
+    * Output contract (deterministic — pure function of the bytes):
+    *  - images: (width, height) are the real pixel dimensions; feat is an
+    *    8-dim [0,1] vector = mean grayscale of the four quadrants, global
+    *    mean, global max-min spread, aspect ratio (w/(w+h)), and
+    *    log-scaled byte size.
+    *  - WAV audio: width = frame count (clipped to Int.MaxValue),
+    *    height = sample rate; feat = RMS amplitude of four equal time
+    *    segments, global RMS, peak, channel count scaled, log byte size.
+    *
+    * Exotic/undecodable payloads fall back to [[StubCodec]] (the
+    * md5-derived deterministic fake), which keeps q25's oracle exact: the
+    * sandbox demo blobs are text bytes with no image/audio magic, so they
+    * take the fallback path unchanged.
+    */
+  object JvmCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    /** Magic-byte sniff; None = not a format we decode in-JVM. */
+    def sniff(b: Array[Byte]): Option[String] = {
+      if (b.length < 12) None
+      else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+      else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+               b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("wav")
+      else None
+    }
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      sniff(bytes).flatMap {
+        case "wav" => decodeWav(bytes)
+        case _ => decodeImage(bytes)
+      }
+
+    private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // quadrant means on a bounded sample grid: decode cost stays
+        // O(grid), not O(pixels), for arbitrarily large images
+        val grid = 32
+        val sums = new Array[Double](4); val counts = new Array[Long](4)
+        var gMin = 1.0; var gMax = 0.0; var gSum = 0.0; var gN = 0L
+        var yi = 0
+        while (yi < math.min(grid, h)) {
+          val y = yi * h / math.min(grid, h)
+          var xi = 0
+          while (xi < math.min(grid, w)) {
+            val x = xi * w / math.min(grid, w)
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+              (rgb & 0xff) * 114L) / 1000.0 / 255.0
+            val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+            sums(q) += lum; counts(q) += 1
+            if (lum < gMin) gMin = lum
+            if (lum > gMax) gMax = lum
+            gSum += lum; gN += 1
+            xi += 1
+          }
+          yi += 1
+        }
+        val feat = Array(
+          if (counts(0) > 0) (sums(0) / counts(0)).toFloat else 0f,
+          if (counts(1) > 0) (sums(1) / counts(1)).toFloat else 0f,
+          if (counts(2) > 0) (sums(2) / counts(2)).toFloat else 0f,
+          if (counts(3) > 0) (sums(3) / counts(3)).toFloat else 0f,
+          if (gN > 0) (gSum / gN).toFloat else 0f,
+          (gMax - gMin).toFloat,
+          w.toFloat / (w + h).toFloat,
+          (math.log1p(bytes.length.toDouble) / 32.0).toFloat)
+        Some((w, h, feat))
+      }
+    }
+
+    private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          val data = in.readAllBytes()
+          val nSamples = data.length / bytesPerSample
+          def sampleAt(i: Int): Double = {
+            val off = i * bytesPerSample
+            val raw =
+              if (bytesPerSample == 2)
+                ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toDouble / 32768.0
+              else (data(off) & 0xff).toDouble / 255.0 * 2 - 1
+            raw
+          }
+          val segRms = new Array[Double](4)
+          var peak = 0.0; var sumSq = 0.0
+          var i = 0
+          while (i < nSamples) {
+            val s = sampleAt(i)
+            val seg = math.min(3, i * 4 / math.max(1, nSamples))
+            segRms(seg) += s * s
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          val perSeg = math.max(1, nSamples / 4)
+          val feat = Array(
+            math.sqrt(segRms(0) / perSeg).toFloat,
+            math.sqrt(segRms(1) / perSeg).toFloat,
+            math.sqrt(segRms(2) / perSeg).toFloat,
+            math.sqrt(segRms(3) / perSeg).toFloat,
+            math.sqrt(sumSq / math.max(1, nSamples)).toFloat,
+            peak.toFloat,
+            fmt.getChannels / 8f,
+            (math.log1p(bytes.length.toDouble) / 32.0).toFloat)
+          Some((math.min(frames, Int.MaxValue.toLong).toInt,
+            fmt.getSampleRate.toInt, feat))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Fallback decoder — deterministic md5-derived fake for formats with no
+    * in-JVM codec (real pipelines plug a JNI/native decoder here; keep the
+    * signature). Values derive from md5 of the payload so the DuckDB
+    * oracle can compute the identical "decode" — the fallback is thus
+    * hash-verified end-to-end, not just rows-counted.
     */
   object StubCodec {
     private val md5tl = ThreadLocal.withInitial[java.security.MessageDigest](() =>
@@ -52,7 +181,10 @@ object MultiModalOps {
     media.mapPartitions { rows =>
       // per-partition codec init would go here (model load, JNI handles)
       rows.map { r =>
-        val (w, h, feat) = StubCodec.decode(r.media_kind, r.media)
+        // real in-JVM decode when the magic bytes match a JDK codec;
+        // deterministic md5 fallback otherwise (exotic formats)
+        val (w, h, feat) = JvmCodec.decode(r.media)
+          .getOrElse(StubCodec.decode(r.media_kind, r.media))
         MediaFeatures(r.doc_id, r.media_kind, r.media.length.toLong, w, h, feat)
       }
     }
