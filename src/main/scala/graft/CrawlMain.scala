@@ -96,8 +96,15 @@ object CrawlMain {
       case None => CrawlConfig()
     }
     val u = new Universe(seed)
+    // real mmdb GeoIP when the config points at databases (missing files
+    // disable that db with a warning, like the reference); synthetic
+    // geo otherwise
+    val svc: graft.probes.ProbeService =
+      if (cfg.geoipCountry.isDefined || cfg.geoipIsp.isDefined || cfg.geoipAsn.isDefined)
+        new graft.universe.GeoMmdbService(u, cfg.geoipCountry, cfg.geoipIsp, cfg.geoipAsn)
+      else u
     val eng = new Engine(spark, u, cfg, workDir = workDir,
-      frontierPartitions = partitions)
+      frontierPartitions = partitions, probeService = svc)
 
     // for .txt inputs: the reference's single.py contract — one JSON per
     // input line, duplicates included, in input order

@@ -59,10 +59,20 @@ class Engine(
     workDir: String,
     frontierPartitions: Int = 32,
     seedChunkSize: Int = 10000,
-    filterCapacityPerPartition: Long = 1L << 20) {
+    filterCapacityPerPartition: Long = 1L << 20,
+    /** Probe-leaf service for the crawl stages; null (default) = the
+      * universe itself. Pass a decorator (e.g. [[graft.universe.GeoMmdbService]]
+      * for real mmdb GeoIP) to swap leaves without touching scheduling —
+      * the frontier attributes (nsBucket, TTL priority, politeness
+      * budgets) always come from `universe`.
+      */
+    probeService: graft.probes.ProbeService = null) {
 
   import Engine._
   import spark.implicits._
+
+  private val svc: graft.probes.ProbeService =
+    Option(probeService).getOrElse(universe)
 
   /** Injected deterministic clock (reference stamps wall time,
     * `crawl.py:167`; determinism requires a fixed stamp).
@@ -298,7 +308,7 @@ class Engine(
     */
   def crawlEntries(entries: Dataset[FrontierEntry],
       dedupAcrossPartitions: Boolean = false): Dataset[DomainResult] = {
-    val u = universe
+    val u = svc // probe leaves go through the pluggable service
     val conf = cfg
     val ts = clock
     // cache only if the caller hasn't (run() passes already-cached rounds;
@@ -327,20 +337,21 @@ class Engine(
         val nsIpCache = scala.collection.mutable.HashMap.empty[String, NsIp]
         val (hasV4, hasV6) = (p.sourceIpv4.isDefined, p.sourceIpv6.isDefined)
         it.map { e =>
+          p.armDeadline() // per-domain T3 budget, like processDomain
           val dl = p.getDnsLocal(e.canonical)
-          val ns = u.nsFor(e.canonical)
+          val ns = p.u.nsFor(e.canonical)
           val auth =
             if (ns.isEmpty) None
             else Some(ns.filter(_.nonEmpty).map { n =>
-              val v4 = if (hasV4) u.nsIps4(n).map(ip =>
+              val v4 = if (hasV4) p.u.nsIps4(n).map(ip =>
                 nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))) else Seq.empty
-              val v6 = if (hasV6) u.nsIps6(n).map(ip =>
+              val v6 = if (hasV6) p.u.nsIps6(n).map(ip =>
                 nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))) else Seq.empty
               NsAuth(n, Option.when(v4.nonEmpty)(v4), Option.when(v6.nonEmpty)(v6))
             })
           DomainResult(e.canonical, ts, dl, auth,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
-            p.getWebPaths(e.canonical, dl), u.hstsPreload(e.canonical),
+            p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical),
             Option.when(conf.saveWorkerHostname)(conf.workerHostname))
         }
       }

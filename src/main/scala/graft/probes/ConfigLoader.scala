@@ -225,6 +225,7 @@ object ConfigLoader {
         case _ => dflt
       }
 
+    val geoip = section("geoip")
     val dns = section("dns")
     val timeouts = section("timeouts")
     val mail = section("mail")
@@ -255,6 +256,9 @@ object ConfigLoader {
       webPaths = strList(web, "paths", base.webPaths),
       connectivityIpv4 = optStr(conn, "ipv4", base.connectivityIpv4),
       connectivityIpv6 = optStr(conn, "ipv6", base.connectivityIpv6),
-      saveWorkerHostname = bool(root, "save_worker_hostname", base.saveWorkerHostname))
+      saveWorkerHostname = bool(root, "save_worker_hostname", base.saveWorkerHostname),
+      geoipCountry = optStr(geoip, "country", base.geoipCountry),
+      geoipIsp = optStr(geoip, "isp", base.geoipIsp),
+      geoipAsn = optStr(geoip, "asn", base.geoipAsn))
   }
 }

@@ -31,6 +31,12 @@ class Probes(
   /** The leaf service all probe code calls — deadline-guarded when T3 is on. */
   val u: ProbeService = deadline.getOrElse(rawService)
 
+  /** Re-arm the per-domain T3 budget. [[processDomain]] does this itself;
+    * callers that inline the per-domain assembly (the engine's crawl
+    * stage) call it once per domain instead.
+    */
+  def armDeadline(): Unit = deadline.foreach(_.startJob())
+
   /** Source-address probe (S8, reference `ip_utils.py:44-75` +
     * `get_source_addresses`): resolved once per Probes (≈ per worker, like
     * the reference's Redis-cached `sourceips-<hostname>`); None gates the
@@ -425,4 +431,10 @@ case class CrawlConfig(
     connectivityIpv4: Option[String] = Some("193.17.47.1"),
     connectivityIpv6: Option[String] = Some("2001:148f:ffff::1"),
     saveWorkerHostname: Boolean = false, // config_loader.py:80
-    workerHostname: String = "graft-worker-0")
+    workerHostname: String = "graft-worker-0",
+    /** mmdb paths (config.yml geoip section; `geoip_utils.py:27-54`
+      * precedence: isp beats asn). None = synthetic geo dimension.
+      */
+    geoipCountry: Option[String] = None,
+    geoipIsp: Option[String] = None,
+    geoipAsn: Option[String] = None)
