@@ -181,19 +181,83 @@ object Parsers {
       Some(dec.decode(java.nio.ByteBuffer.wrap(data)).toString)
     } catch { case _: Exception => None }
 
+  /** Deterministic byte-histogram charset detector — the pure-Scala analog
+    * of the reference's primary ICU path (`icu.CharsetDetector`,
+    * `web_utils.py:134`), tuned for the crawler's home turf: Czech legacy
+    * pages in windows-1250 / iso-8859-2 vs western windows-1252.
+    *
+    * Decision tree:
+    *  1. pure ASCII → "ascii"; strictly-valid UTF-8 → "utf-8".
+    *  2. otherwise a single-byte encoding. cp1250, latin2 and cp1252 agree
+    *     on most Latin-1 letter positions (á é í ó ú ä ö ü …), so only the
+    *     *discriminative* bytes decide: Czech-leaning positions — 0x9D ť,
+    *     0xEC ě (ì west), 0xF8 ř (ø west), 0xE8 č (è west), 0xF9 ů (ù
+    *     west), plus latin2's š/ž at 0xB9/0xBE — against western-leaning
+    *     0xE0 à and 0xE7 ç. Czech wins ties (nic.cz's crawl population).
+    *  3. Czech family: any 0x80–0x9F byte (letters š/ž/ť in the windows
+    *     codepage, control range in ISO) → "windows-1250"; else 0xB9/0xBE
+    *     present → "iso-8859-2"; else "windows-1250" (the two agree on
+    *     every byte such a text contains, and cp1250 is the reference's
+    *     `fallback_encodings[0]`).
+    */
+  def detectCharset(data: Array[Byte]): String = {
+    if (data.forall(_ >= 0)) return "ascii"
+    if (isValidUtf8(data)) return "utf-8"
+    var czech = 0; var western = 0
+    var winRange = false; var latin2Marker = false
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (b >= 0x80) {
+        if (b <= 0x9f) winRange = true
+        b match {
+          case 0x9d | 0xec | 0xf8 | 0xe8 | 0xf9 => czech += 1
+          case 0xb9 | 0xbe => czech += 1; latin2Marker = true
+          case 0xe0 | 0xe7 => western += 1
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    if (czech >= western && czech > 0) {
+      if (winRange) "windows-1250"
+      else if (latin2Marker) "iso-8859-2"
+      else "windows-1250"
+    } else "windows-1252"
+  }
+
+  private def isValidUtf8(data: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xe0) == 0xc0 && b >= 0xc2) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 4
+        else return false
+      if (i + len > data.length) return false
+      var j = 1
+      while (j < len) {
+        if ((data(i + j) & 0xc0) != 0x80) return false
+        j += 1
+      }
+      i += len
+    }
+    true
+  }
+
   /** Encoding auto-detection with the reference's exact fallback structure
-    * (`web_utils.py:130-152`): detector guess first; on decode failure the
-    * content-type charset is tried once, then the fallback chain
-    * iso-8859-2 → windows-1252 (the reference's first non-forced fallback
-    * is `fallback_encodings[1]`, skipping windows-1250 unless the header
-    * names it), then (None, None). The ICU detector is replaced by a
-    * deterministic stand-in: pure-ASCII → "ascii", else "utf-8" (= the
-    * reference's own no-ICU AttributeError branch, `web_utils.py:135-137`).
+    * (`web_utils.py:130-152`): detector guess first ([[detectCharset]] —
+    * the ICU analog); on decode failure the content-type charset is tried
+    * once, then the fallback chain iso-8859-2 → windows-1252 (the
+    * reference's first non-forced fallback is `fallback_encodings[1]`,
+    * skipping windows-1250 unless the header names it), then (None, None).
     * Returns (decoded content, encoding).
     */
   def autodetectEncoding(data: Array[Byte], contentType: Option[String])
       : (Option[String], Option[String]) = {
-    val detected = if (data.forall(_ >= 0)) "ascii" else "utf-8"
+    val detected = detectCharset(data)
     tryDecode(data, detected) match {
       case Some(s) => (Some(s), Some(detected))
       case None =>

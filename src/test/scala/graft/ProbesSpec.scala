@@ -177,13 +177,35 @@ class ProbesSpec extends AnyFunSuite {
     assert(Parsers.detectEncoding(Some("text/html; charset=utf-8"), "x") == "ascii")
     assert(Parsers.detectEncoding(Some("text/html"), "plain ascii") == "ascii")
     assert(Parsers.detectEncoding(None, "háčky") == "utf-8")
-    // fallback chain on undecodable bytes: header charset → iso-8859-2
-    val bad = Array[Byte](0x68, 0xE8.toByte, 0x20, 0x68) // invalid UTF-8
-    assert(Parsers.autodetectEncoding(bad, None)._2.contains("iso-8859-2"))
+    // Czech-range byte without a header: the histogram detector proposes
+    // windows-1250 directly (the ICU primary-path analog) and it decodes
+    val bad = Array[Byte](0x68, 0xE8.toByte, 0x20, 0x68) // č in cp1250
+    val (decoded, enc) = Parsers.autodetectEncoding(bad, None)
+    assert(decoded.contains("hč h") && enc.contains("windows-1250"))
     assert(Parsers.autodetectEncoding(bad,
       Some("text/html; charset=windows-1250"))._2.contains("windows-1250"))
-    val (decoded, enc) = Parsers.autodetectEncoding(bad, None)
-    assert(decoded.exists(_.length == 4) && enc.contains("iso-8859-2"))
+    // fallback chain when the detector's guess cannot decode: 0x81 is
+    // undefined in cp1250/cp1252 → header charset → iso-8859-2 succeeds
+    val undec = Array[Byte](0x68, 0x81.toByte, 0x68)
+    assert(Parsers.autodetectEncoding(undec, None)._2.contains("iso-8859-2"))
+    assert(Parsers.autodetectEncoding(undec, None)._1.exists(_.length == 3))
+    // F13: real Czech text in the three legacy encodings, NO charset
+    // header — the detector must pick the right codepage so the round-trip
+    // reproduces the original string (the reference's ICU primary path)
+    val czech = "příliš žluťoučký kůň úpěl ďábelské ódy"
+    for (cs <- Seq("windows-1250", "iso-8859-2")) {
+      val bytes = czech.getBytes(java.nio.charset.Charset.forName(cs))
+      val (dec, e) = Parsers.autodetectEncoding(bytes, None)
+      assert(dec.contains(czech), s"$cs: got $dec")
+      assert(e.contains(cs), s"$cs: detected $e")
+    }
+    val french = "déjà vu à côté, garçon français"
+    val fBytes = french.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val (fDec, fEnc) = Parsers.autodetectEncoding(fBytes, None)
+    assert(fDec.contains(french) && fEnc.contains("windows-1252"))
+    // utf-8 Czech bytes stay utf-8 (strict validation, not a guess)
+    val (uDec, uEnc) = Parsers.autodetectEncoding(czech.getBytes("UTF-8"), None)
+    assert(uDec.contains(czech) && uEnc.contains("utf-8"))
     // web steps carry the parsed headers end-to-end; detected_encoding
     // exists only under save_content (web_utils.py:283-320)
     val pc = new Probes(u, CrawlConfig(saveContent = true))
