@@ -153,13 +153,17 @@ object Model {
 
   /** One hop of an HTTP(S) fetch (reference `web_utils.py:225-320`).
     * The heterogeneous headers map is split per SURVEY §1.4: raw string map
-    * + typed sibling columns for the parsed headers.
+    * + typed sibling columns for the parsed headers. `header_names` keeps
+    * the network ARRIVAL order (names are unique — requests merges
+    * duplicates) so the JSON emitter reproduces reference byte order; the
+    * map alone would round-trip through Spark rows as hash order.
     */
   case class WebStep(
       url: String,
       status: Option[Int],
       is_redirect: Option[Boolean],
       headers: Map[String, String],
+      header_names: Seq[String],
       hsts_header: Option[HstsHeader],
       alt_svc: Option[Map[String, String]],
       cookies: Option[Seq[Cookie]],

@@ -46,8 +46,14 @@ trait ProbeService extends Serializable {
   def sourceAddress(fam: Int, target: Option[String]): Option[String]
   def hstsPreload(domain: String): Boolean
   // ---- web leaves (web_utils.py, certificate.py)
+  /** One fetch hop: (status, location, headers in ARRIVAL order, body,
+    * isBinary). Headers are a seq, not a map — the reference preserves
+    * network arrival order in its JSON output, and requests' dict merge
+    * keeps names unique, so (name, value) pairs in order carry the wire
+    * truth; [[Probes.fetchWeb]] derives the lookup map.
+    */
   def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
-      : (Int, Option[String], Map[String, String], Option[String], Boolean)
+      : (Int, Option[String], Seq[(String, String)], Option[String], Boolean)
   def tlsInfo(host: String, ip: String): (String, String)
   def certFor(host: String): Certificate
   def certChainFor(host: String): Seq[Certificate]
@@ -82,7 +88,7 @@ class ForwardingProbeService(protected val inner: ProbeService) extends ProbeSer
     inner.sourceAddress(fam, target)
   def hstsPreload(domain: String): Boolean = inner.hstsPreload(domain)
   def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
-      : (Int, Option[String], Map[String, String], Option[String], Boolean) =
+      : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
     inner.webStep(host, ip, port, hop, path)
   def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
   def certFor(host: String): Certificate = inner.certFor(host)
@@ -198,8 +204,8 @@ final class DeadlineProbeService(
   // web: status 0 is the fetch-timeout sentinel Probes.fetchWeb maps to
   // the reference's {"error": "timeout"} step
   def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
-      : (Int, Option[String], Map[String, String], Option[String], Boolean) =
-    guard((0, Option.empty[String], Map.empty[String, String],
+      : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
+    guard((0, Option.empty[String], Seq.empty[(String, String)],
       Option.empty[String], false))(inner.webStep(host, ip, port, hop, path))
   def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
   def certFor(host: String): Certificate = inner.certFor(host)

@@ -247,10 +247,11 @@ class Probes(
     // current host drives the fetch, its TLS handshake, and its cert
     var curHost = host
     while (!done && hop <= cfg.maxRedirects) {
-      val (status, loc, headers, body, isBin) = u.webStep(curHost, ip, curPort, hop, path)
+      val (status, loc, headerSeq, body, isBin) = u.webStep(curHost, ip, curPort, hop, path)
+      val headers = headerSeq.toMap // lookup view; arrival order kept below
       if (status == 0) {
-        steps :+= WebStep(url, None, None, Map.empty, None, None, None, None,
-          Some(ip), None, None, None, None, None, None, Some("timeout"))
+        steps :+= WebStep(url, None, None, Map.empty, Seq.empty, None, None, None,
+          None, Some(ip), None, None, None, None, None, None, Some("timeout"))
         done = true
       } else {
         val isRedirect = loc.isDefined && status >= 300 && status < 400
@@ -285,6 +286,7 @@ class Probes(
         steps :+= WebStep(
           url = url, status = Some(status), is_redirect = Some(isRedirect),
           headers = headers,
+          header_names = headerSeq.map(_._1), // network arrival order
           hsts_header = headers.get("strict-transport-security").map(Parsers.parseHstsHeader),
           alt_svc = headers.get("alt-svc").map(Parsers.parseAltSvc),
           cookies = headers.get("set-cookie")

@@ -300,51 +300,55 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
   // ------------------------------------------------------------- web
 
   /** One HTTP(S) fetch step at `(hostVariant, ip, port, path, hop)`.
-    * Returns (status, locationOrNull, headers, bodyOrNull, isBinary).
+    * Returns (status, locationOrNull, headers in ARRIVAL order,
+    * bodyOrNull, isBinary). Header order mirrors a realistic wire order
+    * (server first, then entity headers, security/cookie/alt-svc last) and
+    * is deliberately NOT alphabetical — the JSON emitter must reproduce
+    * arrival order like the reference does.
     */
   def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
-      : (Int, Option[String], Map[String, String], Option[String], Boolean) = {
+      : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) = {
     if (host.endsWith("nic.cz")) {
       // golden: first step 301 http→https, final 200 with server nginx
       if (port == 80 && hop == 0)
         return (301, Some(s"https://$host/"),
-          Map("server" -> "nginx", "location" -> s"https://$host/"), None, false)
+          Vector("server" -> "nginx", "location" -> s"https://$host/"), None, false)
       return (200, None,
-        Map("server" -> "nginx", "content-type" -> "text/html; charset=utf-8"),
+        Vector("server" -> "nginx", "content-type" -> "text/html; charset=utf-8"),
         Some(s"<html><title>CZ.NIC</title></html>"), false)
     }
     val x = h("web", host, ip, intStr(port), intStr(hop), path)
     val redirChainLen = Math.floorMod(h("weblen", host, intStr(port)), 9L).toInt // up to 8 > max_redirects 6
-    if (pct(x) < 8) return (0, None, Map.empty, None, false) // connection error sentinel
+    if (pct(x) < 8) return (0, None, Vector.empty, None, false) // connection error sentinel
     if (hop < redirChainLen && port == 80)
       (301, Some(s"https://$host$path"),
-        Map("server" -> srv(x), "location" -> s"https://$host$path"), None, false)
+        Vector("server" -> srv(x), "location" -> s"https://$host$path"), None, false)
     else if (hop < redirChainLen && pct(x >>> 56) < 10 && !host.startsWith("alt-"))
       // cross-host redirect (reference follows Location to other hosts,
       // web_utils.py:202-223): the alt host serves its own chain and cert
       (302, Some(s"https://alt-$host$path"),
-        Map("server" -> srv(x), "location" -> s"https://alt-$host$path"), None, false)
+        Vector("server" -> srv(x), "location" -> s"https://alt-$host$path"), None, false)
     else if (hop < redirChainLen)
       (302, Some(s"https://$host/r$hop$path"),
-        Map("server" -> srv(x), "location" -> s"https://$host/r$hop$path"), None, false)
+        Vector("server" -> srv(x), "location" -> s"https://$host/r$hop$path"), None, false)
     else if (pct(x >>> 8) < 10)
-      (404, None, Map("server" -> srv(x), "content-type" -> "text/html"),
+      (404, None, Vector("server" -> srv(x), "content-type" -> "text/html"),
         Some("<html>404</html>"), false)
     else if (pct(x >>> 16) < 7)
-      (200, None, Map("server" -> srv(x), "content-type" -> "application/octet-stream",
+      (200, None, Vector("server" -> srv(x), "content-type" -> "application/octet-stream",
         "content-length" -> s"${Math.floorMod(x, 90000L)}"), Some(f"bin:${mix64(x)}%016x"), true)
     else {
-      var hdrs = Map("server" -> srv(x),
+      var hdrs = Vector("server" -> srv(x),
         "content-type" -> "text/html; charset=utf-8",
         "content-length" -> s"${Math.floorMod(x, 50000L)}")
       if (port == 443 && pct(x >>> 24) < 40)
-        hdrs += "strict-transport-security" ->
+        hdrs :+= "strict-transport-security" ->
           s"max-age=${86400 * (1 + Math.floorMod(x, 365L))}; includeSubDomains"
       if (pct(x >>> 40) < 25)
-        hdrs += "set-cookie" ->
+        hdrs :+= "set-cookie" ->
           s"sid=${java.lang.Long.toHexString(mix64(x))}; Path=/; HttpOnly${if (port == 443) "; Secure" else ""}; tracker=${Math.floorMod(x, 97L)}"
       if (pct(x >>> 48) < 15)
-        hdrs += "alt-svc" -> "h3=\":443\"; ma=86400, h2=\":443\""
+        hdrs :+= "alt-svc" -> "h3=\":443\"; ma=86400, h2=\":443\""
       // a slice of pages carries non-ASCII UTF-8 (háčky) so encoding
       // detection exercises the utf-8 branch, not just ascii
       val diacritics = if (pct(x >>> 56) < 20) " čeština příliš žluťoučký" else ""

@@ -111,6 +111,37 @@ class JsonSinkSpec extends AnyFunSuite {
     assert(domains.contains("nic.cz") && domains.contains("d0.cz"))
   }
 
+  test("headers emit in network ARRIVAL order, not name-sorted (reference " +
+      "byte-order fidelity)") {
+    // golden nic.cz first hop arrives as server, location — alphabetical
+    // would put location first; the JSON must preserve arrival order
+    val j = goldenJson
+    val h80 = j.indexOf("\"WEB4_80\":[{\"ip\"")
+    assert(h80 >= 0)
+    val headersAt = j.indexOf("\"headers\":{", h80)
+    assert(j.startsWith("\"headers\":{\"server\":\"nginx\",\"location\":", headersAt), // server first
+      j.substring(headersAt, math.min(j.length, headersAt + 80)))
+    // a synthetic 200 arrives server, content-type, content-length —
+    // name-sorted would reverse it; scan the full crawl population for a
+    // step carrying all three and check relative positions
+    val results = (0 to 300).map(i => u.webStep(s"host$i.cz", "1.2.3.4", 443, 9, "/"))
+    val full = results.find(r => r._1 == 200 && r._3.map(_._1)
+      .containsSlice(Seq("server", "content-type", "content-length")))
+    assert(full.isDefined)
+    // and through the full pipeline: header_names rides the WebStep
+    val step = p.fetchWeb("host7.cz", "1.2.3.4", 443).steps.get.last
+    assert(step.header_names.nonEmpty)
+    assert(step.header_names == step.header_names.distinct)
+    assert(step.header_names.toSet == step.headers.keySet)
+    if (step.header_names.length > 1) {
+      val json = JsonSink.toJson(p.processDomain("host7.cz", "t"), cfg)
+      // arrival order (server before content-*) somewhere in the document
+      val si = json.indexOf("\"server\":")
+      val ci = json.indexOf("\"content-type\":")
+      if (si >= 0 && ci >= 0) assert(si < ci, "server header must precede content-type")
+    }
+  }
+
   test("jsonLines sink is distributed and deterministic") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
