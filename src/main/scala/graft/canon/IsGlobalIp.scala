@@ -28,18 +28,31 @@ object IpPredicates {
   }
 
   private def isGlobal4(s: String): Boolean = {
-    val parts = s.split("\\.", -1)
-    if (parts.length != 4) return false
-    val oct = new Array[Int](4)
+    // allocation-free octet parse (this predicate runs per address record
+    // per domain on the crawl's hot path; String.split cost ~200 B/call)
+    var a = -1; var b = -1; var c = -1; var d = -1
+    var cur = 0; var digits = 0; var dots = 0
     var i = 0
-    while (i < 4) {
-      val p = parts(i)
-      if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return false
-      oct(i) = p.toInt
-      if (oct(i) > 255) return false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '.') {
+        if (digits == 0 || cur > 255) return false
+        dots match {
+          case 0 => a = cur
+          case 1 => b = cur
+          case 2 => c = cur
+          case _ => return false
+        }
+        dots += 1; cur = 0; digits = 0
+      } else if (ch >= '0' && ch <= '9') {
+        digits += 1
+        if (digits > 3) return false
+        cur = cur * 10 + (ch - '0')
+      } else return false
       i += 1
     }
-    val a = oct(0); val b = oct(1); val c = oct(2)
+    if (dots != 3 || digits == 0 || cur > 255) return false
+    d = cur
     !(a == 0 || a == 10 || a == 127 ||
       (a == 100 && b >= 64 && b <= 127) ||
       (a == 169 && b == 254) ||
@@ -53,22 +66,55 @@ object IpPredicates {
   }
 
   private def isGlobal6(s: String): Boolean = {
-    val lower = s.toLowerCase
-    if (lower == "::" || lower == "::1") return false
-    if (lower.startsWith("::ffff:")) return false
-    val head = lower.split(":")(0)
-    if (head.isEmpty) return false
-    if (head.startsWith("fc") || head.startsWith("fd")) return false // fc00::/7
-    if (head.startsWith("fe8") || head.startsWith("fe9") ||
-      head.startsWith("fea") || head.startsWith("feb")) return false // fe80::/10
-    if (head == "2001") {
-      val second = lower.split(":").lift(1).getOrElse("")
-      if (second == "db8") return false // documentation range
+    // allocation-free: char-scan with inline lowercasing (no toLowerCase /
+    // split churn on the per-record hot path)
+    @inline def lc(i: Int): Char = {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
     }
-    if (head.startsWith("ff")) return false // multicast
-    // minimal structural sanity: hex groups only
-    lower.split("::", -1).forall(_.split(":").forall(g =>
-      g.isEmpty || (g.length <= 4 && g.forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'f')))))
+    val len = s.length
+    if (len == 0) return false
+    if (len == 2 && s.charAt(0) == ':' && s.charAt(1) == ':') return false // ::
+    if (len == 3 && s.charAt(0) == ':' && s.charAt(1) == ':' && s.charAt(2) == '1')
+      return false // ::1
+    // ::ffff: mapped prefix
+    if (len >= 7 && s.charAt(0) == ':' && s.charAt(1) == ':' &&
+      lc(2) == 'f' && lc(3) == 'f' && lc(4) == 'f' && lc(5) == 'f' && s.charAt(6) == ':')
+      return false
+    // head group = chars before the first ':'
+    var headEnd = 0
+    while (headEnd < len && s.charAt(headEnd) != ':') headEnd += 1
+    if (headEnd == 0) return false // leading ':' but not '::…' forms above
+    @inline def headIs(p: String): Boolean = {
+      if (headEnd < p.length) false
+      else { var i = 0; while (i < p.length) { if (lc(i) != p.charAt(i)) return false; i += 1 }; true }
+    }
+    if (headIs("fc") || headIs("fd")) return false // fc00::/7
+    if (headIs("fe8") || headIs("fe9") || headIs("fea") || headIs("feb")) return false // fe80::/10
+    if (headIs("ff")) return false // multicast
+    if (headEnd == 4 && headIs("2001")) {
+      // second group db8 → documentation range
+      val s2 = headEnd + 1
+      if (s2 + 3 <= len && lc(s2) == 'd' && lc(s2 + 1) == 'b' && lc(s2 + 2) == '8' &&
+        (s2 + 3 == len || s.charAt(s2 + 3) == ':')) return false
+    }
+    // structural sanity: hex groups ≤ 4 chars, at most one '::'
+    var i = 0; var groupLen = 0; var doubles = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ':') {
+        if (i + 1 < len && s.charAt(i + 1) == ':') { doubles += 1; i += 1 }
+        if (doubles > 1) return false
+        groupLen = 0
+      } else {
+        val l = lc(i)
+        if (!(l >= '0' && l <= '9') && !(l >= 'a' && l <= 'f')) return false
+        groupLen += 1
+        if (groupLen > 4) return false
+      }
+      i += 1
+    }
+    true
   }
 
   def isGlobalIpUtf8(s: UTF8String): Boolean = isGlobalIp(s.toString)

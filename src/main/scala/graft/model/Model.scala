@@ -152,18 +152,20 @@ object Model {
       alt_names: Seq[String])
 
   /** One hop of an HTTP(S) fetch (reference `web_utils.py:225-320`).
-    * The heterogeneous headers map is split per SURVEY §1.4: raw string map
-    * + typed sibling columns for the parsed headers. `header_names` keeps
-    * the network ARRIVAL order (names are unique — requests merges
-    * duplicates) so the JSON emitter reproduces reference byte order; the
-    * map alone would round-trip through Spark rows as hash order.
+    * The heterogeneous headers are split per SURVEY §1.4: raw pairs +
+    * typed sibling columns for the parsed headers. `headers` is an
+    * arrival-ordered (name, value) seq, not a map — names are unique
+    * (requests merges duplicates), the reference's JSON preserves network
+    * arrival order, a map would round-trip through Spark rows in hash
+    * order, and at ~45 steps/domain the per-step HashMap build was a
+    * measurable slice of the crawl's allocation ceiling. Use
+    * [[WebStep.header]] for lookups.
     */
   case class WebStep(
       url: String,
       status: Option[Int],
       is_redirect: Option[Boolean],
-      headers: Map[String, String],
-      header_names: Seq[String],
+      headers: Seq[(String, String)],
       hsts_header: Option[HstsHeader],
       alt_svc: Option[Map[String, String]],
       cookies: Option[Seq[Cookie]],
@@ -175,7 +177,19 @@ object Model {
       content: Option[String],
       content_is_binary: Option[Boolean],
       detected_encoding: Option[String],
-      error: Option[String])
+      error: Option[String]) {
+    /** Case-exact header lookup — a linear scan over ≤ a handful of pairs,
+      * allocation-free where a map view would cost a build per step.
+      */
+    def header(name: String): Option[String] = {
+      var i = 0
+      while (i < headers.length) {
+        if (headers(i)._1 == name) return Some(headers(i)._2)
+        i += 1
+      }
+      None
+    }
+  }
 
   /** Fetch result for one (domain-variant, ip) pair
     * (reference `web_utils.py:322-334`): full chain when

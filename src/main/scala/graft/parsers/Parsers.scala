@@ -109,14 +109,37 @@ object Parsers {
 
   /** Parse strict-transport-security header (reference `web_utils.py:75-86`). */
   def parseHstsHeader(raw: String): HstsHeader = {
-    val parts = raw.split(";").map(_.trim.toLowerCase)
-    val maxAge = parts.collectFirst {
-      case p if p.startsWith("max-age=") =>
-        p.substring(8).takeWhile(_.isDigit)
-    }.flatMap(_.toLongOption)
+    // single pass, case-insensitive region compares — this runs per
+    // hsts-bearing web step, the split→trim→lowercase chain was churn
+    var maxAge: Option[Long] = None
+    var maxAgeSeen = false // first max-age segment decides, like collectFirst
+    var includeSub = false
+    var preload = false
+    val len = raw.length
+    var segStart = 0
+    while (segStart <= len) {
+      var segEnd = raw.indexOf(';', segStart)
+      if (segEnd < 0) segEnd = len
+      var a = segStart; var b = segEnd
+      while (a < b && raw.charAt(a) <= ' ') a += 1
+      while (b > a && raw.charAt(b - 1) <= ' ') b -= 1
+      val n = b - a
+      if (n >= 8 && raw.regionMatches(true, a, "max-age=", 0, 8)) {
+        if (!maxAgeSeen) {
+          maxAgeSeen = true
+          var v = 0L; var i = a + 8; var any = false
+          while (i < b && raw.charAt(i).isDigit) { v = v * 10 + (raw.charAt(i) - '0'); i += 1; any = true }
+          if (any) maxAge = Some(v) // no digits → None, like toLongOption("")
+        }
+      } else if (n == 17 && raw.regionMatches(true, a, "includesubdomains", 0, 17))
+        includeSub = true
+      else if (n == 7 && raw.regionMatches(true, a, "preload", 0, 7))
+        preload = true
+      segStart = segEnd + 1
+    }
     HstsHeader(maxAge,
-      if (parts.contains("includesubdomains")) Some(true) else None,
-      if (parts.contains("preload")) Some(true) else None,
+      if (includeSub) Some(true) else None,
+      if (preload) Some(true) else None,
       raw)
   }
 
@@ -139,31 +162,55 @@ object Parsers {
     * name/value + standard attrs, nonstandard attrs passed through.
     */
   def parseSetCookie(raw: String): Option[Cookie] = {
-    val parts = raw.split(";").map(_.trim).filter(_.nonEmpty)
-    if (parts.isEmpty) return None
-    val eq = parts(0).indexOf('=')
-    if (eq <= 0) return None
-    val name = parts(0).substring(0, eq)
-    val value = parts(0).substring(eq + 1)
+    // single pass over ';'-separated segments with trimmed-bound
+    // substrings — this runs per cookie-bearing web step, and the old
+    // split→trim→filter→lowercase chain allocated ~10 intermediates
+    val len = raw.length
+    var name: String = null
+    var value: String = null
     var domain, path, expires: Option[String] = None
     var secure, httponly: Option[Boolean] = None
-    val nonstd = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    parts.drop(1).foreach { p =>
-      val (k, v) = p.indexOf('=') match {
-        case -1 => (p.toLowerCase, "")
-        case i => (p.substring(0, i).toLowerCase, p.substring(i + 1))
+    var nonstd: scala.collection.mutable.LinkedHashMap[String, String] = null
+    var segStart = 0
+    var first = true
+    while (segStart <= len) {
+      var segEnd = raw.indexOf(';', segStart)
+      if (segEnd < 0) segEnd = len
+      var a = segStart; var b = segEnd
+      while (a < b && raw.charAt(a) <= ' ') a += 1
+      while (b > a && raw.charAt(b - 1) <= ' ') b -= 1
+      if (b > a) {
+        var eq = raw.indexOf('=', a)
+        if (eq >= b) eq = -1
+        if (first) {
+          if (eq <= a) return None // first segment must be name=value
+          name = raw.substring(a, eq)
+          value = raw.substring(eq + 1, b)
+          first = false
+        } else {
+          val k =
+            if (eq < 0) raw.substring(a, b).toLowerCase
+            else raw.substring(a, eq).toLowerCase
+          val v = if (eq < 0) "" else raw.substring(eq + 1, b)
+          k match {
+            case "domain" => domain = Some(v)
+            case "path" => path = Some(v)
+            case "expires" => expires = Some(v)
+            case "secure" => secure = Some(true)
+            case "httponly" => httponly = Some(true)
+            case _ if !StdCookieAttrs.contains(k) =>
+              if (nonstd == null)
+                nonstd = scala.collection.mutable.LinkedHashMap.empty[String, String]
+              nonstd(k) = v
+            case _ => ()
+          }
+        }
       }
-      k match {
-        case "domain" => domain = Some(v)
-        case "path" => path = Some(v)
-        case "expires" => expires = Some(v)
-        case "secure" => secure = Some(true)
-        case "httponly" => httponly = Some(true)
-        case _ if !StdCookieAttrs.contains(k) => nonstd(k) = v
-        case _ => ()
-      }
+      segStart = segEnd + 1
     }
-    Some(Cookie(name, value, domain, path, secure, httponly, expires, nonstd.toMap))
+    if (first) None // only empty segments
+    else Some(Cookie(name, value, domain, path, secure, httponly, expires,
+      if (nonstd == null) Map.empty else nonstd.toMap))
   }
 
   private def charsetFromContentType(contentType: Option[String]): Option[String] =

@@ -50,9 +50,13 @@ trait ProbeService extends Serializable {
     * isBinary). Headers are a seq, not a map — the reference preserves
     * network arrival order in its JSON output, and requests' dict merge
     * keeps names unique, so (name, value) pairs in order carry the wire
-    * truth; [[Probes.fetchWeb]] derives the lookup map.
+    * truth. `wantBody = false` (save_content off) tells the leaf the body
+    * string will never be read: a real client streams the response away
+    * without materializing it, the synthetic universe skips building it —
+    * the binary sniff flag must still be returned either way.
     */
-  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String,
+      wantBody: Boolean = true)
       : (Int, Option[String], Seq[(String, String)], Option[String], Boolean)
   def tlsInfo(host: String, ip: String): (String, String)
   def certFor(host: String): Certificate
@@ -87,9 +91,10 @@ class ForwardingProbeService(protected val inner: ProbeService) extends ProbeSer
   def sourceAddress(fam: Int, target: Option[String]): Option[String] =
     inner.sourceAddress(fam, target)
   def hstsPreload(domain: String): Boolean = inner.hstsPreload(domain)
-  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+  override def webStep(host: String, ip: String, port: Int, hop: Int,
+      path: String, wantBody: Boolean)
       : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
-    inner.webStep(host, ip, port, hop, path)
+    inner.webStep(host, ip, port, hop, path, wantBody)
   def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
   def certFor(host: String): Certificate = inner.certFor(host)
   def certChainFor(host: String): Seq[Certificate] = inner.certChainFor(host)
@@ -162,38 +167,73 @@ final class DeadlineProbeService(
       t
     }
 
-  private def guard[A](timeoutShape: => A)(leaf: => A): A = {
-    if (expired) timeoutShape
-    else if (!hardLeafTimeouts) leaf
-    else {
-      val fut = leafExec.submit(new Callable[A] { def call(): A = leaf })
-      try fut.get(remainingNanos, TimeUnit.NANOSECONDS)
-      catch {
-        case _: TimeoutException => fut.cancel(true); timeoutShape
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-      }
+  /** Hard-mode leaf execution with a timed interrupt. Only reached when
+    * `hardLeafTimeouts` — the cooperative fast path below branches without
+    * allocating (a by-name `guard(shape)(leaf)` helper would box two
+    * thunks per leaf call, ~100+ calls/domain of pure churn on the probe
+    * stage's allocation ceiling).
+    */
+  private def hardCall[A](timeoutShape: A, leaf: Callable[A]): A = {
+    val fut = leafExec.submit(leaf)
+    try fut.get(remainingNanos, TimeUnit.NANOSECONDS)
+    catch {
+      case _: TimeoutException => fut.cancel(true); timeoutShape
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }
 
+  @inline private def soft: Boolean = !hardLeafTimeouts
+
   // DNS: timeout → no answer (Probes.resolve collapses empty → None)
-  def ttlFor(domain: String): Int = guard(0)(inner.ttlFor(domain))
-  def cnameFor(name: String): Option[String] = guard(Option.empty[String])(inner.cnameFor(name))
-  def aFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.aFor(name))
-  def aaaaFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.aaaaFor(name))
-  def nsFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.nsFor(domain))
-  def mxFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.mxFor(domain))
-  def txtFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.txtFor(domain))
-  def dsFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.dsFor(domain))
-  def dnskeyFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.dnskeyFor(domain))
-  def tlsaFor(name: String): Seq[String] = guard(Seq.empty[String])(inner.tlsaFor(name))
-  def dnssecState(domain: String): String = guard("timeout")(inner.dnssecState(domain))
-  def rrsigFor(domain: String): Seq[String] = guard(Seq.empty[String])(inner.rrsigFor(domain))
+  def ttlFor(domain: String): Int =
+    if (expired) 0 else if (soft) inner.ttlFor(domain)
+    else hardCall(0, () => inner.ttlFor(domain))
+  def cnameFor(name: String): Option[String] =
+    if (expired) None else if (soft) inner.cnameFor(name)
+    else hardCall(Option.empty[String], () => inner.cnameFor(name))
+  def aFor(name: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.aFor(name)
+    else hardCall(Seq.empty[String], () => inner.aFor(name))
+  def aaaaFor(name: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.aaaaFor(name)
+    else hardCall(Seq.empty[String], () => inner.aaaaFor(name))
+  def nsFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.nsFor(domain)
+    else hardCall(Seq.empty[String], () => inner.nsFor(domain))
+  def mxFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.mxFor(domain)
+    else hardCall(Seq.empty[String], () => inner.mxFor(domain))
+  def txtFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.txtFor(domain)
+    else hardCall(Seq.empty[String], () => inner.txtFor(domain))
+  def dsFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.dsFor(domain)
+    else hardCall(Seq.empty[String], () => inner.dsFor(domain))
+  def dnskeyFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.dnskeyFor(domain)
+    else hardCall(Seq.empty[String], () => inner.dnskeyFor(domain))
+  def tlsaFor(name: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.tlsaFor(name)
+    else hardCall(Seq.empty[String], () => inner.tlsaFor(name))
+  def dnssecState(domain: String): String =
+    if (expired) "timeout" else if (soft) inner.dnssecState(domain)
+    else hardCall("timeout", () => inner.dnssecState(domain))
+  def rrsigFor(domain: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.rrsigFor(domain)
+    else hardCall(Seq.empty[String], () => inner.rrsigFor(domain))
   def additionalFor(domain: String, rrtype: String): Seq[String] =
-    guard(Seq.empty[String])(inner.additionalFor(domain, rrtype))
-  def nsIps4(ns: String): Seq[String] = guard(Seq.empty[String])(inner.nsIps4(ns))
-  def nsIps6(ns: String): Seq[String] = guard(Seq.empty[String])(inner.nsIps6(ns))
+    if (expired) Seq.empty else if (soft) inner.additionalFor(domain, rrtype)
+    else hardCall(Seq.empty[String], () => inner.additionalFor(domain, rrtype))
+  def nsIps4(ns: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.nsIps4(ns)
+    else hardCall(Seq.empty[String], () => inner.nsIps4(ns))
+  def nsIps6(ns: String): Seq[String] =
+    if (expired) Seq.empty else if (soft) inner.nsIps6(ns)
+    else hardCall(Seq.empty[String], () => inner.nsIps6(ns))
   def chaosTxt(ip: String, qname: String): ChaosTxt =
-    guard(ChaosTxt(None, Some("timeout")))(inner.chaosTxt(ip, qname))
+    if (expired) DeadlineProbeService.chaosTimeout
+    else if (soft) inner.chaosTxt(ip, qname)
+    else hardCall(DeadlineProbeService.chaosTimeout, () => inner.chaosTxt(ip, qname))
 
   // local lookups: unguarded
   def geo(ip: String): GeoIp = inner.geo(ip)
@@ -203,14 +243,27 @@ final class DeadlineProbeService(
 
   // web: status 0 is the fetch-timeout sentinel Probes.fetchWeb maps to
   // the reference's {"error": "timeout"} step
-  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+  override def webStep(host: String, ip: String, port: Int, hop: Int,
+      path: String, wantBody: Boolean)
       : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
-    guard((0, Option.empty[String], Seq.empty[(String, String)],
-      Option.empty[String], false))(inner.webStep(host, ip, port, hop, path))
+    if (expired) DeadlineProbeService.webTimeout
+    else if (soft) inner.webStep(host, ip, port, hop, path, wantBody)
+    else hardCall(DeadlineProbeService.webTimeout,
+      () => inner.webStep(host, ip, port, hop, path, wantBody))
   def tlsInfo(host: String, ip: String): (String, String) = inner.tlsInfo(host, ip)
   def certFor(host: String): Certificate = inner.certFor(host)
   def certChainFor(host: String): Seq[Certificate] = inner.certChainFor(host)
 
   def mailBanner(ip: String, port: Int): MailBanner =
-    guard(MailBanner(None, Some("timeout")))(inner.mailBanner(ip, port))
+    if (expired) DeadlineProbeService.bannerTimeout
+    else if (soft) inner.mailBanner(ip, port)
+    else hardCall(DeadlineProbeService.bannerTimeout, () => inner.mailBanner(ip, port))
+}
+
+object DeadlineProbeService {
+  // interned timeout shapes — one instance ever, not one per expired leaf
+  private val chaosTimeout = ChaosTxt(None, Some("timeout"))
+  private val bannerTimeout = MailBanner(None, Some("timeout"))
+  private val webTimeout: (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
+    (0, None, Seq.empty, None, false)
 }

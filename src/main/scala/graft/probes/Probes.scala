@@ -55,12 +55,36 @@ class Probes(
     certCache.getOrElseUpdate(host,
       Some(if (cfg.saveCertChain) u.certChainFor(host) else Seq(u.certFor(host))))
 
+  // interned Option wrappers for per-step fields with tiny value spaces
+  // (status codes, booleans): a fresh Some per step per field is pure
+  // churn at ~45 web steps/domain
+  private val someTrue = Some(true)
+  private val someFalse = Some(false)
+  @transient private lazy val someStatus = new Array[Some[Int]](1024)
+  private def statusSome(s: Int): Some[Int] =
+    if (s >= 0 && s < 1024) {
+      var v = someStatus(s)
+      if (v == null) { v = Some(s); someStatus(s) = v }
+      v
+    } else Some(s)
+
   /** Resolve name/rrtype with CNAME-chain flattening (reference
     * `dns_utils.py:260-306`): follow CNAMEs (bounded), attach `cname` on
     * the first record and `from_cname` on records resolved through the
     * chain; None when nothing resolves (NXDOMAIN/timeout analog).
     */
-  def resolve(name: String, rrtype: String): Option[Seq[DnsRecord]] = {
+  def resolve(name: String, rrtype: String): Option[Seq[DnsRecord]] =
+    resolveImpl(name, rrtype, geo = false)
+
+  /** Address-record resolve with GeoIP set at record construction (only
+    * for global IPs, reference CHANGELOG.md:160-164) — fused so the
+    * annotate pass doesn't rebuild every record via copy.
+    */
+  private def resolveGeo(name: String, rrtype: String): Option[Seq[DnsRecord]] =
+    resolveImpl(name, rrtype, geo = true)
+
+  private def resolveImpl(name: String, rrtype: String, geo: Boolean)
+      : Option[Seq[DnsRecord]] = {
     val ttl = Some(u.ttlFor(name))
     def leaf(n: String): Seq[String] = rrtype match {
       case "A" => u.aFor(n)
@@ -73,19 +97,28 @@ class Probes(
       case "TLSA" => u.tlsaFor(n)
       case _ => Seq.empty
     }
+    def rec(v: String, cname: Option[String], from: Option[String]): DnsRecord =
+      DnsRecord(v, cname = cname, from_cname = from, ttl = ttl,
+        geoip = if (geo && graft.canon.IpPredicates.isGlobalIp(v))
+          Some(u.geo(v)) else None)
     u.cnameFor(name) match {
       case Some(target) if rrtype == "A" || rrtype == "AAAA" =>
-        // bounded chain walk (reference caps at answer flattening)
+        // bounded chain walk (reference caps at answer flattening);
+        // single resolve per hop — cnameFor builds its answer per call
         var cur = target
         var hops = 0
-        while (hops < 8 && u.cnameFor(cur).isDefined) { cur = u.cnameFor(cur).get; hops += 1 }
+        var nxt = u.cnameFor(cur)
+        while (hops < 8 && nxt.isDefined) { cur = nxt.get; nxt = u.cnameFor(cur); hops += 1 }
         val vals = leaf(cur)
         if (vals.isEmpty) None
-        else Some(vals.map(v => DnsRecord(v, cname = Some(target),
-          from_cname = Some(cur), ttl = ttl)))
+        else {
+          val someTarget = Some(target)
+          val someCur = Some(cur)
+          Some(vals.map(v => rec(v, someTarget, someCur)))
+        }
       case _ =>
         val vals = leaf(name)
-        if (vals.isEmpty) None else Some(vals.map(v => DnsRecord(v, ttl = ttl)))
+        if (vals.isEmpty) None else Some(vals.map(v => rec(v, None, None)))
     }
   }
 
@@ -104,16 +137,6 @@ class Probes(
   private def annotate(recs: Option[Seq[DnsRecord]], tokenIndex: Int) =
     recs.map(_.map(r => r.copy(algorithm = Parsers.annotateAlgorithm(r.value, tokenIndex))))
 
-  /** GeoIP only for global IPs (reference CHANGELOG.md:160-164 +
-    * `ip_utils.py:24-41`): private/reserved/doc-range addresses pass
-    * through unannotated.
-    */
-  private def geoAnnotate(recs: Option[Seq[DnsRecord]]) =
-    recs.map(_.map(r =>
-      if (graft.canon.IpPredicates.isGlobalIp(r.value))
-        r.copy(geoip = Some(u.geo(r.value)))
-      else r))
-
   /** DNS_LOCAL assembly (reference `crawl.py:39-69`): the 10 required keys
     * + optional www/TLSA/SPF extras, geoip on address records, algorithm
     * on DS/DNSKEY, SPF/DMARC parsed with empty→null collapse.
@@ -122,7 +145,7 @@ class Probes(
     val txt = resolve(domain, "TXT")
     // one parse PER spf-matching record (crawl.py:55-56 get_txt regex +
     // parse_spf list, dns_utils.py:166-183); no matches → None
-    val spf = txt.map(_.filter(_.value.matches("^\"?v=spf.*"))
+    val spf = txt.map(_.filter(r => Probes.SpfPattern.matcher(r.value).matches())
         .map(r => Parsers.parseSpf(r.value)))
       .filter(_.nonEmpty)
     // one parse PER record at _dmarc.<domain>, junk records kept as
@@ -149,10 +172,10 @@ class Probes(
       additional = additional,
       NS_AUTH = resolve(domain, "NS"),
       MAIL = resolve(domain, "MX"),
-      WEB4 = geoAnnotate(resolve(domain, "A")),
-      WEB6 = geoAnnotate(resolve(domain, "AAAA")),
-      WEB4_www = if (cfg.checkWww) geoAnnotate(resolve(s"www.$domain", "A")) else None,
-      WEB6_www = if (cfg.checkWww) geoAnnotate(resolve(s"www.$domain", "AAAA")) else None,
+      WEB4 = resolveGeo(domain, "A"),
+      WEB6 = resolveGeo(domain, "AAAA"),
+      WEB4_www = if (cfg.checkWww) resolveGeo(s"www.$domain", "A") else None,
+      WEB6_www = if (cfg.checkWww) resolveGeo(s"www.$domain", "AAAA") else None,
       WEB_TLSA = tlsa,
       WEB_TLSA_www = tlsaWww,
       TXT = txt,
@@ -246,12 +269,28 @@ class Probes(
     // (web_utils.py:202-223: the session just GETs the joined URL) — the
     // current host drives the fetch, its TLS handshake, and its cert
     var curHost = host
+    // body strings are only materialized when something will read them:
+    // save_content drives content/encoding; a real client with
+    // save_content off streams the response away without string-ifying it
+    val wantBody = cfg.saveContent
+    val someIp = Some(ip) // one wrapper for every step of this fetch
     while (!done && hop <= cfg.maxRedirects) {
-      val (status, loc, headerSeq, body, isBin) = u.webStep(curHost, ip, curPort, hop, path)
-      val headers = headerSeq.toMap // lookup view; arrival order kept below
+      val (status, loc, headers, body, isBin) =
+        u.webStep(curHost, ip, curPort, hop, path, wantBody)
+      // allocation-free linear lookup over the arrival-ordered pairs
+      // (null-based: no Some per probe; Options are built only for the
+      // output fields that need them)
+      def hdr(name: String): String = {
+        var i = 0
+        while (i < headers.length) {
+          if (headers(i)._1 == name) return headers(i)._2
+          i += 1
+        }
+        null
+      }
       if (status == 0) {
-        steps :+= WebStep(url, None, None, Map.empty, Seq.empty, None, None, None,
-          None, Some(ip), None, None, None, None, None, None, Some("timeout"))
+        steps :+= WebStep(url, None, None, Seq.empty, None, None, None, None,
+          someIp, None, None, None, None, None, None, Probes.someTimeout)
         done = true
       } else {
         val isRedirect = loc.isDefined && status >= 300 && status < 400
@@ -271,7 +310,8 @@ class Probes(
             if (isBin) {
               val c =
                 if (cfg.saveBinary) truncated.map { b =>
-                  val ct = headers.getOrElse("content-type", "application/octet-stream")
+                  val ct0 = hdr("content-type")
+                  val ct = if (ct0 == null) "application/octet-stream" else ct0
                   val b64 = java.util.Base64.getEncoder.encodeToString(
                     b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
                   s"data:$ct;base64,$b64"
@@ -280,19 +320,24 @@ class Probes(
               (c, Some(true), None)
             } else {
               val c = truncated.filter(_.nonEmpty) // "" → null (web_utils.py:307-308)
-              (c, None, c.map(b => Parsers.detectEncoding(headers.get("content-type"), b)))
+              (c, None, c.map(b => Parsers.detectEncoding(Option(hdr("content-type")), b)))
             }
           }
+        val sts = hdr("strict-transport-security")
+        val altSvc = hdr("alt-svc")
+        val setCookie = hdr("set-cookie")
+        val clen = hdr("content-length")
         steps :+= WebStep(
-          url = url, status = Some(status), is_redirect = Some(isRedirect),
-          headers = headers,
-          header_names = headerSeq.map(_._1), // network arrival order
-          hsts_header = headers.get("strict-transport-security").map(Parsers.parseHstsHeader),
-          alt_svc = headers.get("alt-svc").map(Parsers.parseAltSvc),
-          cookies = headers.get("set-cookie")
-            .map(raw => Parsers.parseSetCookie(raw).toSeq).filter(_.nonEmpty),
-          content_length = headers.get("content-length").flatMap(Parsers.parseContentLength),
-          ip = Some(ip), tls_version = tlsV, tls_cipher = tlsC,
+          url = url, status = statusSome(status),
+          is_redirect = if (isRedirect) someTrue else someFalse,
+          headers = headers, // arrival order, the wire truth
+          hsts_header = if (sts == null) None else Some(Parsers.parseHstsHeader(sts)),
+          alt_svc = if (altSvc == null) None else Some(Parsers.parseAltSvc(altSvc)),
+          cookies = if (setCookie == null) None
+            else { val cs = Parsers.parseSetCookie(setCookie).toSeq
+              if (cs.isEmpty) None else Some(cs) },
+          content_length = if (clen == null) None else Parsers.parseContentLength(clen),
+          ip = someIp, tls_version = tlsV, tls_cipher = tlsC,
           cert = if (https) certOf(curHost) else None,
           content = content,
           content_is_binary = isBinFlag,
@@ -308,7 +353,11 @@ class Probes(
           path = if (slash < 0) "/" else url.substring(slash)
           val hostPort = if (slash < 0) url.substring(schemeEnd)
                          else url.substring(schemeEnd, slash)
-          curHost = hostPort.split(":")(0) // cross-host follow
+          // cross-host follow; indexOf instead of split (per-redirect path)
+          curHost = hostPort.indexOf(':') match {
+            case -1 => hostPort
+            case i => hostPort.substring(0, i)
+          }
           curPort = if (url.startsWith("https://")) 443 else 80
           hop += 1
         } else done = true
@@ -332,27 +381,32 @@ class Probes(
     * no ips → None (`web_utils.py:156-157`).
     */
   def getWeb(domain: String, dl: DnsLocal, path: String = "/"): WebObj = {
+    // ip lists computed once per record SOURCE (4, not 8 — the http and
+    // https combos of a source share the list)
     def ips(recs: Option[Seq[DnsRecord]]): Seq[String] =
       recs.map { rs =>
         val vals = rs.map(_.value)
         cfg.maxIpsPerDomain.fold(vals)(vals.take)
       }.getOrElse(Seq.empty)
-    def combo(host: String, recs: Option[Seq[DnsRecord]], port: Int): Option[Seq[WebResult]] = {
-      val ipList = ips(recs)
-      if (ipList.isEmpty) None else Some(ipList.map(ip => fetchWeb(host, ip, port, path)))
-    }
+    def combo(host: String, ipList: Seq[String], port: Int): Option[Seq[WebResult]] =
+      if (ipList.isEmpty) None
+      else Some(ipList.map(ip => fetchWeb(host, ip, port, path)))
     val www = s"www.$domain"
     val v4 = cfg.checkIpv4 && sourceIpv4.isDefined
     val v6 = cfg.checkIpv6 && sourceIpv6.isDefined
+    val ip4 = if (v4) ips(dl.WEB4) else Seq.empty
+    val ip6 = if (v6) ips(dl.WEB6) else Seq.empty
+    val ip4w = if (v4 && cfg.checkWww) ips(dl.WEB4_www) else Seq.empty
+    val ip6w = if (v6 && cfg.checkWww) ips(dl.WEB6_www) else Seq.empty
     WebObj(
-      WEB4_80 = if (v4 && cfg.checkHttp) combo(domain, dl.WEB4, 80) else None,
-      WEB4_443 = if (v4 && cfg.checkHttps) combo(domain, dl.WEB4, 443) else None,
-      WEB6_80 = if (v6 && cfg.checkHttp) combo(domain, dl.WEB6, 80) else None,
-      WEB6_443 = if (v6 && cfg.checkHttps) combo(domain, dl.WEB6, 443) else None,
-      WEB4_80_www = if (v4 && cfg.checkHttp && cfg.checkWww) combo(www, dl.WEB4_www, 80) else None,
-      WEB4_443_www = if (v4 && cfg.checkHttps && cfg.checkWww) combo(www, dl.WEB4_www, 443) else None,
-      WEB6_80_www = if (v6 && cfg.checkHttp && cfg.checkWww) combo(www, dl.WEB6_www, 80) else None,
-      WEB6_443_www = if (v6 && cfg.checkHttps && cfg.checkWww) combo(www, dl.WEB6_www, 443) else None)
+      WEB4_80 = if (v4 && cfg.checkHttp) combo(domain, ip4, 80) else None,
+      WEB4_443 = if (v4 && cfg.checkHttps) combo(domain, ip4, 443) else None,
+      WEB6_80 = if (v6 && cfg.checkHttp) combo(domain, ip6, 80) else None,
+      WEB6_443 = if (v6 && cfg.checkHttps) combo(domain, ip6, 443) else None,
+      WEB4_80_www = if (v4 && cfg.checkHttp && cfg.checkWww) combo(www, ip4w, 80) else None,
+      WEB4_443_www = if (v4 && cfg.checkHttps && cfg.checkWww) combo(www, ip4w, 443) else None,
+      WEB6_80_www = if (v6 && cfg.checkHttp && cfg.checkWww) combo(www, ip6w, 80) else None,
+      WEB6_443_www = if (v6 && cfg.checkHttps && cfg.checkWww) combo(www, ip6w, 443) else None)
   }
 
   /** WEB_paths: the FULL get_web_status (all 8 gated combos) per configured
@@ -383,6 +437,13 @@ class Probes(
       HSTS = u.hstsPreload(domain),
       worker_hostname = Option.when(cfg.saveWorkerHostname)(cfg.workerHostname))
   }
+}
+
+object Probes {
+  private val someTimeout = Some("timeout")
+  // precompiled: String.matches would compile a fresh Pattern per TXT
+  // record (crawl.py:55-56 get_txt spf regex)
+  private val SpfPattern = java.util.regex.Pattern.compile("^\"?v=spf.*")
 }
 
 /** U1 — the additional-RR plugin registry (reference `crawl.py:61-68`,

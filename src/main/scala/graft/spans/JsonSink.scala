@@ -258,11 +258,8 @@ object JsonSink {
       c.nonstandard_attrs.toSeq.sortBy(_._1).map { case (k, v) => k -> JS(v) })
 
   private def headersJ(s: WebStep): J = JObj(
-    // network ARRIVAL order when recorded (reference byte order); sorted
-    // fallback only for rows predating header_names
-    (if (s.header_names.nonEmpty)
-      s.header_names.flatMap(n => s.headers.get(n).map(n -> _))
-    else s.headers.toSeq.sortBy(_._1)).map {
+    // headers carry network ARRIVAL order (reference byte order)
+    s.headers.map {
       case ("strict-transport-security", _) =>
         "strict-transport-security" -> s.hsts_header.fold[J](JNull)(hstsJ)
       case ("alt-svc", raw) =>

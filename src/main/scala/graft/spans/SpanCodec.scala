@@ -68,7 +68,7 @@ object SpanCodec {
     b.add(s"$p.url", s.url)
     b.scalar(s"$p.status", s.status)
     b.scalar(s"$p.is_redirect", s.is_redirect)
-    s.headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
+    s.headers.foreach { case (k, v) => // arrival order, like the JSON sink
       b.add(s"$p.headers.$k", v)
     }
     s.hsts_header.foreach { h =>

@@ -114,9 +114,16 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     } else None
   }
 
-  private def mkIp4(x: Long): String =
-    s"${10 + Math.floorMod(x, 200L)}.${Math.floorMod(x >>> 8, 250L)}." +
-      s"${Math.floorMod(x >>> 16, 250L)}.${1 + Math.floorMod(x >>> 24, 250L)}"
+  private def mkIp4(x: Long): String = {
+    // manual digits: one String alloc per call instead of interpolation's
+    // builder + boxed-long churn (runs per generated address record)
+    val sb = new java.lang.StringBuilder(15)
+    sb.append(10 + Math.floorMod(x, 200L).toInt).append('.')
+      .append(Math.floorMod(x >>> 8, 250L).toInt).append('.')
+      .append(Math.floorMod(x >>> 16, 250L).toInt).append('.')
+      .append(1 + Math.floorMod(x >>> 24, 250L).toInt)
+    sb.toString
+  }
 
   private def mkIp6(x: Long): String = {
     val sb = new java.lang.StringBuilder(24)
@@ -127,24 +134,36 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     sb.toString
   }
 
+  // fixed-count leaf answers as pre-sized arrays (no Range + builder churn
+  // per resolve on the crawl hot path)
+  private def genIps(x: Long, n: Int, v6: Boolean): Seq[String] = {
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (v6) mkIp6(mix64(x + i)) else mkIp4(mix64(x + i))
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
   def aFor(name: String): Seq[String] = {
     if (name == "nic.cz" || name == "www.nic.cz") return Seq("217.31.205.50")
     val x = h("a", name)
     if (pct(x) < 12) Seq.empty // NXDOMAIN / no A
-    else (0 until 1 + Math.floorMod(x >>> 8, 3L).toInt).map(i => mkIp4(mix64(x + i)))
+    else genIps(x, 1 + Math.floorMod(x >>> 8, 3L).toInt, v6 = false)
   }
 
   def aaaaFor(name: String): Seq[String] = {
     if (name == "nic.cz" || name == "www.nic.cz") return Seq("2001:1488:0:3::2")
     val x = h("aaaa", name)
     if (pct(x) < 35) Seq.empty
-    else (0 until 1 + Math.floorMod(x >>> 8, 2L).toInt).map(i => mkIp6(mix64(x + i)))
+    else genIps(x, 1 + Math.floorMod(x >>> 8, 2L).toInt, v6 = true)
   }
 
   def nsIps4(ns: String): Seq[String] = {
     if (ns.endsWith(".ns.nic.cz")) return Seq(mkIp4(h("nsip4", ns)))
     val x = h("nsip4", ns)
-    (0 until 1 + Math.floorMod(x, 2L).toInt).map(i => mkIp4(mix64(x + i)))
+    genIps(x, 1 + Math.floorMod(x, 2L).toInt, v6 = false)
   }
 
   def nsIps6(ns: String): Seq[String] = {
@@ -270,15 +289,29 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     * (reference `auth_chaos_txt`, `config.yml:12-14` — incl. `fortune`,
     * `dns_utils.py:218-232` just queries whatever name it's given).
     */
+  // interned CHAOS answers: 19×12 version variants, 40 hostname variants,
+  // the fixed authors/fortune/refused/timeout shapes — chaosTxt runs per
+  // (ns-ip, record) and every distinct value is enumerable up front
+  private val chaosRefused = ChaosTxt(None, Some("refused"))
+  private val chaosTimeout = ChaosTxt(None, Some("timeout"))
+  private val chaosAuthors = ChaosTxt(Some(Seq("The BIND Authors")), None)
+  private val chaosVersions: Array[ChaosTxt] =
+    Array.tabulate(19 * 12)(i => ChaosTxt(Some(Seq(s"9.${i % 19}.${i / 19}")), None))
+  private val chaosHostnames: Array[ChaosTxt] =
+    Array.tabulate(40)(i => ChaosTxt(Some(Seq(s"node$i.anycast.example")), None))
+  private lazy val chaosFortunes: Array[ChaosTxt] =
+    fortunes.map(f => ChaosTxt(Some(Seq(f)), None))
+
   def chaosTxt(ip: String, qname: String): ChaosTxt = {
     val x = h("chaos", ip, qname)
-    if (pct(x) < 25) ChaosTxt(None, Some("refused"))
+    if (pct(x) < 25) chaosRefused
     else qname match {
-      case "version.bind" => ChaosTxt(Some(Seq(s"9.${Math.floorMod(x, 19L)}.${Math.floorMod(x >>> 8, 12L)}")), None)
-      case "hostname.bind" => ChaosTxt(Some(Seq(s"node${Math.floorMod(x, 40L)}.anycast.example")), None)
-      case "authors.bind" => ChaosTxt(Some(Seq("The BIND Authors")), None)
-      case "fortune" => ChaosTxt(Some(Seq(fortunes(Math.floorMod(x >>> 16, fortunes.length.toLong).toInt))), None)
-      case _ => ChaosTxt(None, Some("timeout"))
+      case "version.bind" => chaosVersions(
+        Math.floorMod(x, 19L).toInt + 19 * Math.floorMod(x >>> 8, 12L).toInt)
+      case "hostname.bind" => chaosHostnames(Math.floorMod(x, 40L).toInt)
+      case "authors.bind" => chaosAuthors
+      case "fortune" => chaosFortunes(Math.floorMod(x >>> 16, fortunes.length.toLong).toInt)
+      case _ => chaosTimeout
     }
   }
 
@@ -306,7 +339,8 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     * is deliberately NOT alphabetical — the JSON emitter must reproduce
     * arrival order like the reference does.
     */
-  def webStep(host: String, ip: String, port: Int, hop: Int, path: String)
+  def webStep(host: String, ip: String, port: Int, hop: Int, path: String,
+      wantBody: Boolean = true)
       : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) = {
     if (host.endsWith("nic.cz")) {
       // golden: first step 301 http→https, final 200 with server nginx
@@ -315,46 +349,109 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
           Vector("server" -> "nginx", "location" -> s"https://$host/"), None, false)
       return (200, None,
         Vector("server" -> "nginx", "content-type" -> "text/html; charset=utf-8"),
-        Some(s"<html><title>CZ.NIC</title></html>"), false)
+        if (wantBody) Some(s"<html><title>CZ.NIC</title></html>") else None, false)
     }
     val x = h("web", host, ip, intStr(port), intStr(hop), path)
     val redirChainLen = Math.floorMod(h("weblen", host, intStr(port)), 9L).toInt // up to 8 > max_redirects 6
     if (pct(x) < 8) return (0, None, Vector.empty, None, false) // connection error sentinel
-    if (hop < redirChainLen && port == 80)
-      (301, Some(s"https://$host$path"),
-        Vector("server" -> srv(x), "location" -> s"https://$host$path"), None, false)
-    else if (hop < redirChainLen && pct(x >>> 56) < 10 && !host.startsWith("alt-"))
+    if (hop < redirChainLen && port == 80) {
+      val loc = s"https://$host$path"
+      (301, Some(loc), hdrSeq(2) { a => a(0) = srvPair(x); a(1) = ("location", loc); 2 },
+        None, false)
+    } else if (hop < redirChainLen && pct(x >>> 56) < 10 && !host.startsWith("alt-")) {
       // cross-host redirect (reference follows Location to other hosts,
       // web_utils.py:202-223): the alt host serves its own chain and cert
-      (302, Some(s"https://alt-$host$path"),
-        Vector("server" -> srv(x), "location" -> s"https://alt-$host$path"), None, false)
-    else if (hop < redirChainLen)
-      (302, Some(s"https://$host/r$hop$path"),
-        Vector("server" -> srv(x), "location" -> s"https://$host/r$hop$path"), None, false)
-    else if (pct(x >>> 8) < 10)
-      (404, None, Vector("server" -> srv(x), "content-type" -> "text/html"),
-        Some("<html>404</html>"), false)
+      val loc = s"https://alt-$host$path"
+      (302, Some(loc), hdrSeq(2) { a => a(0) = srvPair(x); a(1) = ("location", loc); 2 },
+        None, false)
+    } else if (hop < redirChainLen) {
+      val loc = s"https://$host/r$hop$path"
+      (302, Some(loc), hdrSeq(2) { a => a(0) = srvPair(x); a(1) = ("location", loc); 2 },
+        None, false)
+    } else if (pct(x >>> 8) < 10)
+      (404, None, hdrSeq(2) { a => a(0) = srvPair(x); a(1) = ctPlainHtmlPair; 2 },
+        if (wantBody) Some("<html>404</html>") else None, false)
     else if (pct(x >>> 16) < 7)
-      (200, None, Vector("server" -> srv(x), "content-type" -> "application/octet-stream",
-        "content-length" -> s"${Math.floorMod(x, 90000L)}"), Some(f"bin:${mix64(x)}%016x"), true)
+      (200, None, hdrSeq(3) { a =>
+        a(0) = srvPair(x); a(1) = ctBinPair
+        a(2) = clenPair(Math.floorMod(x, 2048L).toInt); 3
+      }, if (wantBody) Some(f"bin:${mix64(x)}%016x") else None, true)
     else {
-      var hdrs = Vector("server" -> srv(x),
-        "content-type" -> "text/html; charset=utf-8",
-        "content-length" -> s"${Math.floorMod(x, 50000L)}")
-      if (port == 443 && pct(x >>> 24) < 40)
-        hdrs :+= "strict-transport-security" ->
-          s"max-age=${86400 * (1 + Math.floorMod(x, 365L))}; includeSubDomains"
-      if (pct(x >>> 40) < 25)
-        hdrs :+= "set-cookie" ->
-          s"sid=${java.lang.Long.toHexString(mix64(x))}; Path=/; HttpOnly${if (port == 443) "; Secure" else ""}; tracker=${Math.floorMod(x, 97L)}"
-      if (pct(x >>> 48) < 15)
-        hdrs :+= "alt-svc" -> "h3=\":443\"; ma=86400, h2=\":443\""
+      val hdrs = hdrSeq(6) { a =>
+        a(0) = srvPair(x); a(1) = ctHtmlPair
+        a(2) = clenPair(Math.floorMod(x, 2048L).toInt)
+        var m = 3
+        if (port == 443 && pct(x >>> 24) < 40) {
+          a(m) = hstsPair(Math.floorMod(x, 365L).toInt); m += 1
+        }
+        if (pct(x >>> 40) < 25) {
+          a(m) = ("set-cookie",
+            s"sid=${java.lang.Long.toHexString(mix64(x))}; Path=/; HttpOnly${if (port == 443) "; Secure" else ""}; tracker=${Math.floorMod(x, 97L)}")
+          m += 1
+        }
+        if (pct(x >>> 48) < 15) { a(m) = altSvcPair; m += 1 }
+        m
+      }
       // a slice of pages carries non-ASCII UTF-8 (háčky) so encoding
       // detection exercises the utf-8 branch, not just ascii
-      val diacritics = if (pct(x >>> 56) < 20) " čeština příliš žluťoučký" else ""
-      (200, None, hdrs,
-        Some(s"<html><body>page ${java.lang.Long.toHexString(x)}$diacritics</body></html>"), false)
+      val body = if (!wantBody) None else {
+        val diacritics = if (pct(x >>> 56) < 20) " čeština příliš žluťoučký" else ""
+        Some(s"<html><body>page ${java.lang.Long.toHexString(x)}$diacritics</body></html>")
+      }
+      (200, None, hdrs, body, false)
     }
+  }
+
+  // interned hsts header values (365 variants, built on demand once each)
+  private val hstsValues = new Array[String](365)
+  private def hstsValue(days: Int): String = {
+    var v = hstsValues(days)
+    if (v == null) {
+      v = s"max-age=${86400 * (1 + days)}; includeSubDomains"
+      hstsValues(days) = v
+    }
+    v
+  }
+
+  // interned content-length values: 2048 realistic magnitudes (217 … ~108k)
+  // built once each — a fresh Long.toString per 200-response was pure churn
+  private val clenValues = new Array[String](2048)
+  private def clenValue(slot: Int): String = {
+    var v = clenValues(slot)
+    if (v == null) { v = (slot * 53 + 217).toString; clenValues(slot) = v }
+    v
+  }
+
+  // interned header PAIRS for every bounded-cardinality header: the
+  // (name, value) tuples repeat across millions of steps, so a fresh
+  // Tuple2 per step per header was ~100 B/step of churn
+  private lazy val serverPairs: Array[(String, String)] =
+    servers.map(s => ("server", s)) // lazy: `servers` declares later in the class
+  private val ctHtmlPair = ("content-type", "text/html; charset=utf-8")
+  private val ctPlainHtmlPair = ("content-type", "text/html")
+  private val ctBinPair = ("content-type", "application/octet-stream")
+  private val altSvcPair = ("alt-svc", "h3=\":443\"; ma=86400, h2=\":443\"")
+  private val clenPairs = new Array[(String, String)](2048)
+  private def clenPair(slot: Int): (String, String) = {
+    var p = clenPairs(slot)
+    if (p == null) { p = ("content-length", clenValue(slot)); clenPairs(slot) = p }
+    p
+  }
+  private val hstsPairs = new Array[(String, String)](365)
+  private def hstsPair(days: Int): (String, String) = {
+    var p = hstsPairs(days)
+    if (p == null) { p = ("strict-transport-security", hstsValue(days)); hstsPairs(days) = p }
+    p
+  }
+  private def srvPair(x: Long): (String, String) =
+    serverPairs(Math.floorMod(x >>> 32, 5L).toInt)
+
+  /** Pre-sized header row (headers are ≤ 6; one array + wrapper alloc). */
+  private def hdrSeq(n: Int)(fill: Array[(String, String)] => Int): Seq[(String, String)] = {
+    val a = new Array[(String, String)](n)
+    val m = fill(a)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      if (m == n) a else java.util.Arrays.copyOf(a, m))
   }
 
   private val servers = Array("nginx", "apache", "nginx/1.24.0", "caddy", "Microsoft-IIS/10.0")
@@ -363,10 +460,13 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
   private val tlsVersions = Array("TLSv1.2", "TLSv1.3")
   private val tlsCiphers = Array("TLS_AES_128_GCM_SHA256", "TLS_AES_256_GCM_SHA384",
     "ECDHE-RSA-AES128-GCM-SHA256")
+  // all 6 (version, cipher) pairs pre-built: tlsInfo runs once per https
+  // hop, a fresh tuple each call was pure allocation churn
+  private val tlsPairs: Array[(String, String)] =
+    Array.tabulate(6)(i => (tlsVersions(i % 2), tlsCiphers(i / 2)))
   def tlsInfo(host: String, ip: String): (String, String) = {
     val x = h("tls", host, ip)
-    (tlsVersions(Math.floorMod(x, 2L).toInt),
-      tlsCiphers(Math.floorMod(x >>> 8, 3L).toInt))
+    tlsPairs(Math.floorMod(x, 2L).toInt + 2 * Math.floorMod(x >>> 8, 3L).toInt)
   }
 
   /** Deterministic certificate projection per host (fields the reference
@@ -460,10 +560,16 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
 
   // ------------------------------------------------------------ mail
 
+  // 50 banner variants + the timeout shape, interned: a fresh
+  // MailBanner(Some(String)) per (ip, port) was ~100 B × n_ips × 3 ports
+  // per domain of pure churn for 51 distinct values
+  private val bannerTimeout = MailBanner(None, Some("timeout"))
+  private val banners: Array[MailBanner] = Array.tabulate(50)(i =>
+    MailBanner(Some(s"220 smtp$i.example ESMTP Postfix"), None))
   def mailBanner(ip: String, port: Int): MailBanner = {
     val x = h("banner", ip, intStr(port))
-    if (pct(x) < 15) MailBanner(None, Some("timeout"))
-    else MailBanner(Some(s"220 smtp${Math.floorMod(x, 50L)}.example ESMTP Postfix"), None)
+    if (pct(x) < 15) bannerTimeout
+    else banners(Math.floorMod(x, 50L).toInt)
   }
 
   // ------------------------------------------------------------ HSTS

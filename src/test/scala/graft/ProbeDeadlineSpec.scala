@@ -84,9 +84,9 @@ class ProbeDeadlineSpec extends AnyFunSuite {
       "web step carries the reference timeout error, within wall budget") {
     val hang = new ForwardingProbeService(u) {
       override def webStep(host: String, ip: String, port: Int, hop: Int,
-          path: String) = {
+          path: String, wantBody: Boolean) = {
         Thread.sleep(30000) // would blow way past the 1 s budget
-        inner.webStep(host, ip, port, hop, path)
+        inner.webStep(host, ip, port, hop, path, wantBody)
       }
     }
     val p = new Probes(hang, CrawlConfig(jobTimeoutSeconds = 1),

@@ -27,7 +27,7 @@ class ProbesSpec extends AnyFunSuite {
     val steps = web80.steps.get
     assert(steps.head.status.contains(301))
     assert(steps.head.is_redirect.contains(true))
-    assert(steps.last.headers.get("server").contains("nginx"))
+    assert(steps.last.header("server").contains("nginx"))
     assert(steps.last.status.contains(200))
   }
 
