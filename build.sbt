@@ -30,4 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrently in one JVM; 8 g is OOM-borderline there (and makes the
   // 32-thread benches GC-bound). The box has 125 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // pre-commit + pre-touch the heap: the probe stage allocates tens of
+  // GB/s at 32 threads, and lazy heap commit makes the FIRST high-thread
+  // leg of any bench pay seconds of page-zeroing that read as a fake
+  // scaling cliff (measured: first local[32] leg 31k dom/s, second 181k)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  "-XX:+AlwaysPreTouch",
+  // throughput collector for the allocation-heavy probe stage: measured
+  // steady-state crawl at local[32] is ~2.4x G1 (263k vs ~110k dom/s) —
+  // the engine's hot path is pure young-gen churn with tiny live sets,
+  // exactly ParallelGC's home game; no latency SLO exists here
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
