@@ -106,4 +106,41 @@ object StreamingCrawl {
         it.map(e => p.processDomain(e.canonical, clock))
       }
   }
+
+  /** MERGE-commit a streaming crawl into the batch engine's table layout:
+    * every micro-batch upserts the raw results (keyed by domain) and the
+    * span re-encoding (keyed by doc_id) through the same idempotent
+    * [[graft.tables.SnapTable.mergeCommit]] the batch loop uses, under a
+    * Structured-Streaming checkpoint. The combination gives effectively-
+    * once tables: the stream replays an uncommitted micro-batch after a
+    * crash (at-least-once), and the keyed MERGE absorbs the replay —
+    * exactly the batch loop's T8 story. The resulting span table is
+    * bit-identical to `Engine.run`'s for the same seed corpus
+    * (StreamingCrawlSpec), so downstream consumers cannot tell which
+    * engine produced it.
+    */
+  def commitStream(results: Dataset[DomainResult], workDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    results.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[DomainResult], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        if (!batch.isEmpty) {
+          val spansT = new graft.tables.SnapTable(spark,
+            s"$workDir/result_spans", Seq("doc_id"))
+          spansT.mergeCommit(batch.map(graft.spans.SpanCodec.encode).toDF())
+          val resultsT = new graft.tables.SnapTable(spark,
+            s"$workDir/results", Seq("domain"))
+          resultsT.mergeCommit(batch.map(r => (r.domain, r)).toDF("domain", "result"))
+        }
+        ()
+      }
+      .start()
+  }
 }

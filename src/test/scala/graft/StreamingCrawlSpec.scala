@@ -94,4 +94,65 @@ class StreamingCrawlSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("MERGE-committed streaming span table is bit-identical to the batch " +
+      "engine's for the same seed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val docs = Seq(
+      doc("doc-0", "s1.cz", "s2.cz", "nic.cz"),
+      doc("doc-1", "s3.cz", "S1.CZ"), // cross-doc duplicate (case variant)
+      doc("doc-2", "s4.cz", "s5.cz"))
+
+    // batch reference: the full frontier loop with MERGE commits
+    val batchDir = Files.createTempDirectory("parity-batch").toString
+    val eng = new graft.engine.Engine(spark, u, workDir = batchDir,
+      frontierPartitions = 4)
+    eng.run(spark.createDataset(docs))
+    val batchSpans = eng.spansTable.read().get
+      .selectExpr("doc_id", "explode(spans) AS s")
+      .selectExpr("doc_id", "s.kind", "coalesce(s.text, '\\0') AS text",
+        "coalesce(s.media_ref, '\\0') AS media_ref", "s.offset")
+      .as[(String, String, String, String, Int)].collect().sorted.toSeq
+
+    // streaming: same docs through crawlStream + commitStream
+    val streamDir = Files.createTempDirectory("parity-stream").toString
+    val ckpt = Files.createTempDirectory("parity-ckpt").toString
+    val input = MemoryStream[Doc]
+    val results = StreamingCrawl.crawlStream(input.toDS(), u, CrawlConfig(),
+      partitions = 4, budgetPerBatch = _ => 100)
+    val q = StreamingCrawl.commitStream(results, streamDir, ckpt)
+    try {
+      input.addData(docs: _*)
+      val spansT = new graft.tables.SnapTable(spark,
+        s"$streamDir/result_spans", Seq("doc_id"))
+      val resultsPoll = new graft.tables.SnapTable(spark,
+        s"$streamDir/results", Seq("domain"))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      // poll BOTH tables: spans commit first within a micro-batch, so a
+      // spans-only poll can observe the gap before the results commit
+      def committed: Long = math.min(
+        spansT.read().map(_.select("doc_id").distinct().count()).getOrElse(0L),
+        resultsPoll.read().map(_.select("domain").distinct().count()).getOrElse(0L))
+      while (committed < 6 && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(300)
+      }
+      assert(committed == 6, s"streaming commits incomplete: $committed/6")
+      val streamSpans = spansT.read().get
+        .selectExpr("doc_id", "explode(spans) AS s")
+        .selectExpr("doc_id", "s.kind", "coalesce(s.text, '\\0') AS text",
+          "coalesce(s.media_ref, '\\0') AS media_ref", "s.offset")
+        .as[(String, String, String, String, Int)].collect().sorted.toSeq
+      assert(streamSpans == batchSpans,
+        "streaming span table diverges from the batch engine's")
+      // and the results table round-trips to the same document set
+      val resultsT = new graft.tables.SnapTable(spark,
+        s"$streamDir/results", Seq("domain"))
+      val streamDomains = resultsT.read().get.select("domain").as[String]
+        .collect().toSet
+      assert(streamDomains ==
+        Set("s1.cz", "s2.cz", "s3.cz", "s4.cz", "s5.cz", "nic.cz"))
+    } finally q.stop()
+  }
 }
