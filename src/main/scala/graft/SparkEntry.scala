@@ -387,6 +387,13 @@ object SparkEntry {
         .select("canonical")
     }),
 
+    // Text analysis — Gopher-style repetition facets (duplicate-token and
+    // top-bigram fractions in integer mills). Row-local on the Spark side
+    // (array_distinct + sorted-run aggregate — no token-level shuffle at
+    // corpus scale); the oracle pins semantics with explode+groupBy.
+    "q40_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -854,6 +861,34 @@ object SparkEntry {
     "q39_admit_plan" ->
       """SELECT DISTINCT lower(trim(source || '.Example.CZ')) AS canonical
          FROM documents""",
+
+    "q40_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS toks
+           FROM documents
+         ), base AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                  CASE WHEN len(toks) <= 1 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(
+                              list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                              p -> p[1] || ' ' || p[2]) END AS bigrams
+           FROM toks
+         ), cnt AS (
+           SELECT doc_id, bg, count(*) AS c
+           FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base) GROUP BY doc_id, bg
+         ), top AS (
+           SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id
+         )
+         SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.n_tokens = 0 THEN NULL
+                ELSE CAST(FLOOR(1000.0 * (b.n_tokens - b.n_distinct) / b.n_tokens) AS BIGINT)
+           END AS dup_token_mill,
+           CAST(len(b.bigrams) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(b.bigrams) = 0 THEN NULL
+                ELSE CAST(FLOOR(1000.0 * t.top_c / len(b.bigrams)) AS BIGINT)
+           END AS top_bigram_mill
+         FROM base b LEFT JOIN top t USING (doc_id)""",
 
     // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
     // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]

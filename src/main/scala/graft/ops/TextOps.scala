@@ -69,6 +69,54 @@ object TextOps {
     when(tokenCount(text) === 0, lit(null))
       .otherwise(floor(lit(1000.0) * stopwordCount(text) / tokenCount(text)).cast("int"))
 
+  // ------------------------------------------------------ repetition
+
+  /** Gopher-style repetition facets (Rae et al. 2021 §A1.1 quality
+    * filters), integer mills for float-free oracle comparison:
+    *
+    *   - `dup_token_mill`: fraction of tokens that are repeats of an
+    *     earlier token, `1000·(n_tokens − n_distinct)/n_tokens`;
+    *   - `top_bigram_mill`: fraction of all bigrams taken by the single
+    *     most frequent bigram (boilerplate/listicle detector).
+    *
+    * Entirely ROW-LOCAL: distinct count via `array_distinct`, and the top
+    * bigram via sort + longest-equal-run `aggregate` over the row's own
+    * bigram array — no explode, no (id, token) shuffle, so a 100 TB corpus
+    * filters in a single narrow scan. (The oracle uses the explode+groupBy
+    * formulation — fine at oracle scale, and it pins the semantics.)
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+    val withBi = withToks.withColumn("bigrams",
+      expr("""transform(
+                slice(toks, 1, greatest(cast(size(toks) AS INT) - 1, 0)),
+                (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"""))
+    // longest equal-run over the SORTED bigram array = max bigram count
+    val topBigram = expr(
+      """aggregate(
+           array_sort(bigrams),
+           struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+                  CAST(0 AS BIGINT) AS best),
+           (acc, x) -> struct(
+             x AS prev,
+             CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
+             greatest(acc.best,
+               CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) AS best),
+           acc -> acc.best)""")
+    withBi.select(col(idCol),
+      col("n_tokens"),
+      when(col("n_tokens") === 0, lit(null).cast("long"))
+        .otherwise(floor(lit(1000.0) * (col("n_tokens") - col("n_distinct"))
+          / col("n_tokens")).cast("long")).as("dup_token_mill"),
+      size(col("bigrams")).cast("long").as("n_bigrams"),
+      when(size(col("bigrams")) === 0, lit(null).cast("long"))
+        .otherwise(floor(lit(1000.0) * topBigram / size(col("bigrams")))
+          .cast("long")).as("top_bigram_mill"))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.

@@ -54,4 +54,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh(1) == Seq.empty) // shorter than k → empty array
     assert(sh(2) == Seq.empty)
   }
+
+  test("repetitionStats: Gopher duplicate-token and top-bigram fractions") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),      // 5 toks, 2 distinct → dup 600; bigrams
+                              // [a b, b a, a b, b a] → top 2/4 → 500
+      (2L, "w x y z"),        // all distinct → dup 0; all bigrams unique → 333
+      (3L, "solo"),           // 1 token: no bigrams → nulls
+      (4L, "")                // 0 tokens → all null
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Option[Long], Long, Option[Long])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 5L, Some(600L), 4L, Some(500L))))
+    assert(r(2L) == ((2L, 4L, Some(0L), 3L, Some(333L))))
+    assert(r(3L) == ((3L, 1L, Some(0L), 0L, None)))
+    assert(r(4L) == ((4L, 0L, None, 0L, None)))
+  }
 }
