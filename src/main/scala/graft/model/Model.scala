@@ -53,7 +53,11 @@ object Model {
       error: Option[String])
 
   /** Parsed DMARC tag map (reference `dns_utils.py:144-158`,
-    * `result-schema.json:101-143`).
+    * `result-schema.json:101-143`). Fields hold the RAW tag values as they
+    * appeared (None = absent); the checkdmarc per-tag object view — typed
+    * values, filled defaults, explicit flags — is computed by
+    * [[graft.parsers.Parsers.dmarcTags]] so the stored row schema stays
+    * flat while consumers and the JSON emitter get full tag metadata.
     */
   case class DmarcParsed(
       record: String,
@@ -61,6 +65,23 @@ object Model {
       adkim: Option[String], aspf: Option[String], pct: Option[String],
       fo: Option[String], ri: Option[String], rua: Option[String],
       ruf: Option[String], rf: Option[String], error: Option[String])
+
+  /** One checkdmarc report URI (`rua`/`ruf` values,
+    * `result-example.json`: `{scheme, address, size_limit}`).
+    */
+  case class DmarcUri(scheme: String, address: String, size_limit: Option[String])
+
+  /** One checkdmarc tag object: `{value, explicit}` where value is
+    * string | int | string list | URI list depending on the tag (typed
+    * sibling fields per SURVEY §1.4) and `explicit` records whether the
+    * tag appeared in the record or was filled from the RFC 7489 default.
+    */
+  case class DmarcTag(
+      strValue: Option[String] = None,
+      intValue: Option[Long] = None,
+      listValue: Option[Seq[String]] = None,
+      uriValue: Option[Seq[DmarcUri]] = None,
+      explicit: Boolean)
 
   /** DNSSEC verdict (reference `dns_utils.py:73-127`,
     * `result-schema.json:671-695`): valid true/false/null + one of

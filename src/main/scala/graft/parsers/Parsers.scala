@@ -107,6 +107,66 @@ object Parsers {
       tags.get("ri"), tags.get("rua"), tags.get("ruf"), tags.get("rf"), None)
   }
 
+  /** checkdmarc per-tag object view (`checkdmarc.parse_dmarc_record`,
+    * `result-example.json` TXT_DMARC): each tag becomes `{value, explicit}`
+    * with RFC 7489 defaults filled for absent tags — sp ← p's value,
+    * adkim/aspf "r", pct 100, fo ["0"], ri 86400, rf ["afrf"] — and typed
+    * values: pct/ri ints, fo split on ':', rf split on ',', rua/ruf
+    * parsed to `{scheme, address, size_limit}` URI objects (`!limit`
+    * suffix). rua/ruf have no default and are omitted when absent; tag
+    * order matches the reference output. Error entries have no tag view.
+    */
+  def dmarcTags(d: DmarcParsed): Seq[(String, DmarcTag)] = {
+    if (d.error.isDefined) return Seq.empty
+    def str(raw: Option[String], default: Option[String]): Option[DmarcTag] =
+      raw match {
+        case Some(v) => Some(DmarcTag(strValue = Some(v), explicit = true))
+        case None => default.map(v => DmarcTag(strValue = Some(v), explicit = false))
+      }
+    def int(raw: Option[String], default: Long): DmarcTag = raw match {
+      case Some(v) => v.trim.toLongOption match {
+        case Some(n) => DmarcTag(intValue = Some(n), explicit = true)
+        case None => DmarcTag(strValue = Some(v), explicit = true) // junk kept raw
+      }
+      case None => DmarcTag(intValue = Some(default), explicit = false)
+    }
+    def list(raw: Option[String], sep: Char, default: Seq[String]): DmarcTag =
+      raw match {
+        case Some(v) => DmarcTag(
+          listValue = Some(v.split(sep).toSeq.map(_.trim).filter(_.nonEmpty)),
+          explicit = true)
+        case None => DmarcTag(listValue = Some(default), explicit = false)
+      }
+    def uris(raw: String): Seq[DmarcUri] =
+      raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { u =>
+        val (body, limit) = u.indexOf('!') match {
+          case -1 => (u, None)
+          case i => (u.substring(0, i), Some(u.substring(i + 1)))
+        }
+        val (scheme, addr) = body.indexOf(':') match {
+          case -1 => ("", body)
+          case i => (body.substring(0, i), body.substring(i + 1))
+        }
+        DmarcUri(scheme, addr, limit)
+      }
+    def uriTag(raw: Option[String]): Option[DmarcTag] =
+      raw.map(v => DmarcTag(uriValue = Some(uris(v)), explicit = true))
+    // v's value is the bare version token ("DMARC1"), like checkdmarc
+    val vTag = DmarcTag(strValue = Some(d.v.getOrElse("DMARC1")), explicit = true)
+    Seq("v" -> Some(vTag),
+      "p" -> str(d.p, None),
+      "sp" -> str(d.sp, d.p), // default: mirror p (RFC 7489 §6.3)
+      "adkim" -> str(d.adkim, Some("r")),
+      "pct" -> Some(int(d.pct, 100L)),
+      "fo" -> Some(list(d.fo, ':', Seq("0"))),
+      "ri" -> Some(int(d.ri, 86400L)),
+      "rua" -> uriTag(d.rua),
+      "ruf" -> uriTag(d.ruf),
+      "aspf" -> str(d.aspf, Some("r")),
+      "rf" -> Some(list(d.rf, ',', Seq("afrf"))))
+      .collect { case (k, Some(t)) => k -> t }
+  }
+
   /** Parse strict-transport-security header (reference `web_utils.py:75-86`). */
   def parseHstsHeader(raw: String): HstsHeader = {
     // single pass, case-insensitive region compares — this runs per

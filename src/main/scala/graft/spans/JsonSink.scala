@@ -153,13 +153,26 @@ object JsonSink {
       "ip6" -> optArr(s.ip6)))
   }
 
+  private def dmarcTagJ(t: graft.model.Model.DmarcTag): J = {
+    val value: J =
+      t.intValue.map(JL.apply)
+        .orElse(t.strValue.map(JS.apply))
+        .orElse(t.listValue.map(l => JArr(l.map(JS.apply))))
+        .orElse(t.uriValue.map(us => JArr(us.map(u => JObj(Seq(
+          "scheme" -> JS(u.scheme), "address" -> JS(u.address),
+          "size_limit" -> u.size_limit.fold[J](JNull)(JS.apply)))))))
+        .getOrElse(JNull)
+    JObj(Seq("value" -> value, "explicit" -> JB(t.explicit)))
+  }
+
+  /** checkdmarc per-tag objects (`result-example.json` TXT_DMARC): each
+    * tag is `{value, explicit}`, defaults filled — the computed view from
+    * [[graft.parsers.Parsers.dmarcTags]], reference tag order.
+    */
   private def dmarcJ(d: DmarcParsed): J = d.error match {
     case Some(e) => JObj(Seq("error" -> JS(e)))
-    case None => JObj( // reference tag order (result-example.json)
-      Seq("v" -> d.v, "p" -> d.p, "sp" -> d.sp, "adkim" -> d.adkim,
-        "pct" -> d.pct, "fo" -> d.fo, "ri" -> d.ri, "rua" -> d.rua,
-        "ruf" -> d.ruf, "aspf" -> d.aspf, "rf" -> d.rf)
-        .collect { case (k, Some(v)) => k -> JS(v) })
+    case None => JObj(graft.parsers.Parsers.dmarcTags(d)
+      .map { case (k, t) => k -> dmarcTagJ(t) })
   }
 
   private def dnssecJ(d: Dnssec): J = JObj(

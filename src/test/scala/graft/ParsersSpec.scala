@@ -45,6 +45,43 @@ class ParsersSpec extends AnyFunSuite {
     assert(Parsers.parseDmarc("v=spf1 -all").error.isDefined)
   }
 
+  test("dmarcTags: checkdmarc per-tag objects with defaults and explicit " +
+      "flags (result-example.json golden)") {
+    import graft.model.Model.{DmarcTag, DmarcUri}
+    // the reference example's own nic.cz record shape
+    val d = Parsers.parseDmarc("v=DMARC1; p=none; sp=none; adkim=s; pct=5; " +
+      "fo=1; ri=86400; rua=mailto:dmarc.reports@nic.cz; ruf=mailto:dmarc.ruf@nic.cz")
+    val tags = Parsers.dmarcTags(d).toMap
+    assert(Parsers.dmarcTags(d).map(_._1) == // reference tag order
+      Seq("v", "p", "sp", "adkim", "pct", "fo", "ri", "rua", "ruf", "aspf", "rf"))
+    assert(tags("v") == DmarcTag(strValue = Some("DMARC1"), explicit = true))
+    assert(tags("p") == DmarcTag(strValue = Some("none"), explicit = true))
+    assert(tags("sp") == DmarcTag(strValue = Some("none"), explicit = true))
+    assert(tags("adkim") == DmarcTag(strValue = Some("s"), explicit = true))
+    assert(tags("pct") == DmarcTag(intValue = Some(5L), explicit = true))
+    assert(tags("fo") == DmarcTag(listValue = Some(Seq("1")), explicit = true))
+    assert(tags("ri") == DmarcTag(intValue = Some(86400L), explicit = true))
+    assert(tags("rua") == DmarcTag(uriValue =
+      Some(Seq(DmarcUri("mailto", "dmarc.reports@nic.cz", None))), explicit = true))
+    // defaulted tags carry explicit=false, like the example's aspf/rf
+    assert(tags("aspf") == DmarcTag(strValue = Some("r"), explicit = false))
+    assert(tags("rf") == DmarcTag(listValue = Some(Seq("afrf")), explicit = false))
+    // sp defaults to p's value when absent (RFC 7489 §6.3)
+    val noSp = Parsers.parseDmarc("v=DMARC1; p=reject")
+    val t2 = Parsers.dmarcTags(noSp).toMap
+    assert(t2("sp") == DmarcTag(strValue = Some("reject"), explicit = false))
+    assert(t2("pct") == DmarcTag(intValue = Some(100L), explicit = false))
+    assert(t2("fo") == DmarcTag(listValue = Some(Seq("0")), explicit = false))
+    assert(!t2.contains("rua") && !t2.contains("ruf")) // no default for these
+    // size-limited URI
+    val lim = Parsers.dmarcTags(
+      Parsers.parseDmarc("v=DMARC1; p=none; rua=mailto:a@b.cz!10m")).toMap
+    assert(lim("rua").uriValue.get ==
+      Seq(DmarcUri("mailto", "a@b.cz", Some("10m"))))
+    // junk record has no tag view (error entry instead)
+    assert(Parsers.dmarcTags(Parsers.parseDmarc("v=spf1 -all")).isEmpty)
+  }
+
   test("annotateAlgorithm maps IANA numbers to mnemonics at the right token") {
     // DS rdata: keytag algorithm digesttype digest → token index 1
     assert(Parsers.annotateAlgorithm("61281 13 2 deadbeef", 1).contains("ECDSAP256SHA256"))
