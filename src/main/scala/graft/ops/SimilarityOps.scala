@@ -161,11 +161,26 @@ object SimilarityOps {
     * exact checkable value: the DuckDB oracle recomputes the same cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      /** Quantizer selection: `"first"` = lowest-id vectors (default —
+        * trivially oracle-replicable, which is why q36 hash-checks), or
+        * `"spread"` = the nlist vectors with the smallest `xxhash64(id)` —
+        * still fully deterministic (resume/incremental-safe, no RNG
+        * state) but id-decorrelated, so an id-ordered corpus (e.g.
+        * cluster-then-assign ids) can't collapse all centroids into one
+        * region. Production default should be "spread"; a k-means pass is
+        * the further upgrade once a trainer stage exists.
+        */
+      centroids: String = "first"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val centOrder = centroids match {
+      case "spread" => Seq(xxhash64(col(idCol).cast("long")), col(idCol).cast("long"))
+      case _ => Seq(col(idCol).cast("long"))
+    }
     val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].orderBy(col(idCol).cast("long")).limit(nlist).collect()
+      .orderBy(centOrder: _*).limit(nlist)
+      .as[(Long, Array[Float])].collect()
     val cb = spark.sparkContext.broadcast(cents)
     // nearest cells by (cosine desc, centroid id asc) — the same
     // tie-break the oracle's row_number ordering uses

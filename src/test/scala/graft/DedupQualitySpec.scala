@@ -159,6 +159,27 @@ class DedupQualitySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"IVF mean recall@5 = $mean")
+
+    // 'spread' quantizer: this fixture is maximally id-correlated (ids
+    // 0..15 are ALL cluster 0, exactly the nlist lowest ids), so "first"
+    // centroids collapse into one cluster; hash-sampled centroids are
+    // id-decorrelated, deterministic, and must at least match recall
+    val spread = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, centroids = "spread")
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val spreadRecalls = exact.map { case (q, truth) =>
+      spread.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val spreadMean = spreadRecalls.sum / spreadRecalls.size
+    assert(spreadMean >= mean - 1e-9,
+      s"spread quantizer recall $spreadMean < first-quantizer $mean on an " +
+        "id-correlated corpus")
+    // deterministic: identical output across invocations (no RNG state)
+    val again = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, centroids = "spread")
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == spread.toSeq.flatMap { case (q, ns) => ns.toSeq.map(q -> _) }.toSet)
   }
 
   test("SRP-LSH ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
