@@ -394,6 +394,18 @@ object SparkEntry {
     "q40_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")),
 
+    // Benchmark decontamination — corpus docs sharing any 3-gram shingle
+    // with the holdout "benchmark" slice (doc_id % 97 == 0). Benchmark
+    // shingles broadcast; corpus never shuffles except the per-doc count.
+    "q41_decontaminate" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      DedupOps.contaminatedDocs(
+        all.where(col("doc_id") % 97 =!= 0),
+        all.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleK = 3)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -889,6 +901,22 @@ object SparkEntry {
                 ELSE CAST(FLOOR(1000.0 * t.top_c / len(b.bigrams)) AS BIGINT)
            END AS top_bigram_mill
          FROM base b LEFT JOIN top t USING (doc_id)""",
+
+    "q41_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_transform(range(len(tk) - 2),
+             i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
+           FROM toks WHERE len(tk) >= 3
+         ), shx AS (
+           SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh
+         ), bench AS (SELECT DISTINCT s FROM shx WHERE doc_id % 97 = 0),
+         corpus AS (SELECT doc_id, s FROM shx WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM corpus c JOIN bench b USING (s)
+         GROUP BY c.doc_id HAVING count(*) >= 1""",
 
     // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
     // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]

@@ -291,6 +291,31 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    * check every LLM training pipeline runs before an eval): flag corpus
+    * documents sharing ≥ `minShared` distinct `shingleK`-gram shingles
+    * with a benchmark/eval set, returning (id, n_shared).
+    *
+    * 100 TB shape: the benchmark side is eval sets — tiny — so its
+    * distinct shingle set BROADCASTS and the corpus streams through a
+    * broadcast hash join with no corpus-side shuffle except the final
+    * per-doc count (map-side combinable). Within-doc shingle dedup is
+    * row-local (`array_distinct`), never a corpus-wide distinct.
+    */
+  def contaminatedDocs(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, minShared: Long = 1): DataFrame = {
+    val bsh = bench
+      .select(explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("sh"))
+      .distinct()
+    val dsh = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("sh"))
+    dsh.join(broadcast(bsh), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Keep-one policy over exact groups: retain min id per fingerprint. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextOps.normFingerprint(col(textCol)))
