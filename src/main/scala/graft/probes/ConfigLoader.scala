@@ -254,6 +254,9 @@ object ConfigLoader {
       saveCertChain = bool(web, "save_cert_chain", base.saveCertChain),
       flattenOutput = bool(web, "flatten_output", base.flattenOutput),
       webPaths = strList(web, "paths", base.webPaths),
+      userAgent = optStr(web, "user_agent", Some(base.userAgent))
+        .getOrElse(base.userAgent),
+      respectRobots = bool(web, "respect_robots", base.respectRobots),
       connectivityIpv4 = optStr(conn, "ipv4", base.connectivityIpv4),
       connectivityIpv6 = optStr(conn, "ipv6", base.connectivityIpv6),
       saveWorkerHostname = bool(root, "save_worker_hostname", base.saveWorkerHostname),

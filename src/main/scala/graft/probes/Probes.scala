@@ -55,6 +55,33 @@ class Probes(
     certCache.getOrElseUpdate(host,
       Some(if (cfg.saveCertChain) u.certChainFor(host) else Seq(u.certFor(host))))
 
+  // robots.txt policy per (host, port), fetched through the probe service
+  // and cached per Probes instance (≈ per partition, like certCache);
+  // only consulted under cfg.respectRobots
+  @transient private lazy val robotsCache =
+    scala.collection.mutable.HashMap.empty[(String, Int), graft.frontier.Robots.Policy]
+
+  private def robotsFor(host: String, ip: String, port: Int): graft.frontier.Robots.Policy =
+    robotsCache.getOrElseUpdate((host, port), {
+      val (status, _, _, body, isBin) =
+        u.webStep(host, ip, port, 0, "/robots.txt", wantBody = true)
+      if (status == 200 && !isBin) body.map(graft.frontier.Robots.parse)
+        .getOrElse(graft.frontier.Robots.allowAll)
+      else graft.frontier.Robots.allowAll // 4xx/5xx/unreachable → permissive
+    })
+
+  /** Result shape for a robots-disallowed combo: one error step, like the
+    * reference's timeout/error steps — observable, not silently absent.
+    */
+  private def robotsBlocked(host: String, ip: String, port: Int, path: String): WebResult = {
+    val url = s"${if (port == 443) "https" else "http"}://$host$path"
+    val step = WebStep(url, None, None, Seq.empty, None, None, None, None,
+      Some(ip), None, None, None, None, None, None,
+      Some("blocked by robots.txt"))
+    if (cfg.saveIntermediateSteps) WebResult(ip, 0, Some(Vector(step)), None)
+    else WebResult(ip, 0, None, Some(step))
+  }
+
   // interned Option wrappers for per-step fields with tiny value spaces
   // (status codes, booleans): a fresh Some per step per field is pure
   // churn at ~45 web steps/domain
@@ -390,7 +417,12 @@ class Probes(
       }.getOrElse(Seq.empty)
     def combo(host: String, ipList: Seq[String], port: Int): Option[Seq[WebResult]] =
       if (ipList.isEmpty) None
-      else Some(ipList.map(ip => fetchWeb(host, ip, port, path)))
+      else Some(ipList.map { ip =>
+        if (cfg.respectRobots &&
+            !robotsFor(host, ip, port).allows(cfg.robotsAgent, path))
+          robotsBlocked(host, ip, port, path)
+        else fetchWeb(host, ip, port, path)
+      })
     val www = s"www.$domain"
     val v4 = cfg.checkIpv4 && sourceIpv4.isDefined
     val v6 = cfg.checkIpv6 && sourceIpv6.isDefined
@@ -493,6 +525,18 @@ case class CrawlConfig(
       */
     connectivityIpv4: Option[String] = Some("193.17.47.1"),
     connectivityIpv6: Option[String] = Some("2001:148f:ffff::1"),
+    /** User-Agent header (reference config.yml web.user_agent). */
+    userAgent: String = "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko) Chrome/74.0.3729.131 Safari/537.36",
+    /** Honor robots.txt for web fetches (our extension — the reference
+      * fetches without checking; the north rule's frontier calls for the
+      * capability). Off by default for reference output parity. When on,
+      * /robots.txt is fetched once per (host, port) through the probe
+      * service, cached per partition, and disallowed (agent, path) combos
+      * yield a `blocked by robots.txt` error result instead of a fetch.
+      */
+    respectRobots: Boolean = false,
+    /** Product token used for robots.txt group matching. */
+    robotsAgent: String = "graft-crawler",
     saveWorkerHostname: Boolean = false, // config_loader.py:80
     workerHostname: String = "graft-worker-0",
     /** mmdb paths (config.yml geoip section; `geoip_utils.py:27-54`
