@@ -199,6 +199,10 @@ object ConfigLoader {
       case Some(YNum(d)) => d.toInt
       case _ => dflt
     }
+    def num(m: YMap, k: String, dflt: Double): Double = m.get(k).map(coerce) match {
+      case Some(YNum(d)) => d
+      case _ => dflt
+    }
     def optInt(m: YMap, k: String, dflt: Option[Int]): Option[Int] =
       m.get(k).map(coerce) match {
         case Some(YNum(d)) => Some(d.toInt)
@@ -238,6 +242,10 @@ object ConfigLoader {
       additionalRrtypes = strList(dns, "additional", base.additionalRrtypes),
       jobTimeoutSeconds = int(timeouts, "job", base.jobTimeoutSeconds),
       cacheTtlSeconds = int(timeouts, "cache", base.cacheTtlSeconds),
+      dnsTimeoutSeconds = num(timeouts, "dns", base.dnsTimeoutSeconds),
+      httpTimeoutSeconds = num(timeouts, "http", base.httpTimeoutSeconds),
+      httpReadTimeoutSeconds = num(timeouts, "http_read", base.httpReadTimeoutSeconds),
+      mailTimeoutSeconds = num(timeouts, "mail", base.mailTimeoutSeconds),
       getBanners = bool(mail, "get_banners", base.getBanners),
       mailPorts = intList(mail, "ports", base.mailPorts),
       maxIpsPerMailHost = int(mail, "max_ips_per_host", base.maxIpsPerMailHost),

@@ -514,6 +514,15 @@ case class CrawlConfig(
     mailPorts: Seq[Int] = Seq(25, 465, 587),
     cacheTtlSeconds: Int = 3600,      // config.yml:23
     jobTimeoutSeconds: Int = 80,      // config.yml:19
+    /** Per-leaf network timeouts (config.yml timeouts.dns/http/http_read/
+      * mail) — consumed by real socket-backed [[ProbeService]]s; the
+      * deterministic universe never blocks, and the enforced per-domain
+      * bound is [[jobTimeoutSeconds]] (T3).
+      */
+    dnsTimeoutSeconds: Double = 2,    // config.yml:20
+    httpTimeoutSeconds: Double = 2,   // config.yml:21
+    httpReadTimeoutSeconds: Double = 5, // config.yml:22
+    mailTimeoutSeconds: Double = 2,   // config_loader.py defaults
     webPaths: Seq[String] = Seq.empty,          // config.yml:46
     additionalRrtypes: Seq[String] = Seq.empty, // config.yml dns.additional
     /** CHAOS records per NS IP (config.yml:12-14 default; `authors.bind`,

@@ -69,6 +69,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(c.additionalRrtypes == Seq("SPF"))
     assert(c.jobTimeoutSeconds == 80)
     assert(c.cacheTtlSeconds == 3600)
+    assert(c.dnsTimeoutSeconds == 2.0 && c.httpTimeoutSeconds == 2.0 &&
+      c.httpReadTimeoutSeconds == 5.0)
+    assert(c.userAgent.startsWith("Mozilla/5.0 AppleWebKit/537.36"))
+    assert(!c.respectRobots) // extension key, absent in the reference file
     assert(c.getBanners)
     assert(c.mailPorts == Seq(25, 465, 587))
     assert(c.maxIpsPerMailHost == 4)
