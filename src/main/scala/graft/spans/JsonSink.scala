@@ -138,19 +138,24 @@ object JsonSink {
     })
   }
 
+  // checkdmarc emits EMPTY ARRAYS for qualifier buckets with no terms
+  // (result-example.json: "neutral": [], "fail": [] …), not nulls
+  private def emptyArr(v: Option[Seq[String]]): J =
+    JArr(v.getOrElse(Seq.empty).map(JS.apply))
+
   private def spfJ(s: SpfParsed): J = s.error match {
     case Some(e) => JObj(Seq("error" -> JS(e)))
     case None => JObj(Seq(
-      "pass" -> spfPassJ(s.pass),
-      "neutral" -> optArr(s.neutral),
-      "softfail" -> optArr(s.softfail),
-      "fail" -> optArr(s.fail),
-      "include" -> optArr(s.include),
+      "pass" -> (if (s.pass.isEmpty) JArr(Seq.empty) else spfPassJ(s.pass)),
+      "neutral" -> emptyArr(s.neutral),
+      "softfail" -> emptyArr(s.softfail),
+      "fail" -> emptyArr(s.fail),
+      "include" -> emptyArr(s.include),
       "redirect" -> opt(s.redirect),
       "exp" -> opt(s.exp),
       "all" -> opt(s.all),
-      "ip4" -> optArr(s.ip4),
-      "ip6" -> optArr(s.ip6)))
+      "ip4" -> emptyArr(s.ip4),
+      "ip6" -> emptyArr(s.ip6)))
   }
 
   private def dmarcTagJ(t: graft.model.Model.DmarcTag): J = {
