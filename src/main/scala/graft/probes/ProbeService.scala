@@ -156,16 +156,13 @@ final class DeadlineProbeService(
   def remainingNanos: Long =
     math.max(0L, budgetNanos - (clock.nanos() - jobStart))
 
-  // one daemon worker, created lazily only in hard mode; a leaf that
-  // ignores its interrupt poisons the worker, but by then the deadline is
-  // expired so every later call short-circuits to its shape without
-  // touching the executor
-  @transient private[this] lazy val leafExec: ExecutorService =
-    Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "graft-probe-leaf")
-      t.setDaemon(true)
-      t
-    }
+  // Hard-mode leaves run on the JVM-shared daemon pool (companion): a
+  // per-instance single-thread executor would leak one never-shutdown
+  // thread per Probes instance per task in a long-lived executor JVM. A
+  // cached pool also survives a leaf that ignores its interrupt — the
+  // poisoned thread is abandoned and the pool grows one; idle threads
+  // retire after 60 s.
+  private def leafExec: ExecutorService = DeadlineProbeService.sharedLeafExec
 
   /** Hard-mode leaf execution with a timed interrupt. Only reached when
     * `hardLeafTimeouts` — the cooperative fast path below branches without
@@ -266,4 +263,12 @@ object DeadlineProbeService {
   private val bannerTimeout = MailBanner(None, Some("timeout"))
   private val webTimeout: (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
     (0, None, Seq.empty, None, false)
+
+  // JVM-shared daemon pool for hard-mode leaves (see leafExec above)
+  private lazy val sharedLeafExec: ExecutorService =
+    Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-probe-leaf")
+      t.setDaemon(true)
+      t
+    }
 }
