@@ -406,6 +406,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Link extraction (frontier discovery primitive) — deterministic URLs
+    // are synthesized around each doc's text (md5-derived labels, mixed
+    // case, :port, trailing root dot, an in-doc duplicate, and a bare
+    // domain-shaped word that must NOT match), then LinkOps.extractedHosts
+    // pulls the referenced hosts back out. Entirely codegen'd
+    // (regexp_extract_all + array_distinct); the RE2-safe pattern lets the
+    // oracle replay extraction verbatim.
+    "q42_links" -> ((s, dir) => {
+      val id6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+      val id6b = substring(md5(col("doc_id").cast("string")), 7, 6)
+      val body = concat(
+        lit("doc "), col("text"),
+        lit(" see https://w"), id6, lit(".example.cz/a"),
+        lit(" and HTTP://M"), id6b, lit(".CZ:8080/path?x=1"),
+        lit(" dup https://w"), id6, lit(".example.cz./b"),
+        lit(" plain example.net is prose, not a link"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.ops.LinkOps.extractedHosts(body)).as("host"))
+        .groupBy(col("host"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -917,6 +939,23 @@ object SparkEntry {
          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM corpus c JOIN bench b USING (s)
          GROUP BY c.doc_id HAVING count(*) >= 1""",
+
+    "q42_links" ->
+      """WITH bodies AS (
+           SELECT doc_id,
+             concat('doc ', text,
+               ' see https://w', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), '.example.cz/a',
+               ' and HTTP://M', substr(md5(CAST(doc_id AS VARCHAR)), 7, 6), '.CZ:8080/path?x=1',
+               ' dup https://w', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), '.example.cz./b',
+               ' plain example.net is prose, not a link') AS body
+           FROM documents
+         ), hosts AS (
+           SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(body),
+               'https?://([a-z0-9.-]+\.[a-z]{2,})', 1))) AS host
+           FROM bodies
+         )
+         SELECT host, count(DISTINCT doc_id) AS n_docs FROM hosts GROUP BY host""",
 
     // q37: sources are ASCII, so canonicalize_domain = lower∘trim∘strip-dot;
     // is_global_ip on <a>.0.113.7 is false iff a ∈ {0,10,127,203} ∪ [224,255]

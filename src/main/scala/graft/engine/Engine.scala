@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.canon.Canon
 import graft.frontier.{CuckooFilter, FrontierHeap, PolicyCache}
 import graft.model.Model._
+import graft.ops.LinkOps
 import graft.probes.{CrawlConfig, Probes}
 import graft.spans.SpanCodec
 import graft.tables.SnapTable
@@ -45,11 +46,102 @@ import graft.universe.Universe
 object Engine {
   case class ResultRow(domain: String, pop_round: Int, pop_rank: Long, result: DomainResult)
   case class BacklogRow(domain: String, canonical: String, key: Long,
-      nsBucket: Int, priority: Int, seq: Long, active: Boolean)
+      nsBucket: Int, priority: Int, seq: Long, depth: Int, active: Boolean)
   case class NsIpRef(domain: String, nsIdx: Int, ns: String,
       fam: Int, ipIdx: Int, ip: String)
   case class RoundStats(round: Int, admitted: Long, crawled: Long,
-      deferred: Long, seconds: Double)
+      deferred: Long, seconds: Double, discovered: Long = 0L)
+
+  /** Frontier discovery: hosts found while crawling re-enter the frontier
+    * through the same canonicalize → punycode → xxhash64 → cuckoo-seen-set
+    * admission as seeds (north rule: a URL-frontier, not a fixed list —
+    * the reference crawler never grows its list, this engine optionally
+    * does). Off by default so reference output stays byte-comparable.
+    *
+    * `maxDepth` is the termination guarantee: the universe (like the web)
+    * contains unbounded host chains (mail0.mail0.…), so discovery without
+    * a depth cap never drains. `maxPerDomain` bounds per-result frontier
+    * growth the way `max_ips_per_domain` bounds probe fan-out.
+    */
+  case class DiscoveryConfig(
+      enabled: Boolean = false,
+      fromRedirects: Boolean = true,
+      fromMx: Boolean = true,
+      fromNs: Boolean = false,
+      /** Links require a materialized body: discovery reads the assembled
+        * result rows, so with `save_content` off (the reference library
+        * default) the leaves never build the body string and there is
+        * nothing to extract — enable `saveContent` (or a future inline
+        * extract-at-fetch leaf) to use this source.
+        */
+      fromLinks: Boolean = true,
+      maxPerDomain: Int = 16,
+      maxDepth: Int = 2)
+  object DiscoveryConfig {
+    val off: DiscoveryConfig = DiscoveryConfig()
+    val on: DiscoveryConfig = DiscoveryConfig(enabled = true)
+  }
+
+  private val HostShape = "[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?\\.[a-z]{2,}".r
+
+  /** Candidate hosts discovered in one crawl result, first-occurrence
+    * order, self (and its www twin) excluded, capped at `maxPerDomain`.
+    * Pure and allocation-light — runs once per result row inside the
+    * crawl stage's partitions, never on the driver.
+    *
+    * Sources (each gated by config):
+    *   - redirect targets: every step URL whose host differs from the
+    *     probed host (the reference follows these in-fetch,
+    *     `web_utils.py:202-223`; discovery also admits them as frontier
+    *     entries so their own full probe runs);
+    *   - MX hosts (`DNS_LOCAL.MAIL` — "10 mail.example.cz." → mail.example.cz);
+    *   - authoritative NS hosts (`DNS_LOCAL.NS_AUTH`), off by default:
+    *     crawling every nameserver of every domain mostly re-finds a few
+    *     big providers — cheap, but rarely what a corpus crawl wants;
+    *   - absolute http(s) links in fetched content ([[graft.ops.LinkOps]]).
+    */
+  def discoveredHosts(r: DomainResult, self: String,
+      cfg: DiscoveryConfig): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val selfWww = "www." + self
+
+    def add(raw: String): Unit =
+      if (out.size < cfg.maxPerDomain && raw != null && raw.nonEmpty) {
+        var h = raw.toLowerCase
+        if (h.nonEmpty && h.charAt(h.length - 1) == '.') h = h.substring(0, h.length - 1)
+        if (h != self && h != selfWww && HostShape.matches(h)) out += h
+      }
+
+    def steps(w: WebResult): Seq[WebStep] =
+      w.steps.getOrElse(w.final_step.toSeq)
+
+    def fromWeb(combo: Option[Seq[WebResult]]): Unit =
+      combo.foreach(_.foreach(steps(_).foreach { st =>
+        if (cfg.fromRedirects)
+          LinkOps.extractHosts(st.url).foreach(add)
+        if (cfg.fromLinks)
+          st.content.foreach(c => LinkOps.extractHosts(c).foreach(add))
+      }))
+
+    if (cfg.fromMx)
+      r.DNS_LOCAL.MAIL.foreach(_.foreach { rec =>
+        val parts = rec.value.trim.split("\\s+")
+        if (parts.nonEmpty) add(parts.last)
+      })
+    if (cfg.fromNs)
+      r.DNS_LOCAL.NS_AUTH.foreach(_.foreach(rec => add(rec.value)))
+    val w = r.WEB
+    Seq(w.WEB4_80, w.WEB4_443, w.WEB6_80, w.WEB6_443,
+      w.WEB4_80_www, w.WEB4_443_www, w.WEB6_80_www, w.WEB6_443_www)
+      .foreach(fromWeb)
+    r.WEB_paths.foreach(_.foreach { pw =>
+      val p = pw.web
+      Seq(p.WEB4_80, p.WEB4_443, p.WEB6_80, p.WEB6_443,
+        p.WEB4_80_www, p.WEB4_443_www, p.WEB6_80_www, p.WEB6_443_www)
+        .foreach(fromWeb)
+    })
+    out.toSeq
+  }
 }
 
 class Engine(
@@ -66,7 +158,13 @@ class Engine(
       * the frontier attributes (nsBucket, TTL priority, politeness
       * budgets) always come from `universe`.
       */
-    probeService: graft.probes.ProbeService = null) {
+    probeService: graft.probes.ProbeService = null,
+    /** Frontier discovery (off by default): hosts found in crawl results —
+      * redirect targets, MX hosts, in-content links — are canonicalized,
+      * checked against the same cuckoo seen-set, and admitted into later
+      * rounds as depth+1 entries. See [[Engine.DiscoveryConfig]].
+      */
+    discovery: Engine.DiscoveryConfig = Engine.DiscoveryConfig.off) {
 
   import Engine._
   import spark.implicits._
@@ -130,6 +228,35 @@ class Engine(
       }
   }
 
+  /** Discovered (host, depth) pairs → frontier entries. Twin of
+    * [[toFrontier]] with two differences: the dedup keeps the MIN depth
+    * (two parents at different depths → the shallower wins, so the depth
+    * cap is never pessimistic), and seq is derived from the canonical
+    * host's hash in a high range disjoint from every doc-derived seed seq
+    * (docKey < 2^41 ⇒ seed seq < 2^63 but digit-keyed corpora stay ≪ 2^62)
+    * — deterministic at any parallelism, and discovered hosts order after
+    * same-priority seeds instead of racing them.
+    */
+  private def toFrontierDiscovered(hosts: Dataset[(String, Int)])
+      : Dataset[FrontierEntry] = {
+    val u = universe
+    hosts.toDF("domain", "depth")
+      .withColumn("canonical", Canon.canonicalizeDomainCol(col("domain")))
+      .groupBy(col("canonical"))
+      .agg(min(col("domain")).as("domain"), min(col("depth")).as("depth"))
+      .withColumn("key", xxhash64(col("canonical")))
+      .withColumn("seq",
+        lit(1L << 62) + pmod(xxhash64(lit("disc"), col("canonical")), lit(1L << 40)))
+      .select("domain", "seq", "canonical", "key", "depth")
+      .as[(String, Long, String, Long, Int)]
+      .map { case (domain, seq, canonical, key, depth) =>
+        FrontierEntry(domain, canonical, key,
+          nsBucket = u.nsProvider(canonical),
+          priority = u.ttlFor(canonical),
+          seq = seq, depth = depth)
+      }
+  }
+
   // -------------------------------------------------- seen-set filters
 
   private def filterDir(round: Int) = s"$workDir/filters/r$round"
@@ -147,12 +274,19 @@ class Engine(
     * key set never moves to the driver.
     */
   private[graft] def admitUnseen(entries: Dataset[FrontierEntry], round: Int)
-      : Dataset[FrontierEntry] = {
-    val refs = loadFilterRefs().filter(_._2.nonEmpty)
+      : Dataset[FrontierEntry] =
+    admitUnseenInto(entries, loadFilterRefs().filter(_._2.nonEmpty), filterDir(round))
+
+  /** Core of [[admitUnseen]] with explicit filter refs and snapshot dir —
+    * the discovery pass re-admits against THIS round's seed snapshots
+    * (not the last committed checkpoint) and writes to a sibling dir so
+    * the two admissions of one round never clobber each other's files.
+    */
+  private def admitUnseenInto(entries: Dataset[FrontierEntry],
+      refs: Map[Int, String], outDir: String): Dataset[FrontierEntry] = {
     val refsB = spark.sparkContext.broadcast(refs)
     val p = frontierPartitions
     val cap = filterCapacityPerPartition
-    val outDir = filterDir(round)
     Files.createDirectories(Paths.get(outDir))
     entries
       .groupByKey(e => Math.floorMod(e.key, p.toLong).toInt)
@@ -211,9 +345,8 @@ class Engine(
     * snapshot files; untouched partitions keep their previous ref.
     */
   private def currentFilterRefs(round: Int): Map[Int, String] = {
-    val prev = loadFilterRefs().filter(_._2.nonEmpty)
-    val dir = Paths.get(filterDir(round))
-    val updated =
+    def scan(d: String): Map[Int, String] = {
+      val dir = Paths.get(d)
       if (!Files.isDirectory(dir)) Map.empty[Int, String]
       else {
         val listing = Files.list(dir)
@@ -226,7 +359,11 @@ class Engine(
           }.toMap
         } finally listing.close()
       }
-    prev ++ updated
+    }
+    // precedence: discovery-pass snapshots (superset of the seed pass on
+    // the partitions both touched) > this round's seed pass > committed
+    loadFilterRefs().filter(_._2.nonEmpty) ++
+      scan(filterDir(round)) ++ scan(filterDir(round) + "d")
   }
 
   // ------------------------------------------------------- politeness
@@ -509,15 +646,51 @@ class Engine(
           .cache()
         val nCrawled = rows.count()
 
+        // 5b. discovery: hosts found in this round's results re-enter the
+        // frontier as depth+1 entries, deduped against everything ever
+        // admitted via THIS round's filter snapshots (so a host that is
+        // both a seed and a discovery is crawled exactly once), written to
+        // a sibling snapshot dir (r${round}d). Parent depths ride a
+        // driver map bounded by |selected| ≤ Σ budgets — the same bound
+        // the broadcast pop-rank side already relies on.
+        var nDiscovered = 0L
+        var discBacklog: Option[Dataset[BacklogRow]] = None
+        var discCached: Option[Dataset[FrontierEntry]] = None
+        if (discovery.enabled) {
+          val depthOf = selected.map(e => (e.canonical, e.depth)).collect().toMap
+          val depthB = spark.sparkContext.broadcast(depthOf)
+          val dcfg = discovery
+          val found = rows.flatMap { rr =>
+            val d = depthB.value.getOrElse(rr.domain, 0)
+            if (d >= dcfg.maxDepth) Iterator.empty
+            else Engine.discoveredHosts(rr.result, rr.domain, dcfg)
+              .iterator.map(h => (h, d + 1))
+          }
+          val discAdmitted = admitUnseenInto(toFrontierDiscovered(found),
+            currentFilterRefs(round).filter(_._2.nonEmpty),
+            filterDir(round) + "d").cache()
+          nDiscovered = discAdmitted.count() // materializes filter snapshots
+          if (nDiscovered > 0) {
+            discCached = Some(discAdmitted)
+            discBacklog = Some(discAdmitted.map(e => BacklogRow(e.domain,
+              e.canonical, e.key, e.nsBucket, e.priority, e.seq, e.depth,
+              active = true)))
+          } else discAdmitted.unpersist()
+        }
+
         // 6. MERGE commits: results, span re-encoding, backlog, checkpoint
         resultsT.mergeCommit(rows.toDF())
         spansT.mergeCommit(rows.map(r => SpanCodec.encode(r.result)).toDF())
         val backlogUpdates =
           deferred.map(e => BacklogRow(e.domain, e.canonical, e.key,
-            e.nsBucket, e.priority, e.seq, active = true)).toDF()
+            e.nsBucket, e.priority, e.seq, e.depth, active = true)).toDF()
             .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
-              e.key, e.nsBucket, e.priority, e.seq, active = false)).toDF())
-        backlogT.mergeCommit(backlogUpdates)
+              e.key, e.nsBucket, e.priority, e.seq, e.depth, active = false)).toDF())
+        backlogT.mergeCommit(discBacklog match {
+          case Some(d) => backlogUpdates.unionByName(d.toDF())
+          case None => backlogUpdates
+        })
+        discCached.foreach(_.unpersist())
         // per-partition throughput: crawled count per frontier partition
         // (pmod(key, P) — the same key the seen-filter shards on)
         val fp = frontierPartitions
@@ -526,11 +699,16 @@ class Engine(
           .mapGroups((pid, it) => (pid, it.size.toLong))
           .collect().toMap
         val roundSecs = (System.nanoTime() - t0) / 1e9
+        // discovery wrote additional snapshots after `filterRefs` was
+        // taken — re-list so resume sees the d-pass state
+        val finalRefs =
+          if (nDiscovered > 0) currentFilterRefs(round) else filterRefs
         val lineage = (0 until frontierPartitions).map { pid =>
           PartitionLineage(pid, newWatermark,
-            filterRefs.getOrElse(pid, ""),
+            finalRefs.getOrElse(pid, ""),
             Map("round" -> round.toLong, "admitted" -> nAdmitted,
               "crawled" -> nCrawled, "deferred" -> nDeferred,
+              "discovered" -> nDiscovered,
               "partition_crawled" -> perPartition.getOrElse(pid, 0L),
               "partition_per_sec" ->
                 (perPartition.getOrElse(pid, 0L) / math.max(roundSecs, 1e-9)).toLong))
@@ -540,7 +718,7 @@ class Engine(
 
         watermark = newWatermark
         stats += RoundStats(round, nAdmitted, nCrawled, nDeferred,
-          (System.nanoTime() - t0) / 1e9)
+          (System.nanoTime() - t0) / 1e9, nDiscovered)
       }
       chunk.unpersist(); admitted.unpersist(); frontier.unpersist()
       selected.unpersist(); deferred.unpersist()

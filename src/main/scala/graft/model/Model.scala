@@ -293,7 +293,15 @@ object Model {
       key: Long,
       nsBucket: Int,
       priority: Int,
-      seq: Long)
+      seq: Long,
+      /** Discovery depth: 0 = seed-list entry; d+1 = host discovered while
+        * crawling a depth-d entry (redirect target / MX / NS / in-content
+        * link). Bounds frontier growth under [[graft.engine.Engine]]'s
+        * discovery mode — the synthetic universe (like the real web)
+        * contains infinite host chains (mail0.mail0.…), so an un-depth-
+        * capped discovering crawler never terminates.
+        */
+      depth: Int = 0)
 
   /** Interleaved-docs input row (`BASELINE.json.input_hint`). */
   case class Span(kind: String, text: String, media_ref: String, offset: Int)

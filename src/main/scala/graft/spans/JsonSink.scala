@@ -31,9 +31,11 @@ import graft.probes.CrawlConfig
   *     list.
   *
   * Documented deviations (typed-model simplifications, see COVERAGE.md):
-  * SPF/DMARC tag values are plain strings (checkdmarc emits tag objects);
-  * the diagnostic `record` field is omitted on emit; header map order is
-  * name-sorted (the reference uses network arrival order).
+  * the diagnostic `record` field is omitted on emit, and SPF `redirect`
+  * stays the raw modifier value (checkdmarc resolves it recursively over
+  * DNS). DMARC tags emit checkdmarc `{value, explicit}` objects; SPF
+  * qualifier buckets emit checkdmarc `{value, mechanism}` objects; headers
+  * emit in network arrival order.
   */
 object JsonSink {
 
@@ -143,14 +145,25 @@ object JsonSink {
   private def emptyArr(v: Option[Seq[String]]): J =
     JArr(v.getOrElse(Seq.empty).map(JS.apply))
 
+  // checkdmarc's parsed buckets are uniform {value, mechanism} objects
+  // for EVERY qualifier (parse_spf_record appends the same OrderedDict to
+  // pass/neutral/softfail/fail alike); empty buckets stay [] like the
+  // golden result-example.json. Model stores the raw term (mech:value),
+  // so the object view is computed at emit like spfPassJ.
+  private def spfBucketJ(xs: Option[Seq[String]]): J =
+    if (xs.isEmpty) JArr(Seq.empty) else spfPassJ(xs)
+
   private def spfJ(s: SpfParsed): J = s.error match {
     case Some(e) => JObj(Seq("error" -> JS(e)))
     case None => JObj(Seq(
-      "pass" -> (if (s.pass.isEmpty) JArr(Seq.empty) else spfPassJ(s.pass)),
-      "neutral" -> emptyArr(s.neutral),
-      "softfail" -> emptyArr(s.softfail),
-      "fail" -> emptyArr(s.fail),
-      "include" -> emptyArr(s.include),
+      "pass" -> spfBucketJ(s.pass),
+      "neutral" -> spfBucketJ(s.neutral),
+      "softfail" -> spfBucketJ(s.softfail),
+      "fail" -> spfBucketJ(s.fail),
+      // include terms are stored as bare domains (the mech prefix is
+      // stripped at parse); emit the same object shape explicitly
+      "include" -> JArr(s.include.getOrElse(Seq.empty).map(d =>
+        JObj(Seq("value" -> JS(d), "mechanism" -> JS("include"))))),
       "redirect" -> opt(s.redirect),
       "exp" -> opt(s.exp),
       "all" -> opt(s.all),
