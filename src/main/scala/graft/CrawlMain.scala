@@ -40,6 +40,11 @@ import graft.universe.Universe
   *                             stands in for the network in this sandbox —
   *                             probe leaves are the single place a real
   *                             resolver/HTTP client would plug in)
+  *   --discover        frontier discovery (parquet inputs): hosts found
+  *                             while crawling (redirect targets, MX hosts,
+  *                             in-content links) re-enter the frontier
+  *                             through the seen-set as depth+1 entries
+  *   --discover-depth N  discovery depth cap (default 2; implies --discover)
   * }}}
   *
   * Progress goes to stderr with timestamps, mirroring the reference's
@@ -58,7 +63,7 @@ object CrawlMain {
       System.err.println("Usage: spark-submit --class graft.CrawlMain graft.jar " +
         "<input.txt|input.parquet> [--config config.yml] [--out DIR] " +
         "[--format jsonl|parquet] [--work DIR] [--max-rounds N] " +
-        "[--partitions P] [--seed N]")
+        "[--partitions P] [--seed N] [--discover] [--discover-depth N]")
       sys.exit(1)
     }
     val input = args(0)
@@ -71,6 +76,13 @@ object CrawlMain {
     val maxRounds = opt("--max-rounds").map(_.toInt).getOrElse(Int.MaxValue)
     val partitions = opt("--partitions").map(_.toInt).getOrElse(32)
     val seed = opt("--seed").map(_.toLong).getOrElse(42L)
+    // frontier discovery (parquet/frontier runs only): hosts found while
+    // crawling re-enter the frontier through the seen-set (Engine scaladoc)
+    val discovery =
+      if (args.contains("--discover") || opt("--discover-depth").isDefined)
+        Engine.DiscoveryConfig.on.copy(
+          maxDepth = opt("--discover-depth").map(_.toInt).getOrElse(2))
+      else Engine.DiscoveryConfig.off
 
     // spark-submit provides the master; standalone runs fall back to local
     val hadSession = SparkSession.getActiveSession
@@ -104,7 +116,8 @@ object CrawlMain {
         new graft.universe.GeoMmdbService(u, cfg.geoipCountry, cfg.geoipIsp, cfg.geoipAsn)
       else u
     val eng = new Engine(spark, u, cfg, workDir = workDir,
-      frontierPartitions = partitions, probeService = svc)
+      frontierPartitions = partitions, probeService = svc,
+      discovery = discovery)
 
     // for .txt inputs: the reference's single.py contract — one JSON per
     // input line, duplicates included, in input order
@@ -123,7 +136,8 @@ object CrawlMain {
           raw("spans")).as[Doc]
         val stats = eng.run(docs, maxRounds)
         stats.foreach(s => err(f"round ${s.round}: admitted=${s.admitted} " +
-          f"crawled=${s.crawled} deferred=${s.deferred} ${s.seconds}%.1f s"))
+          f"crawled=${s.crawled} deferred=${s.deferred} " +
+          f"discovered=${s.discovered} ${s.seconds}%.1f s"))
         eng.resultsTable.read() match {
           case Some(df) => df.select("result.*").as[DomainResult]
           case None => spark.emptyDataset[DomainResult]

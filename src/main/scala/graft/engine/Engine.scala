@@ -50,7 +50,13 @@ object Engine {
   case class NsIpRef(domain: String, nsIdx: Int, ns: String,
       fam: Int, ipIdx: Int, ip: String)
   case class RoundStats(round: Int, admitted: Long, crawled: Long,
-      deferred: Long, seconds: Double, discovered: Long = 0L)
+      deferred: Long, seconds: Double, discovered: Long = 0L,
+      /** Wall seconds per loop phase (seed/admit/select/crawl/discover/
+        * commit/compact) — frontier rounds are latency-bound on fixed
+        * per-round costs at politeness-bounded sizes, so the breakdown is
+        * first-class observability, not debug output.
+        */
+      phases: Map[String, Double] = Map.empty)
 
   /** Frontier discovery: hosts found while crawling re-enter the frontier
     * through the same canonicalize → punycode → xxhash64 → cuckoo-seen-set
@@ -578,6 +584,12 @@ class Engine(
     while (!done && round < maxRounds) {
       val t0 = System.nanoTime()
       round += 1
+      val phaseT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def timed[A](name: String)(a: => A): A = {
+        val s = System.nanoTime(); val r = a
+        phaseT(name) = phaseT.getOrElse(name, 0.0) + (System.nanoTime() - s) / 1e9
+        r
+      }
 
       // 1. next seed chunk past the watermark (controller.py:107-116
       // chunking). The chunk boundary is a seq VALUE, not a row limit:
@@ -585,16 +597,16 @@ class Engine(
       // twin and advance the watermark past the other, silently dropping
       // it. Taking every row with seq <= the Nth-smallest seq is safe
       // (chunk may exceed the nominal size by the tie width).
-      val boundary = seeds.where(col("seq") > watermark)
+      val boundary = timed("seed")(seeds.where(col("seq") > watermark)
         .orderBy(col("seq")).limit(seedChunkSize)
-        .agg(max(col("seq"))).as[Option[Long]].head()
+        .agg(max(col("seq"))).as[Option[Long]].head())
       val newWatermark = boundary.getOrElse(watermark)
       val chunk = seeds.where(col("seq") > watermark && col("seq") <= newWatermark).cache()
 
       // 2. canonical dedup + seen-filter admission
       val fresh = toFrontier(chunk)
       val admitted = admitUnseen(fresh, round).cache()
-      val nAdmitted = admitted.count() // materializes filter snapshots too
+      val nAdmitted = timed("admit")(admitted.count()) // materializes filter snapshots too
       val filterRefs = currentFilterRefs(round)
 
       // 3. frontier = fresh admissions + deferred backlog
@@ -604,47 +616,72 @@ class Engine(
       val frontier = admitted.unionByName(backlog).cache()
 
       // 4. politeness: budgets from the TTL'd zone-policy cache
-      val budgets = frontier.select("nsBucket").distinct().as[Int].collect()
-        .map(b => b -> policy.get(b, round, u.policyBudget)).toMap
+      val budgets = timed("budgets")(frontier.select("nsBucket").distinct()
+        .as[Int].collect()
+        .map(b => b -> policy.get(b, round, u.policyBudget)).toMap)
       val (selected0, deferred0) = selectUnderBudget(frontier, budgets, 64)
       val selected = selected0.cache()
       val deferred = deferred0.cache()
-      val nSelected = selected.count()
-      val nDeferred = deferred.count()
+      // ONE driver-side materialization of the bounded selected set (its
+      // size is ≤ Σ budgets — the bound the broadcast pop-rank side always
+      // relied on): the selected count, per-bucket rank offsets, global
+      // pop order, per-partition throughput counters, and discovery parent
+      // depths all derive from these rows. Replaces five separate Spark
+      // jobs per round — at politeness-bounded round sizes the loop's wall
+      // clock is job-count-bound, not data-bound.
+      val selRows = timed("select")(selected
+        .map(e => (e.canonical, e.nsBucket, e.priority, e.seq, e.key, e.depth))
+        .collect())
+      val nSelected = selRows.length.toLong
+      val nDeferred = timed("select")(deferred.count())
 
       if (nSelected == 0 && newWatermark == watermark) {
         done = true
       } else {
-        // 5. crawl + deterministic pop order. Global rank without a global
-        // single-partition window: partitioned rank per nsBucket + a per-
-        // bucket base offset from a tiny count aggregate (the global order
-        // is (nsBucket, priority, seq, canonical), so bucket-ascending
-        // offsets compose exactly).
+        // 5. crawl + deterministic pop order. The global order is
+        // (nsBucket, priority, seq, canonical) ascending; with selRows
+        // already on the driver the rank is one local sort over ≤ Σ
+        // budgets rows — no window jobs, same composition as the former
+        // per-bucket rank + bucket-offset scheme.
         val results = crawlEntries(selected)
-        val bCounts = selected.groupBy(col("nsBucket")).count()
-          .as[(Int, Long)].collect().sortBy(_._1)
-        val bOffsets = bCounts.zip(bCounts.scanLeft(0L) { case (a, (_, n)) => a + n })
-          .map { case ((b, _), off) => b -> off }.toMap
-        val rank = Window.partitionBy(col("nsBucket"))
-          .orderBy(col("priority"), col("seq"), col("canonical"))
-        val popOrder = selected.toDF()
-          .withColumn("pop_rank",
-            element_at(typedlit(bOffsets), col("nsBucket")) + row_number().over(rank))
-          .select(col("canonical").as("o_domain"), col("pop_rank"))
+        // Span encoding and discovery-host extraction are FUSED into the
+        // typed pass straight off the probe stage: consecutive typed ops
+        // chain object-to-object (one Deserialize/Serialize pair for the
+        // whole chain), so the nested result tree is walked exactly once
+        // while it is still JVM-resident. Re-deriving either from the
+        // cached rows later would deserialize the full tree per consumer —
+        // measured at 8.5 ms/domain for spans alone, the single largest
+        // slice of the round before this layout.
+        val dcfg = discovery
+        val depthB =
+          if (dcfg.enabled)
+            spark.sparkContext.broadcast(selRows.iterator.map(r => (r._1, r._6)).toMap)
+          else null
+        val enriched = results.map { r =>
+          val spansDoc = SpanCodec.encode(r)
+          val hosts =
+            if (dcfg.enabled && depthB.value.getOrElse(r.domain, 0) < dcfg.maxDepth)
+              Engine.discoveredHosts(r, r.domain, dcfg)
+            else Seq.empty[String]
+          (r.domain, r, spansDoc, hosts)
+        }
+        val ordered = selRows.sortBy { case (c, b, p, s, _, _) => (b, p, s, c) }
+        val popOrder = spark.createDataset(
+          ordered.iterator.zipWithIndex
+            .map { case ((c, _, _, _, _, _), i) => (c, i + 1L) }.toSeq)
+          .toDF("o_domain", "pop_rank")
         // broadcast the rank side: it is bounded by Σ budgets per round
         // (tiny), while the nested result rows are heavy — a shuffle join
-        // would move the whole result payload just to attach a long
-        val rows = results.toDF().withColumnRenamed("domain", "r_domain")
-          .join(broadcast(popOrder), col("r_domain") === col("o_domain"))
-          .select(col("r_domain"), col("pop_rank"), struct(col("r_domain").as("domain"),
-            col("timestamp"), col("DNS_LOCAL"), col("DNS_AUTH"), col("MAIL"),
-            col("WEB"), col("WEB_paths"), col("HSTS"), col("worker_hostname")).as("result"))
+        // would move the whole result payload just to attach a long.
+        // The cache holds columnar batches, so each commit below reads
+        // only its own columns (result / span doc / discovered hosts).
+        val rows = enriched.toDF("domain", "result", "span_doc", "disc")
+          .join(broadcast(popOrder), col("domain") === col("o_domain"))
           .withColumn("pop_round", lit(round))
-          .select(col("r_domain").as("domain"), col("pop_round"),
-            col("pop_rank"), col("result"))
-          .as[ResultRow]
+          .select(col("domain"), col("pop_round"), col("pop_rank"),
+            col("result"), col("span_doc"), col("disc"))
           .cache()
-        val nCrawled = rows.count()
+        val nCrawled = timed("crawl")(rows.count())
 
         // 5b. discovery: hosts found in this round's results re-enter the
         // frontier as depth+1 entries, deduped against everything ever
@@ -657,19 +694,16 @@ class Engine(
         var discBacklog: Option[Dataset[BacklogRow]] = None
         var discCached: Option[Dataset[FrontierEntry]] = None
         if (discovery.enabled) {
-          val depthOf = selected.map(e => (e.canonical, e.depth)).collect().toMap
-          val depthB = spark.sparkContext.broadcast(depthOf)
-          val dcfg = discovery
-          val found = rows.flatMap { rr =>
-            val d = depthB.value.getOrElse(rr.domain, 0)
-            if (d >= dcfg.maxDepth) Iterator.empty
-            else Engine.discoveredHosts(rr.result, rr.domain, dcfg)
-              .iterator.map(h => (h, d + 1))
-          }
+          val found = rows.select(col("domain"), col("disc"))
+            .as[(String, Seq[String])]
+            .flatMap { case (dom, hs) =>
+              val d = depthB.value.getOrElse(dom, 0)
+              hs.iterator.map(h => (h, d + 1))
+            }
           val discAdmitted = admitUnseenInto(toFrontierDiscovered(found),
             currentFilterRefs(round).filter(_._2.nonEmpty),
             filterDir(round) + "d").cache()
-          nDiscovered = discAdmitted.count() // materializes filter snapshots
+          nDiscovered = timed("discover")(discAdmitted.count()) // materializes filter snapshots
           if (nDiscovered > 0) {
             discCached = Some(discAdmitted)
             discBacklog = Some(discAdmitted.map(e => BacklogRow(e.domain,
@@ -678,26 +712,36 @@ class Engine(
           } else discAdmitted.unpersist()
         }
 
-        // 6. MERGE commits: results, span re-encoding, backlog, checkpoint
-        resultsT.mergeCommit(rows.toDF())
-        spansT.mergeCommit(rows.map(r => SpanCodec.encode(r.result)).toDF())
+        // 6. MERGE commits: results, span re-encoding, backlog, checkpoint.
+        // Write fan-in: politeness-bounded rounds produce small deltas, so
+        // committing at full shuffle parallelism would write P near-empty
+        // files per table per round (measured: the 32-core frontier loop
+        // ran SLOWER than 8-core purely on commit file count — 73 vs 47
+        // s/round). Target ~4k rows per data file, floor 1.
+        val writeParts = math.max(1L, math.min(frontierPartitions.toLong,
+          nCrawled / 4000L + 1L)).toInt
+        timed("commit_results")(resultsT.mergeCommit(rows
+          .select(col("domain"), col("pop_round"), col("pop_rank"), col("result"))
+          .coalesce(writeParts)))
+        timed("commit_spans")(spansT.mergeCommit(rows
+          .select(col("span_doc.doc_id").as("doc_id"), col("span_doc.spans").as("spans"))
+          .coalesce(writeParts)))
         val backlogUpdates =
           deferred.map(e => BacklogRow(e.domain, e.canonical, e.key,
             e.nsBucket, e.priority, e.seq, e.depth, active = true)).toDF()
             .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
               e.key, e.nsBucket, e.priority, e.seq, e.depth, active = false)).toDF())
-        backlogT.mergeCommit(discBacklog match {
+        timed("commit_backlog")(backlogT.mergeCommit((discBacklog match {
           case Some(d) => backlogUpdates.unionByName(d.toDF())
           case None => backlogUpdates
-        })
+        }).coalesce(writeParts)))
         discCached.foreach(_.unpersist())
         // per-partition throughput: crawled count per frontier partition
         // (pmod(key, P) — the same key the seen-filter shards on)
         val fp = frontierPartitions
-        val perPartition = selected
-          .groupByKey(e => Math.floorMod(e.key, fp.toLong).toInt)
-          .mapGroups((pid, it) => (pid, it.size.toLong))
-          .collect().toMap
+        val perPartition = selRows
+          .groupBy(r => Math.floorMod(r._5, fp.toLong).toInt)
+          .map { case (pid, rs) => (pid, rs.length.toLong) }
         val roundSecs = (System.nanoTime() - t0) / 1e9
         // discovery wrote additional snapshots after `filterRefs` was
         // taken — re-list so resume sees the d-pass state
@@ -713,12 +757,21 @@ class Engine(
               "partition_per_sec" ->
                 (perPartition.getOrElse(pid, 0L) / math.max(roundSecs, 1e-9)).toLong))
         }
-        checkpointT.mergeCommit(spark.createDataset(lineage).toDF())
+        timed("commit_ckpt")(checkpointT.mergeCommit(
+          spark.createDataset(lineage).toDF().coalesce(1)))
         rows.unpersist()
+        // bound the merge-on-read delta chains: backlog and checkpoint are
+        // re-read EVERY round (frontier build, filter refs), so their
+        // per-round read cost otherwise grows linearly with round count —
+        // the same reason Iceberg schedules its rewrite (compaction)
+        // action on hot tables. Results/spans are only read after the run;
+        // they stay append-only.
+        if (round % 8 == 0)
+          timed("compact") { backlogT.compact(); checkpointT.compact() }
 
         watermark = newWatermark
         stats += RoundStats(round, nAdmitted, nCrawled, nDeferred,
-          (System.nanoTime() - t0) / 1e9, nDiscovered)
+          (System.nanoTime() - t0) / 1e9, nDiscovered, phaseT.toMap)
       }
       chunk.unpersist(); admitted.unpersist(); frontier.unpersist()
       selected.unpersist(); deferred.unpersist()

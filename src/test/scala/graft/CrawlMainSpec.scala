@@ -63,4 +63,22 @@ class CrawlMainSpec extends AnyFunSuite {
     val r2 = spark.read.textFile(out2).collect().sorted
     assert(r1.sameElements(r2))
   }
+
+  test("--discover flag: discovered hosts appear in the output beyond the seed set") {
+    import spark.implicits._
+    import graft.model.Model.{Doc, Span}
+    val docs = (0 until 30).map(i =>
+      Doc(f"d-$i%04d", Seq(Span("text", s"shop${i % 20}.cz", null, 0))))
+    val in = Files.createTempDirectory("disc-in").toString + "/docs.parquet"
+    spark.createDataset(docs).write.parquet(in)
+    val work = Files.createTempDirectory("disc-work").toString
+    val out = Files.createTempDirectory("disc-out").toString + "/r"
+    CrawlMain.main(Array(in, "--out", out, "--work", work,
+      "--partitions", "4", "--discover-depth", "1"))
+    val lines = spark.read.textFile(out).collect()
+    assert(lines.length > 20, s"expected discoveries beyond the 20 seeds, got ${lines.length}")
+    // every output is still a unique domain (seen-set exactly-once)
+    val domains = lines.map(l => l.split("\"domain\":\"")(1).split("\"")(0))
+    assert(domains.distinct.length == domains.length)
+  }
 }
