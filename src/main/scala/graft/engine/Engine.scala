@@ -51,10 +51,13 @@ object Engine {
       fam: Int, ipIdx: Int, ip: String)
   case class RoundStats(round: Int, admitted: Long, crawled: Long,
       deferred: Long, seconds: Double, discovered: Long = 0L,
-      /** Wall seconds per loop phase (seed/admit/select/crawl/discover/
-        * commit/compact) — frontier rounds are latency-bound on fixed
-        * per-round costs at politeness-bounded sizes, so the breakdown is
-        * first-class observability, not debug output.
+      /** Wall seconds per loop phase (seed/admit/select/commit_results/
+        * commit_spans/discover/commit_backlog/commit_ckpt/compact) —
+        * frontier rounds are latency-bound on fixed per-round costs at
+        * politeness-bounded sizes, so the breakdown is first-class
+        * observability, not debug output. The probe pipeline cost lands
+        * inside the commit phases (each commit is a separate pruned pass
+        * over it).
         */
       phases: Map[String, Double] = Map.empty)
 
@@ -450,7 +453,8 @@ class Engine(
     * probes are expensive network calls rather than compute).
     */
   def crawlEntries(entries: Dataset[FrontierEntry],
-      dedupAcrossPartitions: Boolean = false): Dataset[DomainResult] = {
+      dedupAcrossPartitions: Boolean = false,
+      sizeHint: Option[Long] = None): Dataset[DomainResult] = {
     val u = svc // probe leaves go through the pluggable service
     val conf = cfg
     val ts = clock
@@ -469,8 +473,24 @@ class Engine(
     // chains), so finer tasks amortize the last wave's stragglers;
     // tunable via graft.probeParts.mult, and user partition counts are
     // preserved by AQE.
-    val probeParts = spark.conf.get("spark.sql.shuffle.partitions").toInt *
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxParts = shuffleParts *
       spark.conf.getOption("graft.probeParts.mult").map(_.toInt).getOrElse(8)
+    // With a known input size (the frontier loop passes its politeness-
+    // bounded selected count), clamp task count so small rounds don't pay
+    // maxParts × fixed-task-overhead (~0.6 s/task measured: columnar
+    // builder setup over the wide result schema + closure/service init)
+    // for a few dozen rows each. Floor at one wave (shuffleParts = the
+    // session's core count) so every core still works; the 8× ceiling
+    // remains the straggler-amortization default for big inputs.
+    val targetRows =
+      spark.conf.getOption("graft.probeParts.targetRows").map(_.toLong).getOrElse(500L)
+    val probeParts = sizeHint match {
+      case Some(n) =>
+        math.max(shuffleParts.toLong, math.min(maxParts.toLong,
+          n / targetRows + 1L)).toInt
+      case None => maxParts
+    }
     val salted = input
       .withColumn("_salt", pmod(col("key"), saltOf(col("nsBucket"))))
       .repartitionByRange(probeParts, col("nsBucket"), col("_salt"), col("key"))
@@ -621,7 +641,7 @@ class Engine(
         .map(b => b -> policy.get(b, round, u.policyBudget)).toMap)
       val (selected0, deferred0) = selectUnderBudget(frontier, budgets, 64)
       val selected = selected0.cache()
-      val deferred = deferred0.cache()
+      val deferred = deferred0 // consumed once (backlog commit) — no cache
       // ONE driver-side materialization of the bounded selected set (its
       // size is ≤ Σ budgets — the bound the broadcast pop-rank side always
       // relied on): the selected count, per-bucket rank offsets, global
@@ -633,7 +653,6 @@ class Engine(
         .map(e => (e.canonical, e.nsBucket, e.priority, e.seq, e.key, e.depth))
         .collect())
       val nSelected = selRows.length.toLong
-      val nDeferred = timed("select")(deferred.count())
 
       if (nSelected == 0 && newWatermark == watermark) {
         done = true
@@ -643,63 +662,67 @@ class Engine(
         // already on the driver the rank is one local sort over ≤ Σ
         // budgets rows — no window jobs, same composition as the former
         // per-bucket rank + bucket-offset scheme.
-        val results = crawlEntries(selected)
-        // Span encoding and discovery-host extraction are FUSED into the
-        // typed pass straight off the probe stage: consecutive typed ops
-        // chain object-to-object (one Deserialize/Serialize pair for the
-        // whole chain), so the nested result tree is walked exactly once
-        // while it is still JVM-resident. Re-deriving either from the
-        // cached rows later would deserialize the full tree per consumer —
-        // measured at 8.5 ms/domain for spans alone, the single largest
-        // slice of the round before this layout.
+        // Task count sized to the politeness-bounded round; partitioning
+        // is deterministic, so re-executing this plan always reproduces
+        // the same per-partition probe caches and results.
+        val results = crawlEntries(selected, sizeHint = Some(nSelected))
         val dcfg = discovery
         val depthB =
           if (dcfg.enabled)
             spark.sparkContext.broadcast(selRows.iterator.map(r => (r._1, r._6)).toMap)
           else null
-        val enriched = results.map { r =>
-          val spansDoc = SpanCodec.encode(r)
-          val hosts =
-            if (dcfg.enabled && depthB.value.getOrElse(r.domain, 0) < dcfg.maxDepth)
-              Engine.discoveredHosts(r, r.domain, dcfg)
-            else Seq.empty[String]
-          (r.domain, r, spansDoc, hosts)
-        }
         val ordered = selRows.sortBy { case (c, b, p, s, _, _) => (b, p, s, c) }
         val popOrder = spark.createDataset(
           ordered.iterator.zipWithIndex
             .map { case ((c, _, _, _, _, _), i) => (c, i + 1L) }.toSeq)
           .toDF("o_domain", "pop_rank")
-        // broadcast the rank side: it is bounded by Σ budgets per round
-        // (tiny), while the nested result rows are heavy — a shuffle join
-        // would move the whole result payload just to attach a long.
-        // The cache holds columnar batches, so each commit below reads
-        // only its own columns (result / span doc / discovered hosts).
-        val rows = enriched.toDF("domain", "result", "span_doc", "disc")
+
+        // Results, spans, and discovery each consume the probe pipeline
+        // as a SEPARATE action with a pass-specific serializer. Measured
+        // (EncodeDiag): the probe work is ~0.3 ms-core/domain while
+        // Tungsten-encoding the full nested result tree is ~7 ms-core —
+        // re-running the probes per consumer is ~25× cheaper than caching
+        // the wide rows just to share them (the columnar cache build pays
+        // the full encode once more before the write pays it again). Each
+        // pass serializes only the columns its own commit writes; the
+        // `selected` input is cached, so only the probe stage re-executes.
+        //
+        // Pass 1 — results table. The broadcast rank side is bounded by
+        // Σ budgets per round (tiny); a shuffle join would move the whole
+        // result payload just to attach a long. nCrawled rides an
+        // accumulator instead of a separate count job over wide rows.
+        val crawledAcc = spark.sparkContext.longAccumulator("graft.crawled")
+        val resultRows = results.map { r => crawledAcc.add(1L); (r.domain, r) }
+          .toDF("domain", "result")
           .join(broadcast(popOrder), col("domain") === col("o_domain"))
           .withColumn("pop_round", lit(round))
-          .select(col("domain"), col("pop_round"), col("pop_rank"),
-            col("result"), col("span_doc"), col("disc"))
-          .cache()
-        val nCrawled = timed("crawl")(rows.count())
+          .select(col("domain"), col("pop_round"), col("pop_rank"), col("result"))
+        timed("commit_results")(resultsT.mergeCommit(resultRows))
+        val nCrawled = crawledAcc.value
 
-        // 5b. discovery: hosts found in this round's results re-enter the
-        // frontier as depth+1 entries, deduped against everything ever
-        // admitted via THIS round's filter snapshots (so a host that is
-        // both a seed and a discovery is crawled exactly once), written to
-        // a sibling snapshot dir (r${round}d). Parent depths ride a
-        // driver map bounded by |selected| ≤ Σ budgets — the same bound
-        // the broadcast pop-rank side already relies on.
+        // Pass 2 — span re-encoding (the interleaved-docs table). The
+        // serializer carries only (doc_id, spans); the result tree is
+        // walked once while JVM-resident and never Tungsten-encoded here.
+        timed("commit_spans")(spansT.mergeCommit(
+          results.map(r => SpanCodec.encode(r)).toDF()))
+
+        // Pass 3 (5b) — discovery: hosts found in this round's results
+        // re-enter the frontier as depth+1 entries, deduped against
+        // everything ever admitted via THIS round's filter snapshots (so a
+        // host that is both a seed and a discovery is crawled exactly
+        // once), written to a sibling snapshot dir (r${round}d). Parent
+        // depths ride a driver map bounded by |selected| ≤ Σ budgets —
+        // the same bound the broadcast pop-rank side already relies on.
         var nDiscovered = 0L
         var discBacklog: Option[Dataset[BacklogRow]] = None
         var discCached: Option[Dataset[FrontierEntry]] = None
         if (discovery.enabled) {
-          val found = rows.select(col("domain"), col("disc"))
-            .as[(String, Seq[String])]
-            .flatMap { case (dom, hs) =>
-              val d = depthB.value.getOrElse(dom, 0)
-              hs.iterator.map(h => (h, d + 1))
-            }
+          val found = results.flatMap { r =>
+            val d = depthB.value.getOrElse(r.domain, 0)
+            if (d >= dcfg.maxDepth) Iterator.empty
+            else Engine.discoveredHosts(r, r.domain, dcfg)
+              .iterator.map(h => (h, d + 1))
+          }
           val discAdmitted = admitUnseenInto(toFrontierDiscovered(found),
             currentFilterRefs(round).filter(_._2.nonEmpty),
             filterDir(round) + "d").cache()
@@ -712,29 +735,29 @@ class Engine(
           } else discAdmitted.unpersist()
         }
 
-        // 6. MERGE commits: results, span re-encoding, backlog, checkpoint.
-        // Write fan-in: politeness-bounded rounds produce small deltas, so
-        // committing at full shuffle parallelism would write P near-empty
-        // files per table per round (measured: the 32-core frontier loop
-        // ran SLOWER than 8-core purely on commit file count — 73 vs 47
-        // s/round). Target ~4k rows per data file, floor 1.
+        // 6. Remaining MERGE commits: backlog + checkpoint (results and
+        // spans committed by their passes above — commit_results pays the
+        // probe + wide encode + write; commit_spans probe + spans only).
+        // Backlog rows are narrow; coalesce caps the per-round file count
+        // (the 32-core loop once ran SLOWER than 8-core purely on
+        // near-empty commit files — 73 vs 47 s/round), and nDeferred
+        // rides an accumulator instead of a separate count job.
         val writeParts = math.max(1L, math.min(frontierPartitions.toLong,
           nCrawled / 4000L + 1L)).toInt
-        timed("commit_results")(resultsT.mergeCommit(rows
-          .select(col("domain"), col("pop_round"), col("pop_rank"), col("result"))
-          .coalesce(writeParts)))
-        timed("commit_spans")(spansT.mergeCommit(rows
-          .select(col("span_doc.doc_id").as("doc_id"), col("span_doc.spans").as("spans"))
-          .coalesce(writeParts)))
+        val deferredAcc = spark.sparkContext.longAccumulator("graft.deferred")
         val backlogUpdates =
-          deferred.map(e => BacklogRow(e.domain, e.canonical, e.key,
-            e.nsBucket, e.priority, e.seq, e.depth, active = true)).toDF()
+          deferred.map { e =>
+            deferredAcc.add(1L)
+            BacklogRow(e.domain, e.canonical, e.key,
+              e.nsBucket, e.priority, e.seq, e.depth, active = true)
+          }.toDF()
             .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
               e.key, e.nsBucket, e.priority, e.seq, e.depth, active = false)).toDF())
         timed("commit_backlog")(backlogT.mergeCommit((discBacklog match {
           case Some(d) => backlogUpdates.unionByName(d.toDF())
           case None => backlogUpdates
         }).coalesce(writeParts)))
+        val nDeferred = deferredAcc.value
         discCached.foreach(_.unpersist())
         // per-partition throughput: crawled count per frontier partition
         // (pmod(key, P) — the same key the seen-filter shards on)
@@ -759,7 +782,6 @@ class Engine(
         }
         timed("commit_ckpt")(checkpointT.mergeCommit(
           spark.createDataset(lineage).toDF().coalesce(1)))
-        rows.unpersist()
         // bound the merge-on-read delta chains: backlog and checkpoint are
         // re-read EVERY round (frontier build, filter refs), so their
         // per-round read cost otherwise grows linearly with round count —
@@ -774,7 +796,7 @@ class Engine(
           (System.nanoTime() - t0) / 1e9, nDiscovered, phaseT.toMap)
       }
       chunk.unpersist(); admitted.unpersist(); frontier.unpersist()
-      selected.unpersist(); deferred.unpersist()
+      selected.unpersist()
     }
     seeds.unpersist()
     stats.toSeq
