@@ -483,8 +483,11 @@ class Engine(
     // for a few dozen rows each. Floor at one wave (shuffleParts = the
     // session's core count) so every core still works; the 8× ceiling
     // remains the straggler-amortization default for big inputs.
+    // 2000 rows/task ≈ 6 MB data files for the wide result schema; smaller
+    // files pay disproportionate per-file costs (a 1628-leaf-column footer
+    // with per-column stats is ~hundreds of KB regardless of row count)
     val targetRows =
-      spark.conf.getOption("graft.probeParts.targetRows").map(_.toLong).getOrElse(500L)
+      spark.conf.getOption("graft.probeParts.targetRows").map(_.toLong).getOrElse(2000L)
     val probeParts = sizeHint match {
       case Some(n) =>
         math.max(shuffleParts.toLong, math.min(maxParts.toLong,

@@ -115,6 +115,25 @@ class EngineSpec extends AnyFunSuite {
     assert(spanRows(dirFull) == spanRows(dirResume))
   }
 
+  test("resume across a compaction boundary reproduces the uninterrupted run") {
+    // the loop compacts backlog/checkpoint every 8 rounds; force >8 rounds
+    // with a tiny seed chunk and crash just after the compaction fires, so
+    // resume must rebuild its frontier and watermark from a compacted
+    // (single-delta) snapshot plus post-compaction commits
+    val docs = seedDocs(120)
+    val dirFull = Files.createTempDirectory("engine-compact-full").toString
+    val dirResume = Files.createTempDirectory("engine-compact-resume").toString
+
+    val full = newEngine(dirFull, chunk = 12).run(docs)
+    assert(full.size > 9, s"need >9 rounds to cross the compaction, got ${full.size}")
+
+    val interrupted = newEngine(dirResume, chunk = 12)
+    interrupted.run(docs, maxRounds = 9) // "crash" right after round-8 compact
+    newEngine(dirResume, chunk = 12).run(docs)
+
+    assert(resultKeys(newEngine(dirFull)) == resultKeys(newEngine(dirResume)))
+  }
+
   test("one-shot library API crawls a plain domain dataset") {
     val ds = spark.createDataset(Seq("nic.cz", "d1.cz", "D1.CZ", "d2.cz."))
     val eng = newEngine(Files.createTempDirectory("engine-lib").toString)
