@@ -16,6 +16,16 @@ package graft.frontier
   * per group for the politeness budget hook. Unparseable bodies (HTML
   * error pages and the like) yield an allow-everything policy, matching
   * the must-be-permissive guidance for malformed files.
+  *
+  * Why crawl-delay is exposed but NOT folded into the engine's per-round
+  * token budgets: this is a crawl-ONCE engine (the seen-set guarantees a
+  * host is fetched for exactly one domain, with no revisits), so a
+  * per-host inter-request delay has nothing to meter across rounds. The
+  * only same-host repeat fetches are a single domain's own path/www/port
+  * combos within one probe — which the reference crawler issues without
+  * rate-limiting too. A recrawl scheduler built on this engine would read
+  * `Policy.crawlDelay` from the same per-(host,port) cache the fetch gate
+  * uses.
   */
 object Robots {
 
