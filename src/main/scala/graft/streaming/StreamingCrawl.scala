@@ -66,12 +66,10 @@ object StreamingCrawl {
       }
   }
 
-  /** Doc stream → admitted, politeness-bounded frontier entries. */
-  def frontierStream(docs: Dataset[Doc], u: Universe, partitions: Int,
-      budgetPerBatch: Int => Int,
-      filterCapacity: Long = 1L << 18): Dataset[FrontierEntry] = {
+  /** Doc stream → seed frontier entries (depth 0), pre-admission. */
+  def seedEntries(docs: Dataset[Doc], u: Universe): Dataset[FrontierEntry] = {
     import docs.sparkSession.implicits._
-    val seeds = docs
+    docs
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .where(col("s.kind") === "text")
       .select(col("s.text").as("domain"),
@@ -87,8 +85,14 @@ object StreamingCrawl {
           priority = u.ttlFor(canonical),
           seq = seq)
       }
+  }
+
+  /** Doc stream → admitted, politeness-bounded frontier entries. */
+  def frontierStream(docs: Dataset[Doc], u: Universe, partitions: Int,
+      budgetPerBatch: Int => Int,
+      filterCapacity: Long = 1L << 18): Dataset[FrontierEntry] = {
     politeStream(
-      StreamingFrontier.admitStream(seeds, partitions, filterCapacity),
+      StreamingFrontier.admitStream(seedEntries(docs, u), partitions, filterCapacity),
       budgetPerBatch)
   }
 
@@ -119,6 +123,100 @@ object StreamingCrawl {
     * (StreamingCrawlSpec), so downstream consumers cannot tell which
     * engine produced it.
     */
+  /** Self-feeding DISCOVERING crawl stream with MERGE-committed tables —
+    * the streaming twin of `Engine.run(discovery = on)`: hosts found in
+    * each micro-batch's results (redirect targets, MX hosts, in-content
+    * links — the same [[graft.engine.Engine.discoveredHosts]] extraction)
+    * are written as parquet into `discDir`, which is ALSO one of the
+    * stream's sources — so discoveries feed back into the SAME cuckoo
+    * seen-set (`admitStream`) and politeness gate as the seeds, and the
+    * query keeps producing micro-batches until the frontier is exhausted.
+    *
+    * Depth rides the frontier entry: seeds enter at 0, a batch extracts
+    * hosts only from results whose entry depth `< dcfg.maxDepth`, and
+    * re-discovered or already-seeded hosts collapse in the seen-set
+    * (first admission wins, exactly once — the batch engine's D1).
+    *
+    * At `maxDepth = 1` the crawled-domain SET provably equals the batch
+    * engine's for the same seed corpus (seeds always admit before any
+    * discovery exists, and depth-1 hosts never extract children); at
+    * deeper caps the set can legitimately differ between any two
+    * schedulers because a host's first-admission depth depends on batch
+    * boundaries (documented, same caveat as distributed crawlers
+    * generally).
+    */
+  def discoveringCrawlIntoTables(docs: Dataset[Doc], u: Universe,
+      cfg: CrawlConfig, dcfg: graft.engine.Engine.DiscoveryConfig,
+      workDir: String, discDir: String, checkpointDir: String,
+      partitions: Int, budgetPerBatch: Int => Int,
+      filterCapacity: Long = 1L << 18,
+      clock: String = "2026-01-01 00:00:00",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(discDir))
+    val discSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType)))
+    // discovered-host stream: same canonicalize→punycode→xxhash64 pipeline
+    // and the batch engine's discovery seq range (disjoint from seed seqs)
+    val discEntries = spark.readStream.schema(discSchema).parquet(discDir)
+      .withColumn("canonical", Canon.canonicalizeDomainCol(col("host")))
+      .withColumn("key", xxhash64(col("canonical")))
+      .withColumn("seq",
+        lit(1L << 62) + pmod(xxhash64(lit("disc"), col("canonical")), lit(1L << 40)))
+      .select(col("host").as("domain"), col("seq"), col("canonical"),
+        col("key"), col("depth"))
+      .as[(String, Long, String, Long, Int)]
+      .map { case (domain, seq, canonical, key, depth) =>
+        FrontierEntry(domain, canonical, key,
+          nsBucket = u.nsProvider(canonical),
+          priority = u.ttlFor(canonical),
+          seq = seq, depth = depth)
+      }
+    val admitted = StreamingFrontier.admitStream(
+      seedEntries(docs, u).unionByName(discEntries), partitions, filterCapacity)
+    val results = politeStream(admitted, budgetPerBatch)
+      .mapPartitions { it =>
+        val p = new Probes(u, cfg)
+        it.map(e => (e.depth, p.processDomain(e.canonical, clock)))
+      }
+    results.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[(Int, DomainResult)], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        if (!batch.isEmpty) {
+          val b = batch.cache()
+          try {
+            val spansT = new graft.tables.SnapTable(sp,
+              s"$workDir/result_spans", Seq("doc_id"))
+            spansT.mergeCommit(b.map(t => graft.spans.SpanCodec.encode(t._2)).toDF())
+            val resultsT = new graft.tables.SnapTable(sp,
+              s"$workDir/results", Seq("domain"))
+            resultsT.mergeCommit(b.map(t => (t._2.domain, t._2)).toDF("domain", "result"))
+            val hosts = b.flatMap { case (depth, r) =>
+              if (depth >= dcfg.maxDepth) Iterator.empty
+              else graft.engine.Engine.discoveredHosts(r, r.domain, dcfg)
+                .iterator.map(h => (h, depth + 1))
+            }
+            val hs = hosts.collect() // bounded by budget × maxPerDomain
+            if (hs.nonEmpty)
+              sp.createDataset(hs.toSeq).toDF("host", "depth")
+                .coalesce(1).write.mode("append").parquet(discDir)
+          } finally b.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   def commitStream(results: Dataset[DomainResult], workDir: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

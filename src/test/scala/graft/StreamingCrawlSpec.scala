@@ -155,4 +155,57 @@ class StreamingCrawlSpec extends AnyFunSuite {
         Set("s1.cz", "s2.cz", "s3.cz", "s4.cz", "s5.cz", "nic.cz"))
     } finally q.stop()
   }
+
+  test("self-feeding discovering stream equals the batch discovering engine " +
+      "(maxDepth 1): same crawled set, same span rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    // seed hosts that discover (MX/redirect/link targets in the universe)
+    val docs = (0 until 12).map(i => doc(f"doc-$i%03d", s"shop$i.cz"))
+    val dcfg = graft.engine.Engine.DiscoveryConfig.on.copy(maxDepth = 1)
+
+    // batch reference: Engine.run with discovery on
+    val batchDir = Files.createTempDirectory("disc-parity-batch").toString
+    val eng = new graft.engine.Engine(spark, u, workDir = batchDir,
+      frontierPartitions = 4, discovery = dcfg)
+    eng.run(spark.createDataset(docs))
+    val batchDomains = eng.resultsTable.read().get
+      .select("domain").as[String].collect().toSet
+    assert(batchDomains.size > 12, "expected discoveries beyond the 12 seeds")
+    def spanRows(dir: String) = {
+      val t = new graft.tables.SnapTable(spark, s"$dir/result_spans", Seq("doc_id"))
+      t.read().get
+        .selectExpr("doc_id", "explode(spans) AS s")
+        .selectExpr("doc_id", "s.kind", "coalesce(s.text, '\\0') AS text",
+          "coalesce(s.media_ref, '\\0') AS media_ref", "s.offset")
+        .as[(String, String, String, String, Int)].collect().sorted.toSeq
+    }
+    val batchSpans = spanRows(batchDir)
+
+    // streaming: same docs through the self-feeding discovering stream
+    val streamDir = Files.createTempDirectory("disc-parity-stream").toString
+    val discDir = Files.createTempDirectory("disc-parity-hosts").toString + "/d"
+    val ckpt = Files.createTempDirectory("disc-parity-ckpt").toString
+    val input = MemoryStream[Doc]
+    val q = StreamingCrawl.discoveringCrawlIntoTables(input.toDS(), u,
+      CrawlConfig(), dcfg, streamDir, discDir, ckpt,
+      partitions = 4, budgetPerBatch = _ => 100)
+    try {
+      input.addData(docs: _*)
+      val resultsT = new graft.tables.SnapTable(spark,
+        s"$streamDir/results", Seq("domain"))
+      def streamed: Set[String] = resultsT.read()
+        .map(_.select("domain").as[String].collect().toSet).getOrElse(Set.empty)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (streamed != batchDomains && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(400)
+      }
+      assert(streamed == batchDomains,
+        s"streaming crawled set diverges: missing=${batchDomains -- streamed} " +
+          s"extra=${streamed -- batchDomains}")
+      assert(spanRows(streamDir) == batchSpans,
+        "streaming discovering span table diverges from the batch engine's")
+    } finally q.stop()
+  }
 }
