@@ -134,6 +134,27 @@ class EngineSpec extends AnyFunSuite {
     assert(resultKeys(newEngine(dirFull)) == resultKeys(newEngine(dirResume)))
   }
 
+  test("crawlEntries task count: size hint clamps between one wave and the 8x ceiling") {
+    val eng = newEngine(Files.createTempDirectory("engine-parts").toString)
+    val seeds = spark.createDataset((0L until 64L).map(u.seedDomain))
+    val entries = eng.toFrontier(
+      seeds.toDF("domain").withColumn("seq",
+        org.apache.spark.sql.functions.xxhash64($"domain")).as[(String, Long)]).cache()
+    entries.count()
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // tiny hinted round: floor at one wave of cores, not 8x
+    val hinted = eng.crawlEntries(entries, sizeHint = Some(60L))
+    assert(hinted.rdd.getNumPartitions == shuffleParts,
+      s"tiny hinted round should run one wave ($shuffleParts), got ${hinted.rdd.getNumPartitions}")
+    // huge hint: capped at the 8x straggler-amortization ceiling
+    val big = eng.crawlEntries(entries, sizeHint = Some(10L * 1000 * 1000))
+    assert(big.rdd.getNumPartitions == shuffleParts * 8)
+    // no hint (one-shot path): unchanged 8x default
+    val none = eng.crawlEntries(entries)
+    assert(none.rdd.getNumPartitions == shuffleParts * 8)
+    entries.unpersist()
+  }
+
   test("one-shot library API crawls a plain domain dataset") {
     val ds = spark.createDataset(Seq("nic.cz", "d1.cz", "D1.CZ", "d2.cz."))
     val eng = newEngine(Files.createTempDirectory("engine-lib").toString)
