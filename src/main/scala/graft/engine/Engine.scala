@@ -168,6 +168,19 @@ class Engine(
       * budgets) always come from `universe`.
       */
     probeService: graft.probes.ProbeService = null,
+    /** Guards for the per-round driver-side selection materialization: the
+      * driver path collects the distinct nameserver buckets and the
+      * politeness-bounded selected set (≤ Σ budgets rows) once per round —
+      * the cheapest shape in Spark jobs at reference-zone scale (thousands
+      * of providers). When bucket cardinality exceeds `maxDriverBuckets`
+      * OR the Σ-budgets bound exceeds `maxDriverSelectRows`, the round
+      * switches to the distributed fallback ([[selectDistributed]]):
+      * budgets/salts ride a broadcast join, ranking stays in windows, and
+      * pop_rank derives from per-bucket offsets — bit-identical output
+      * (SelectPathSpec), flat driver memory at 100× provider cardinality.
+      */
+    maxDriverBuckets: Int = 100000,
+    maxDriverSelectRows: Long = 5000000L,
     /** Frontier discovery (off by default): hosts found in crawl results —
       * redirect targets, MX hosts, in-content links — are canonicalized,
       * checked against the same cuckoo seen-set, and admitted into later
@@ -201,11 +214,18 @@ class Engine(
     * range (deterministic, ANSI-safe — no cast of "" or 100-digit runs).
     * Offsets clamp at 2^22-1; residual seq ties are broken downstream by
     * the canonical domain, so ordering stays total.
+    *
+    * Range discipline: digit docKeys < 10^12, hash docKeys ∈ [10^12, 2^40),
+    * so EVERY seed seq < 2^40·2^22 = 2^62 — strictly below the discovery
+    * seq base ([[toFrontierDiscovered]] uses [2^62, 2^62+2^40)), which
+    * keeps "discovered hosts order after same-priority seeds" true for
+    * hash-keyed corpora too, not just digit-keyed ones.
     */
   def extractSeeds(docs: Dataset[Doc]): Dataset[(String, Long)] = {
     val digits = regexp_extract(col("doc_id"), "(\\d+)", 1)
     val docKey = when(length(digits).between(1, 12), digits.cast("long"))
-      .otherwise(pmod(xxhash64(col("doc_id")), lit(1L << 40)) + lit(1L << 40))
+      .otherwise(pmod(xxhash64(col("doc_id")), lit((1L << 40) - 1000000000000L))
+        + lit(1000000000000L))
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .where(col("s.kind") === "text")
       .select(col("s.text").as("domain"),
@@ -240,11 +260,11 @@ class Engine(
   /** Discovered (host, depth) pairs → frontier entries. Twin of
     * [[toFrontier]] with two differences: the dedup keeps the MIN depth
     * (two parents at different depths → the shallower wins, so the depth
-    * cap is never pessimistic), and seq is derived from the canonical
-    * host's hash in a high range disjoint from every doc-derived seed seq
-    * (docKey < 2^41 ⇒ seed seq < 2^63 but digit-keyed corpora stay ≪ 2^62)
-    * — deterministic at any parallelism, and discovered hosts order after
-    * same-priority seeds instead of racing them.
+    * cap is never pessimistic), and seq lives in [2^62, 2^62+2^40) —
+    * derived from the canonical host's hash, disjoint from every
+    * doc-derived seed seq (docKey < 2^40 ⇒ seed seq < 2^62, see
+    * [[extractSeeds]]) — deterministic at any parallelism, and discovered
+    * hosts order after same-priority seeds instead of racing them.
     */
   private def toFrontierDiscovered(hosts: Dataset[(String, Int)])
       : Dataset[FrontierEntry] = {
@@ -350,6 +370,39 @@ class Engine(
       }
   }
 
+  /** Crash-mid-round hygiene: delete filter snapshot dirs of every round
+    * PAST the committed checkpoint before re-executing. A crash between a
+    * pass's snapshot writes and its round's checkpoint commit leaves
+    * uncommitted `filters/r{N}[d]/part*.bin` files; on resume,
+    * [[currentFilterRefs]] would give those stale snapshots precedence, so
+    * re-discovered hosts of the retried round are rejected as already-seen
+    * without ever having been committed to the backlog — permanently
+    * dropped, and the poisoned refs would then be checkpointed. The
+    * committed refs themselves live in the checkpoint table, never in
+    * these directories, so dropping every dir with round > committed is
+    * always safe.
+    */
+  private def dropUncommittedFilterDirs(committedRound: Int): Unit = {
+    val base = Paths.get(s"$workDir/filters")
+    if (!Files.isDirectory(base)) return
+    val listing = Files.list(base)
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.filter { d =>
+        "^r(\\d+)d?$".r.findFirstMatchIn(d.getFileName.toString)
+          .exists(_.group(1).toInt > committedRound)
+      }.toVector
+    } finally listing.close()
+    stale.foreach { dir =>
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toVector.reverseIterator // files before dirs
+          .foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+
   /** Refs after a round: partitions touched this round point at the new
     * snapshot files; untouched partitions keep their previous ref.
     */
@@ -416,6 +469,91 @@ class Engine(
         col("canonical") === col("_selc"), "left_anti")
       .as[FrontierEntry]
     (sel, deferred)
+  }
+
+  /** One round's selection outcome, path-independent: the crawl/commit
+    * code downstream never knows whether the driver path or the
+    * distributed fallback produced it.
+    */
+  private case class RoundSelection(
+      selected: Dataset[FrontierEntry],
+      deferred: Dataset[FrontierEntry],
+      /** (o_domain, pop_rank) — broadcast-hinted on the driver path. */
+      popOrder: org.apache.spark.sql.DataFrame,
+      nSelected: Long,
+      /** frontier-partition id → selected count (≤ frontierPartitions rows). */
+      perPartition: Map[Int, Long],
+      /** canonical → discovery depth; None on the fallback path (the
+        * discovery pass joins instead of broadcasting a driver map).
+        */
+      depthOf: Option[Map[String, Int]],
+      release: () => Unit)
+
+  /** Distributed twin of the driver-path selection (the guarded fallback,
+    * forced by `maxDriverBuckets`/`maxDriverSelectRows`): budgets and salt
+    * counts ride a broadcast-joined DataFrame instead of plan-literal
+    * maps, the two-phase rank stays in windows, and pop_rank derives from
+    * per-bucket rank + cumulative bucket offsets — the same composition
+    * the driver path's global (nsBucket, priority, seq, canonical) sort
+    * produces, so both paths are bit-identical (SelectPathSpec). No driver
+    * structure scales with bucket cardinality or Σ budgets; the only
+    * driver-sized results are scalar aggregates and the
+    * ≤`frontierPartitions`-row throughput counters.
+    *
+    * Budgets are evaluated executor-side via `universe.policyBudget`
+    * directly: the driver path's [[PolicyCache]] is a TTL memo over the
+    * same deterministic fetch, so both always agree.
+    */
+  private def selectDistributed(frontier: Dataset[FrontierEntry])
+      : RoundSelection = {
+    val u = universe
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = frontier.groupBy(col("nsBucket")).count().cache()
+    val total = counts.agg(sum(col("count"))).as[Option[Long]].head()
+      .getOrElse(0L).max(1L)
+    val target = math.max(1L, total / parts)
+    val meta = counts.as[(Int, Long)].map { case (b, c) =>
+      (b, u.policyBudget(b), math.max(1, math.ceil(c.toDouble / target).toInt))
+    }.toDF("mb", "budget", "salt")
+    val maxBudget = meta.agg(max(col("budget"))).head().getInt(0)
+    val fm = frontier.join(broadcast(meta), col("nsBucket") === col("mb"))
+    val w1 = Window.partitionBy(col("nsBucket"), pmod(col("key"), col("salt")))
+      .orderBy(col("priority"), col("seq"), col("canonical"))
+    val survivors = fm
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= lit(maxBudget) && col("_r1") <= col("budget"))
+      .drop("_r1")
+    val w2 = Window.partitionBy(col("nsBucket"))
+      .orderBy(col("priority"), col("seq"), col("canonical"))
+    val ranked = survivors
+      .withColumn("_rank", row_number().over(w2))
+      .where(col("_rank") <= col("budget"))
+      .drop("mb", "budget", "salt")
+      .cache()
+    val selected = ranked.drop("_rank").as[FrontierEntry]
+    // The offsets window runs unpartitioned over ≤ #buckets rows — one
+    // executor task, never the driver.
+    val offs = ranked.groupBy(col("nsBucket")).count()
+      .withColumn("_off", coalesce(sum(col("count")).over(
+        Window.orderBy(col("nsBucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("nsBucket").as("ob"), col("_off"))
+    val popOrder = ranked
+      .join(broadcast(offs), col("nsBucket") === col("ob"))
+      .select(col("canonical").as("o_domain"),
+        (col("_off") + col("_rank")).as("pop_rank"))
+    val deferred = frontier
+      .join(ranked.select(col("canonical").as("_selc")),
+        col("canonical") === col("_selc"), "left_anti")
+      .as[FrontierEntry]
+    val nSelected = selected.count()
+    val fp = frontierPartitions
+    val perPartition = selected
+      .groupBy(pmod(col("key"), lit(fp.toLong)).cast("int").as("pid"))
+      .count().as[(Int, Long)].collect().toMap
+    RoundSelection(selected, deferred, popOrder, nSelected, perPartition,
+      depthOf = None,
+      release = () => { ranked.unpersist(); counts.unpersist(); () })
   }
 
   // ------------------------------------------------------------ crawl
@@ -602,6 +740,9 @@ class Engine(
     var watermark: Long = checkpointT.read()
       .map(df => df.agg(max(col("offset_watermark"))).as[Long].head())
       .getOrElse(-1L)
+    // resume hygiene: a prior attempt may have died between snapshot
+    // writes and its checkpoint commit — those dirs are uncommitted state
+    dropUncommittedFilterDirs(round)
 
     var done = false
     while (!done && round < maxRounds) {
@@ -638,47 +779,65 @@ class Engine(
         .getOrElse(spark.emptyDataset[FrontierEntry])
       val frontier = admitted.unionByName(backlog).cache()
 
-      // 4. politeness: budgets from the TTL'd zone-policy cache
-      val budgets = timed("budgets")(frontier.select("nsBucket").distinct()
-        .as[Int].collect()
-        .map(b => b -> policy.get(b, round, u.policyBudget)).toMap)
-      val (selected0, deferred0) = selectUnderBudget(frontier, budgets, 64)
-      val selected = selected0.cache()
-      val deferred = deferred0 // consumed once (backlog commit) — no cache
-      // ONE driver-side materialization of the bounded selected set (its
-      // size is ≤ Σ budgets — the bound the broadcast pop-rank side always
-      // relied on): the selected count, per-bucket rank offsets, global
-      // pop order, per-partition throughput counters, and discovery parent
-      // depths all derive from these rows. Replaces five separate Spark
-      // jobs per round — at politeness-bounded round sizes the loop's wall
-      // clock is job-count-bound, not data-bound.
-      val selRows = timed("select")(selected
-        .map(e => (e.canonical, e.nsBucket, e.priority, e.seq, e.key, e.depth))
-        .collect())
-      val nSelected = selRows.length.toLong
+      // 4. politeness: budgets from the TTL'd zone-policy cache. Guarded
+      // two-path selection (see the maxDriverBuckets constructor doc):
+      // the driver path collects the ≤ Σ-budgets selected set once per
+      // round (fewest Spark jobs — the loop is job-count-bound at
+      // politeness-bounded sizes); past the guards, the distributed
+      // fallback keeps driver memory flat. Bit-identical outputs
+      // (SelectPathSpec).
+      val bucketSample = timed("budgets")(frontier.select("nsBucket").distinct()
+        .limit(maxDriverBuckets + 1).as[Int].collect())
+      val driverBudgets =
+        if (bucketSample.length > maxDriverBuckets) None
+        else {
+          val m = bucketSample.iterator
+            .map(b => b -> policy.get(b, round, u.policyBudget)).toMap
+          Option.when(m.valuesIterator.map(_.toLong).sum <= maxDriverSelectRows)(m)
+        }
+      val sel = driverBudgets match {
+        case Some(budgets) =>
+          val (selected0, deferred0) = selectUnderBudget(frontier, budgets, 64)
+          val selected = selected0.cache()
+          // ONE driver-side materialization of the bounded selected set
+          // (≤ Σ budgets rows — checked against maxDriverSelectRows
+          // above): the selected count, global pop order, per-partition
+          // throughput counters, and discovery parent depths all derive
+          // from these rows — five Spark jobs saved per round.
+          val selRows = timed("select")(selected
+            .map(e => (e.canonical, e.nsBucket, e.priority, e.seq, e.key, e.depth))
+            .collect())
+          // deterministic pop order: (nsBucket, priority, seq, canonical)
+          // ascending — one local sort over the bounded rows. The
+          // broadcast hint keeps the rank join map-side; the side is
+          // bounded by Σ budgets.
+          val ordered = selRows.sortBy { case (c, b, p, s, _, _) => (b, p, s, c) }
+          val popOrder = broadcast(spark.createDataset(
+            ordered.iterator.zipWithIndex
+              .map { case ((c, _, _, _, _, _), i) => (c, i + 1L) }.toSeq)
+            .toDF("o_domain", "pop_rank"))
+          val fp = frontierPartitions
+          val perPartition = selRows
+            .groupBy(r => Math.floorMod(r._5, fp.toLong).toInt)
+            .map { case (pid, rs) => (pid, rs.length.toLong) }
+          RoundSelection(selected, deferred0, popOrder, selRows.length.toLong,
+            perPartition,
+            depthOf = Some(selRows.iterator.map(r => (r._1, r._6)).toMap),
+            release = () => { selected.unpersist(); () })
+        case None => timed("select")(selectDistributed(frontier))
+      }
+      val selected = sel.selected
+      val deferred = sel.deferred // consumed once (backlog commit) — no cache
+      val nSelected = sel.nSelected
 
       if (nSelected == 0 && newWatermark == watermark) {
         done = true
       } else {
-        // 5. crawl + deterministic pop order. The global order is
-        // (nsBucket, priority, seq, canonical) ascending; with selRows
-        // already on the driver the rank is one local sort over ≤ Σ
-        // budgets rows — no window jobs, same composition as the former
-        // per-bucket rank + bucket-offset scheme.
-        // Task count sized to the politeness-bounded round; partitioning
-        // is deterministic, so re-executing this plan always reproduces
-        // the same per-partition probe caches and results.
-        val results = crawlEntries(selected, sizeHint = Some(nSelected))
+        // 5. crawl. Task count sized to the politeness-bounded round;
+        // partitioning is deterministic, so re-executing this plan always
+        // reproduces the same per-partition probe caches and results.
+        val results0 = crawlEntries(selected, sizeHint = Some(nSelected))
         val dcfg = discovery
-        val depthB =
-          if (dcfg.enabled)
-            spark.sparkContext.broadcast(selRows.iterator.map(r => (r._1, r._6)).toMap)
-          else null
-        val ordered = selRows.sortBy { case (c, b, p, s, _, _) => (b, p, s, c) }
-        val popOrder = spark.createDataset(
-          ordered.iterator.zipWithIndex
-            .map { case ((c, _, _, _, _, _), i) => (c, i + 1L) }.toSeq)
-          .toDF("o_domain", "pop_rank")
 
         // Results, spans, and discovery each consume the probe pipeline
         // as a SEPARATE action with a pass-specific serializer. Measured
@@ -690,18 +849,32 @@ class Engine(
         // pass serializes only the columns its own commit writes; the
         // `selected` input is cached, so only the probe stage re-executes.
         //
-        // Pass 1 — results table. The broadcast rank side is bounded by
-        // Σ budgets per round (tiny); a shuffle join would move the whole
-        // result payload just to attach a long. nCrawled rides an
-        // accumulator instead of a separate count job over wide rows.
-        val crawledAcc = spark.sparkContext.longAccumulator("graft.crawled")
-        val resultRows = results.map { r => crawledAcc.add(1L); (r.domain, r) }
+        // That trade is only sound under the ProbeService determinism
+        // contract. A non-deterministic (real-socket) service would let
+        // the passes observe DIFFERENT responses — results and spans
+        // could diverge for the same domain, and every domain would be
+        // fetched up to 3× per round, defeating the politeness budget —
+        // so the round's results are persisted once instead.
+        val multiPassUnsafe = !svc.deterministic
+        val results =
+          if (multiPassUnsafe)
+            results0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else results0
+
+        // Pass 1 — results table. On the driver path the rank side is
+        // broadcast-hinted (bounded by Σ budgets); a shuffle join would
+        // move the whole result payload just to attach a long.
+        val resultRows = results.map(r => (r.domain, r))
           .toDF("domain", "result")
-          .join(broadcast(popOrder), col("domain") === col("o_domain"))
+          .join(sel.popOrder, col("domain") === col("o_domain"))
           .withColumn("pop_round", lit(round))
           .select(col("domain"), col("pop_round"), col("pop_rank"), col("result"))
         timed("commit_results")(resultsT.mergeCommit(resultRows))
-        val nCrawled = crawledAcc.value
+        // nCrawled ≡ nSelected by construction (the crawl stage is a 1:1
+        // map over the selected set; the rank join is a bijection on it).
+        // Derived, not accumulated: accumulators are exactly-once only
+        // for actions, so a retried/speculative task would double-count.
+        val nCrawled = nSelected
 
         // Pass 2 — span re-encoding (the interleaved-docs table). The
         // serializer carries only (doc_id, spans); the result tree is
@@ -720,11 +893,27 @@ class Engine(
         var discBacklog: Option[Dataset[BacklogRow]] = None
         var discCached: Option[Dataset[FrontierEntry]] = None
         if (discovery.enabled) {
-          val found = results.flatMap { r =>
-            val d = depthB.value.getOrElse(r.domain, 0)
-            if (d >= dcfg.maxDepth) Iterator.empty
-            else Engine.discoveredHosts(r, r.domain, dcfg)
-              .iterator.map(h => (h, d + 1))
+          val found = sel.depthOf match {
+            case Some(depths) =>
+              // driver path: parent depths ride a broadcast map bounded
+              // by |selected| ≤ Σ budgets
+              val depthB = spark.sparkContext.broadcast(depths)
+              results.flatMap { r =>
+                val d = depthB.value.getOrElse(r.domain, 0)
+                if (d >= dcfg.maxDepth) Iterator.empty
+                else Engine.discoveredHosts(r, r.domain, dcfg)
+                  .iterator.map(h => (h, d + 1))
+              }
+            case None =>
+              // fallback path: the selected set may exceed the driver
+              // guard, so depths attach via a join keyed by domain
+              val depths = selected.map(e => (e.canonical, e.depth))
+              results.joinWith(depths, results("domain") === depths("_1"))
+                .flatMap { case (r, (_, d)) =>
+                  if (d >= dcfg.maxDepth) Iterator.empty
+                  else Engine.discoveredHosts(r, r.domain, dcfg)
+                    .iterator.map(h => (h, d + 1))
+                }
           }
           val discAdmitted = admitUnseenInto(toFrontierDiscovered(found),
             currentFilterRefs(round).filter(_._2.nonEmpty),
@@ -747,27 +936,25 @@ class Engine(
         // rides an accumulator instead of a separate count job.
         val writeParts = math.max(1L, math.min(frontierPartitions.toLong,
           nCrawled / 4000L + 1L)).toInt
-        val deferredAcc = spark.sparkContext.longAccumulator("graft.deferred")
         val backlogUpdates =
-          deferred.map { e =>
-            deferredAcc.add(1L)
-            BacklogRow(e.domain, e.canonical, e.key,
-              e.nsBucket, e.priority, e.seq, e.depth, active = true)
-          }.toDF()
+          deferred.map(e => BacklogRow(e.domain, e.canonical, e.key,
+            e.nsBucket, e.priority, e.seq, e.depth, active = true)).toDF()
             .unionByName(selected.map(e => BacklogRow(e.domain, e.canonical,
               e.key, e.nsBucket, e.priority, e.seq, e.depth, active = false)).toDF())
-        timed("commit_backlog")(backlogT.mergeCommit((discBacklog match {
+        val backlogV = timed("commit_backlog")(backlogT.mergeCommit((discBacklog match {
           case Some(d) => backlogUpdates.unionByName(d.toDF())
           case None => backlogUpdates
         }).coalesce(writeParts)))
-        val nDeferred = deferredAcc.value
+        // deferred count derived from the committed delta (its rows are
+        // exactly deferred(active) + selected(inactive) + discoveries):
+        // exact under task retries, unlike a map-side accumulator, and
+        // the footer-count of the fresh narrow delta is one tiny job
+        val nDeferred = backlogT.commitRowCount(backlogV) - nSelected - nDiscovered
         discCached.foreach(_.unpersist())
+        if (multiPassUnsafe) results.unpersist()
         // per-partition throughput: crawled count per frontier partition
         // (pmod(key, P) — the same key the seen-filter shards on)
-        val fp = frontierPartitions
-        val perPartition = selRows
-          .groupBy(r => Math.floorMod(r._5, fp.toLong).toInt)
-          .map { case (pid, rs) => (pid, rs.length.toLong) }
+        val perPartition = sel.perPartition
         val roundSecs = (System.nanoTime() - t0) / 1e9
         // discovery wrote additional snapshots after `filterRefs` was
         // taken — re-list so resume sees the d-pass state
@@ -799,7 +986,7 @@ class Engine(
           (System.nanoTime() - t0) / 1e9, nDiscovered, phaseT.toMap)
       }
       chunk.unpersist(); admitted.unpersist(); frontier.unpersist()
-      selected.unpersist()
+      sel.release()
     }
     seeds.unpersist()
     stats.toSeq

@@ -24,6 +24,19 @@ import graft.model.Model._
   *    deadline wrapper.
   */
 trait ProbeService extends Serializable {
+  /** Determinism contract: `true` (default) declares every leaf a pure
+    * function of its arguments — same call, same answer, on every
+    * executor, for the lifetime of a run. The engine exploits this by
+    * consuming one round's probe pipeline as several pruned passes
+    * (results / spans / discovery), re-executing the cheap probes instead
+    * of caching the expensive wide rows. A real socket-backed service
+    * MUST override this to `false`: the engine then persists each round's
+    * results once (`MEMORY_AND_DISK`) so all passes observe the same
+    * responses and no domain is fetched more than once per round
+    * (politeness), at the cost of one wide-row materialization.
+    */
+  def deterministic: Boolean = true
+
   // ---- DNS leaves (dns_utils.py)
   def ttlFor(domain: String): Int
   def cnameFor(name: String): Option[String]
@@ -70,6 +83,7 @@ trait ProbeService extends Serializable {
   * the leaves you change.
   */
 class ForwardingProbeService(protected val inner: ProbeService) extends ProbeService {
+  override def deterministic: Boolean = inner.deterministic
   def ttlFor(domain: String): Int = inner.ttlFor(domain)
   def cnameFor(name: String): Option[String] = inner.cnameFor(name)
   def aFor(name: String): Seq[String] = inner.aFor(name)
@@ -146,6 +160,8 @@ final class DeadlineProbeService(
     clock: ProbeClock = ProbeClock.system,
     hardLeafTimeouts: Boolean = false) extends ProbeService {
   require(budgetNanos > 0, "DeadlineProbeService: budget must be positive")
+
+  override def deterministic: Boolean = inner.deterministic
 
   @volatile private[this] var jobStart: Long = clock.nanos()
 

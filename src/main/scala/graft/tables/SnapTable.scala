@@ -66,6 +66,16 @@ final class SnapTable(spark: SparkSession, root: String, keyCols: Seq[String]) {
     v
   }
 
+  /** Row count of one committed delta directory (parquet-footer scan of a
+    * single version's files — cheap). Lets callers derive per-commit
+    * counters from the committed data instead of task-side accumulators,
+    * which Spark only guarantees exactly-once for actions: a retried or
+    * speculatively-executed task would double-count an accumulator, but
+    * the committed delta has exactly one row per merged key.
+    */
+  def commitRowCount(version: Int): Long =
+    spark.read.parquet(rootP.resolve(s"data/v$version").toString).count()
+
   /** Snapshot read with MERGE resolution (latest commit wins per key). */
   def read(asOfVersion: Option[Int] = None): Option[DataFrame] = {
     val v = asOfVersion.orElse(currentVersion).getOrElse(return None)

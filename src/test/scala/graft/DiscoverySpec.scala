@@ -170,6 +170,52 @@ class DiscoverySpec extends AnyFunSuite {
     assert(full.map(_._1).contains("planted-link.cz"))
   }
 
+  test("crash-mid-round resume: stale uncommitted filter snapshots are dropped, discovered hosts are not lost") {
+    // The window: a crash AFTER the discovery pass materializes its
+    // filter snapshots (filters/r{N}d) but BEFORE the round's backlog/
+    // checkpoint commits. On resume, those stale snapshots would mark the
+    // re-discovered hosts as already-seen even though they were never
+    // committed to the backlog — permanently dropping them. Reproduced
+    // exactly: run round 1 clean, then plant the control run's round-2
+    // snapshot dirs (bit-identical to what the crashed attempt wrote,
+    // since the pipeline is deterministic) without any round-2 commits.
+    val svc = new LinkPlantingService(u)
+    def mk(dir: String) = new Engine(spark, u, cfg = contentCfg, workDir = dir,
+      frontierPartitions = 8, probeService = svc,
+      discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 2))
+    def rows(dir: String): Seq[(String, Int, Long)] =
+      new Engine(spark, u, workDir = dir, frontierPartitions = 8)
+        .resultsTable.read().get.select("domain", "pop_round", "pop_rank")
+        .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+
+    val ctrl = Files.createTempDirectory("crash-ctrl").toString
+    mk(ctrl).run(seedDocs(40))
+    val ctrlRows = rows(ctrl)
+    // the control must have gone past round 2 with round-2 discoveries,
+    // or the planted state wouldn't bite
+    val r2d = java.nio.file.Paths.get(s"$ctrl/filters/r2d")
+    assert(Files.isDirectory(r2d), "control run produced no round-2 discovery snapshots")
+    assert(ctrlRows.exists(_._2 >= 3), "control run never crawled a round-3 (depth-2) host")
+
+    val crashed = Files.createTempDirectory("crash-res").toString
+    mk(crashed).run(seedDocs(40), maxRounds = 1)
+    // plant the crashed round-2 attempt's snapshot state
+    for (name <- Seq("r2", "r2d")) {
+      val src = java.nio.file.Paths.get(s"$ctrl/filters/$name")
+      if (Files.isDirectory(src)) {
+        val dst = java.nio.file.Paths.get(s"$crashed/filters/$name")
+        Files.createDirectories(dst)
+        val listing = Files.list(src)
+        try {
+          listing.forEach(f =>
+            Files.copy(f, dst.resolve(f.getFileName.toString)))
+        } finally listing.close()
+      }
+    }
+    mk(crashed).run(seedDocs(40))
+    assert(rows(crashed) == ctrlRows)
+  }
+
   test("discovery off by default: stats report zero discoveries and only seeds are crawled") {
     val dir = Files.createTempDirectory("disc-off").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 8,
