@@ -45,6 +45,11 @@ import graft.universe.Universe
   *                             in-content links) re-enter the frontier
   *                             through the seen-set as depth+1 entries
   *   --discover-depth N  discovery depth cap (default 2; implies --discover)
+  *   --real-timestamps  stamp result documents with the actual UTC wall
+  *                             clock, reference format `%Y-%m-%d %H:%M:%S`
+  *                             (`timestamp.py:22-23`, `crawl.py:167`).
+  *                             Default is the fixed deterministic stamp so
+  *                             resume/ordering digests stay bit-identical
   * }}}
   *
   * Progress goes to stderr with timestamps, mirroring the reference's
@@ -63,7 +68,8 @@ object CrawlMain {
       System.err.println("Usage: spark-submit --class graft.CrawlMain graft.jar " +
         "<input.txt|input.parquet> [--config config.yml] [--out DIR] " +
         "[--format jsonl|parquet] [--work DIR] [--max-rounds N] " +
-        "[--partitions P] [--seed N] [--discover] [--discover-depth N]")
+        "[--partitions P] [--seed N] [--discover] [--discover-depth N] " +
+        "[--real-timestamps]")
       sys.exit(1)
     }
     val input = args(0)
@@ -111,13 +117,22 @@ object CrawlMain {
     // real mmdb GeoIP when the config points at databases (missing files
     // disable that db with a warning, like the reference); synthetic
     // geo otherwise
-    val svc: graft.probes.ProbeService =
+    val geoSvc: graft.probes.ProbeService =
       if (cfg.geoipCountry.isDefined || cfg.geoipIsp.isDefined || cfg.geoipAsn.isDefined)
         new graft.universe.GeoMmdbService(u, cfg.geoipCountry, cfg.geoipIsp, cfg.geoipAsn)
       else u
+    // real HSTS preload list when configured (hsts_preload key), layered
+    // over the geo decorator — each decorator swaps exactly one leaf
+    val svc: graft.probes.ProbeService = cfg.hstsPreloadFile match {
+      case Some(path) => new graft.universe.HstsPreloadService(geoSvc, path)
+      case None => geoSvc
+    }
+    val clock =
+      if (args.contains("--real-timestamps")) Engine.Clock.utcWall
+      else Engine.Clock.fixed
     val eng = new Engine(spark, u, cfg, workDir = workDir,
       frontierPartitions = partitions, probeService = svc,
-      discovery = discovery)
+      discovery = discovery, clock = clock)
 
     // for .txt inputs: the reference's single.py contract — one JSON per
     // input line, duplicates included, in input order

@@ -91,6 +91,42 @@ object Engine {
     val on: DiscoveryConfig = DiscoveryConfig(enabled = true)
   }
 
+  /** Engine timestamp source (F18). The reference stamps wall-clock UTC
+    * per domain (`timestamp.py:22-23`, `crawl.py:167`); determinism —
+    * resume bit-equality, the N-vs-4N ordering digests, the oracle
+    * scoreboard — needs a fixed stamp, so [[Clock.fixed]] is the default
+    * and wall time is opt-in (library: `clock = Engine.Clock.utcWall`;
+    * CLI: `--real-timestamps`). A non-deterministic clock, exactly like a
+    * non-deterministic [[graft.probes.ProbeService]], disables the
+    * multi-pass probe consumption: each round's results persist once so
+    * every commit pass carries identical stamps.
+    */
+  trait Clock extends Serializable {
+    /** Same contract as `ProbeService.deterministic`: `true` promises
+      * `now()` is a constant for the lifetime of a run.
+      */
+    def deterministic: Boolean
+    def now(): String
+  }
+  object Clock {
+    val fixedStamp = "2026-01-01 00:00:00"
+    private val UtcFmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    object fixed extends Clock {
+      val deterministic = true
+      def now(): String = fixedStamp
+    }
+    /** Real wall clock in the reference's format: `%Y-%m-%d %H:%M:%S`
+      * UTC (`timestamp.py:22-23`), evaluated once per domain like
+      * `process_domain` (`crawl.py:167`).
+      */
+    object utcWall extends Clock {
+      val deterministic = false
+      def now(): String =
+        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(UtcFmt)
+    }
+  }
+
   private val HostShape = "[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?\\.[a-z]{2,}".r
 
   /** Candidate hosts discovered in one crawl result, first-occurrence
@@ -181,6 +217,11 @@ class Engine(
       */
     maxDriverBuckets: Int = 100000,
     maxDriverSelectRows: Long = 5000000L,
+    /** Timestamp source for result documents — fixed by default for
+      * determinism, [[Engine.Clock.utcWall]] for reference-faithful wall
+      * time (see [[Engine.Clock]]).
+      */
+    clock: Engine.Clock = Engine.Clock.fixed,
     /** Frontier discovery (off by default): hosts found in crawl results —
       * redirect targets, MX hosts, in-content links — are canonicalized,
       * checked against the same cuckoo seen-set, and admitted into later
@@ -194,10 +235,6 @@ class Engine(
   private val svc: graft.probes.ProbeService =
     Option(probeService).getOrElse(universe)
 
-  /** Injected deterministic clock (reference stamps wall time,
-    * `crawl.py:167`; determinism requires a fixed stamp).
-    */
-  val clock: String = "2026-01-01 00:00:00"
 
   private val resultsT = new SnapTable(spark, s"$workDir/results", Seq("domain"))
   private val spansT = new SnapTable(spark, s"$workDir/result_spans", Seq("doc_id"))
@@ -444,7 +481,7 @@ class Engine(
     * `_r1 <= maxBudget` literal conjunct lets Spark's WindowGroupLimit
     * prune inside the phase-1 sort.
     */
-  private def selectUnderBudget(frontier: Dataset[FrontierEntry],
+  private[graft] def selectUnderBudget(frontier: Dataset[FrontierEntry],
       budgets: Map[Int, Int], defaultBudget: Int)
       : (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
     val maxBudget = (budgets.values ++ Seq(defaultBudget)).max
@@ -475,7 +512,7 @@ class Engine(
     * code downstream never knows whether the driver path or the
     * distributed fallback produced it.
     */
-  private case class RoundSelection(
+  private[graft] case class RoundSelection(
       selected: Dataset[FrontierEntry],
       deferred: Dataset[FrontierEntry],
       /** (o_domain, pop_rank) — broadcast-hinted on the driver path. */
@@ -504,7 +541,7 @@ class Engine(
     * directly: the driver path's [[PolicyCache]] is a TTL memo over the
     * same deterministic fetch, so both always agree.
     */
-  private def selectDistributed(frontier: Dataset[FrontierEntry])
+  private[graft] def selectDistributed(frontier: Dataset[FrontierEntry])
       : RoundSelection = {
     val u = universe
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -595,7 +632,7 @@ class Engine(
       sizeHint: Option[Long] = None): Dataset[DomainResult] = {
     val u = svc // probe leaves go through the pluggable service
     val conf = cfg
-    val ts = clock
+    val ck = clock // stamped per domain, like process_domain (crawl.py:167)
     // cache only if the caller hasn't (run() passes already-cached rounds;
     // re-caching would log "already cached" and double-register storage)
     val needCache = entries.storageLevel == org.apache.spark.storage.StorageLevel.NONE
@@ -657,7 +694,7 @@ class Engine(
                 nsIpCache.getOrElseUpdate(ip, p.probeNsIp(ip))) else Seq.empty
               NsAuth(n, Option.when(v4.nonEmpty)(v4), Option.when(v6.nonEmpty)(v6))
             })
-          DomainResult(e.canonical, ts, dl, auth,
+          DomainResult(e.canonical, ck.now(), dl, auth,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
             p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical),
             Option.when(conf.saveWorkerHostname)(conf.workerHostname))
@@ -703,7 +740,7 @@ class Engine(
         val p = new Probes(u, conf)
         it.map { e =>
           val dl = p.getDnsLocal(e.canonical)
-          val r = DomainResult(e.canonical, ts, dl, None,
+          val r = DomainResult(e.canonical, ck.now(), dl, None,
             p.getMail(e.canonical, dl), p.getWeb(e.canonical, dl),
             p.getWebPaths(e.canonical, dl), p.u.hstsPreload(e.canonical),
             Option.when(conf.saveWorkerHostname)(conf.workerHostname))
@@ -855,7 +892,7 @@ class Engine(
         // could diverge for the same domain, and every domain would be
         // fetched up to 3× per round, defeating the politeness budget —
         // so the round's results are persisted once instead.
-        val multiPassUnsafe = !svc.deterministic
+        val multiPassUnsafe = !svc.deterministic || !clock.deterministic
         val results =
           if (multiPassUnsafe)
             results0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

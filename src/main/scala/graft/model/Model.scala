@@ -35,8 +35,24 @@ object Model {
   /** Parsed TLSA rdata (reference `dns_utils.py:186-203`). */
   case class Tlsa(usage: Int, selector: Int, matchingtype: Int, data: String)
 
+  /** A resolved SPF reference (checkdmarc's redirect object, emitted as
+    * `redirect: object` per `result-schema.json:91-93`): the target
+    * domain, the SPF record found at it (None when the target has none),
+    * and the recursively-resolved parse pre-rendered as compact JSON by
+    * [[graft.parsers.Parsers.renderSpfNested]] — the model tree can't be
+    * recursive under Spark encoders, so nesting rides a rendered string
+    * the JSON emitter splices raw.
+    */
+  case class SpfRef(
+      domain: String,
+      record: Option[String],
+      parsed: Option[String])
+
   /** Parsed SPF (reference `dns_utils.py:161-183`): mechanism buckets +
     * derived pass-ip lists + modifiers; `error` when the parse fails.
+    * `redirect` keeps the raw modifier target; `redirect_resolved` is the
+    * checkdmarc-style DNS-resolved view ([[graft.probes.Probes]] fills it
+    * through the probe-service seam; pure `Parsers.parseSpf` leaves None).
     */
   case class SpfParsed(
       record: String,
@@ -50,7 +66,8 @@ object Model {
       all: Option[String],
       redirect: Option[String],
       exp: Option[String],
-      error: Option[String])
+      error: Option[String],
+      redirect_resolved: Option[SpfRef] = None)
 
   /** Parsed DMARC tag map (reference `dns_utils.py:144-158`,
     * `result-schema.json:101-143`). Fields hold the RAW tag values as they

@@ -91,6 +91,98 @@ object Parsers {
       noneIfEmpty(ip6), all, redirect, exp, None)
   }
 
+  // JSON string escape for [[renderSpfNested]] — the same rules as the
+  // JSON sink (ensure_ascii=False: mandatory escapes only, UTF-8 through)
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Compact JSON of a nested SPF parse — the `parsed` member of a
+    * resolved redirect object. checkdmarc's inner shape: qualifier
+    * buckets as `{value, mechanism}` objects, include as bare domain
+    * strings (`result-schema.json:82-86`), redirect recursively resolved
+    * (already rendered inside [[graft.model.Model.SpfRef]] — spliced
+    * raw), exp/all; no ip4/ip6 (the reference injects those at the TOP
+    * level only, `dns_utils.py:173-175`).
+    */
+  def renderSpfNested(s: SpfParsed): String = {
+    val sb = new java.lang.StringBuilder(128)
+    s.error match {
+      case Some(e) =>
+        sb.append("{\"error\":\"").append(jsonEsc(e)).append("\"}")
+      case None =>
+        def bucket(name: String, xs: Option[Seq[String]]): Unit = {
+          sb.append('"').append(name).append("\":[")
+          var first = true
+          xs.getOrElse(Seq.empty).foreach { body =>
+            if (!first) sb.append(',')
+            first = false
+            val i = body.indexOf(':')
+            val (mech, v) =
+              if (i > 0) (body.substring(0, i), body.substring(i + 1))
+              else (body, body)
+            sb.append("{\"value\":\"").append(jsonEsc(v))
+              .append("\",\"mechanism\":\"").append(jsonEsc(mech.toLowerCase))
+              .append("\"}")
+          }
+          sb.append(']')
+        }
+        def strOrNull(name: String, v: Option[String]): Unit = {
+          sb.append(",\"").append(name).append("\":")
+          v match {
+            case Some(x) => sb.append('"').append(jsonEsc(x)).append('"')
+            case None => sb.append("null")
+          }
+        }
+        sb.append('{')
+        bucket("pass", s.pass); sb.append(',')
+        bucket("neutral", s.neutral); sb.append(',')
+        bucket("softfail", s.softfail); sb.append(',')
+        bucket("fail", s.fail)
+        sb.append(",\"include\":[")
+        var first = true
+        s.include.getOrElse(Seq.empty).foreach { d =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(jsonEsc(d)).append('"')
+        }
+        sb.append(']')
+        sb.append(",\"redirect\":").append(renderSpfRef(s))
+        strOrNull("exp", s.exp)
+        strOrNull("all", s.all)
+        sb.append('}')
+    }
+    sb.toString
+  }
+
+  /** The redirect member: resolved `{domain, record?, parsed?}` object
+    * (`result-schema.json:91-93` — null or object), `{domain}` alone when
+    * the target had no SPF record or a loop was cut, raw-string fallback
+    * when resolution never ran (pure-parse callers), null when absent.
+    */
+  def renderSpfRef(s: SpfParsed): String = s.redirect_resolved match {
+    case Some(ref) =>
+      val sb = new java.lang.StringBuilder(64)
+      sb.append("{\"domain\":\"").append(jsonEsc(ref.domain)).append('"')
+      ref.record.foreach(r => sb.append(",\"record\":\"").append(jsonEsc(r)).append('"'))
+      ref.parsed.foreach(p => sb.append(",\"parsed\":").append(p))
+      sb.append('}').toString
+    case None => s.redirect match {
+      case Some(raw) => "\"" + jsonEsc(raw) + "\""
+      case None => "null"
+    }
+  }
+
   /** DMARC tag-map parse (reference `dns_utils.py:144-158`,
     * `result-schema.json:101-143`): `k=v` pairs split on `;`.
     */

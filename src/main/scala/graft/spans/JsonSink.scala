@@ -31,11 +31,13 @@ import graft.probes.CrawlConfig
   *     list.
   *
   * Documented deviations (typed-model simplifications, see COVERAGE.md):
-  * the diagnostic `record` field is omitted on emit, and SPF `redirect`
-  * stays the raw modifier value (checkdmarc resolves it recursively over
-  * DNS). DMARC tags emit checkdmarc `{value, explicit}` objects; SPF
-  * qualifier buckets emit checkdmarc `{value, mechanism}` objects; headers
-  * emit in network arrival order.
+  * the diagnostic `record` field is omitted on emit at the TOP level
+  * (resolved redirect objects keep theirs, like checkdmarc). DMARC tags
+  * emit checkdmarc `{value, explicit}` objects; SPF qualifier buckets
+  * emit checkdmarc `{value, mechanism}` objects, include entries are bare
+  * domain strings and `redirect` is null or the DNS-resolved object —
+  * the reference's own output contract (`result-schema.json:32-100`,
+  * additionalProperties:false); headers emit in network arrival order.
   */
 object JsonSink {
 
@@ -48,6 +50,10 @@ object JsonSink {
   private final case class JS(s: String) extends J
   private final case class JArr(items: Seq[J]) extends J
   private final case class JObj(fields: Seq[(String, J)]) extends J
+  /** Pre-rendered JSON spliced verbatim (resolved-SPF nesting — the model
+    * carries it as a rendered string, see [[graft.model.Model.SpfRef]]).
+    */
+  private final case class JRaw(json: String) extends J
 
   /** JSON string escape, ensure_ascii=False: only the mandatory escapes;
     * non-ASCII passes through as UTF-8.
@@ -67,6 +73,7 @@ object JsonSink {
   }
 
   private def render(j: J, sb: java.lang.StringBuilder): Unit = j match {
+    case JRaw(json) => sb.append(json)
     case JNull => sb.append("null")
     case JB(b) => sb.append(if (b) "true" else "false")
     case JL(n) => sb.append(n)
@@ -160,11 +167,14 @@ object JsonSink {
       "neutral" -> spfBucketJ(s.neutral),
       "softfail" -> spfBucketJ(s.softfail),
       "fail" -> spfBucketJ(s.fail),
-      // include terms are stored as bare domains (the mech prefix is
-      // stripped at parse); emit the same object shape explicitly
-      "include" -> JArr(s.include.getOrElse(Seq.empty).map(d =>
-        JObj(Seq("value" -> JS(d), "mechanism" -> JS("include"))))),
-      "redirect" -> opt(s.redirect),
+      // include: bare domain strings (result-schema.json:82-86 — array of
+      // strings, additionalProperties:false; the mech prefix is stripped
+      // at parse)
+      "include" -> JArr(s.include.getOrElse(Seq.empty).map(JS.apply)),
+      // redirect: null or the checkdmarc-resolved object
+      // (result-schema.json:91-93); raw-string fallback only when
+      // resolution never ran (pure-parse callers)
+      "redirect" -> JRaw(graft.parsers.Parsers.renderSpfRef(s)),
       "exp" -> opt(s.exp),
       "all" -> opt(s.all),
       "ip4" -> emptyArr(s.ip4),

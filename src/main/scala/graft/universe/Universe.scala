@@ -206,6 +206,16 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     }
     if (domain == "nic.cz") // golden: the real zone carries an SPF TXT
       return Seq("v=spf1 ip4:217.31.205.50/32 ip6:2001:1488:0:3::2/128 -all")
+    // hoster SPF-policy zones (the include/redirect targets the generated
+    // records point at): a terminal record, so redirect chains resolve
+    if (domain.startsWith("_spf.hoster"))
+      return Seq(s"v=spf1 ip4:${mkIp4(h("spfzone", domain))}/28 -all")
+    // a 2-hop redirect: _spf2 redirects onward to the terminal _spf zone
+    if (domain.startsWith("_spf2.hoster"))
+      return Seq(s"v=spf1 redirect=${domain.replace("_spf2.", "_spf.")}")
+    // redirect LOOP fixture pair (checkdmarc SPFRedirectLoop analog)
+    if (domain == "_spfloop-a.cz") return Seq("v=spf1 redirect=_spfloop-b.cz")
+    if (domain == "_spfloop-b.cz") return Seq("v=spf1 redirect=_spfloop-a.cz")
     val x = h("txt", domain)
     val base = scala.collection.mutable.ArrayBuffer[String]()
     if (pct(x) < 60)
@@ -216,6 +226,10 @@ class Universe(val seed: Long) extends graft.probes.ProbeService {
     // a second spf record on a few domains: parse_spf returns one parse
     // PER matching record (dns_utils.py:166-183) — exercise the list shape
     if (pct(x >>> 24) < 4) base += "v=spf1 include:backup.example.cz -all"
+    // a redirect-modifier record on a slice of the zone (checkdmarc
+    // resolves these over DNS — dns_utils.py:166-183; 2-hop via _spf2)
+    if (pct(x >>> 32) < 8)
+      base += s"v=spf1 redirect=_spf2.hoster${nsProvider(domain)}.cz"
     base.toSeq
   }
 

@@ -160,8 +160,75 @@ class ContractSpec extends AnyFunSuite {
     val multi = (0 to 20000).map(i => s"d$i.cz")
       .find(d => u.txtFor(d).count(_.startsWith("v=spf1")) >= 2).get
     val parses = p.getDnsLocal(multi).TXT_SPF.get
-    assert(parses.length == 2)
+    assert(parses.length == u.txtFor(multi).count(_.startsWith("v=spf1")))
+    assert(parses.length >= 2)
     assert(parses.forall(_.error.isEmpty))
+  }
+
+  test("SPF redirect= resolves recursively over DNS into {domain, record, parsed} (dns_utils.py:166-183; result-schema.json:91 — null|object)") {
+    val dom = (0 to 20000).map(i => s"d$i.cz")
+      .find(d => u.txtFor(d).exists(_.startsWith("v=spf1 redirect="))).get
+    val spf = p.getDnsLocal(dom).TXT_SPF.get
+    val red = spf.find(_.redirect.isDefined).get
+    val ref = red.redirect_resolved.get
+    assert(ref.domain.startsWith("_spf2.hoster"))
+    // 2-hop chain: _spf2 redirects onward; its nested parse resolved the
+    // terminal _spf zone, whose own parse carries the pass mechanisms
+    assert(ref.record.get.startsWith("v=spf1 redirect=_spf.hoster"))
+    val nested = ref.parsed.get
+    assert(nested.contains("\"redirect\":{\"domain\":\"_spf.hoster"))
+    assert(nested.contains("\"parsed\":{\"pass\":[{\"value\":"))
+    // emit contract: redirect is an object; include entries are bare
+    // domain strings (result-schema.json:82-86, additionalProperties off)
+    val json = graft.spans.JsonSink.toJson(p.processDomain(dom, "t"))
+    assert(json.contains("\"redirect\":{\"domain\":\"_spf2.hoster"))
+    assert(!json.contains("\"mechanism\":\"include\""))
+  }
+
+  test("SPF redirect loop is cut by the seen-set guard (checkdmarc SPFRedirectLoop analog)") {
+    val s = p.parseSpfResolved("v=spf1 redirect=_spfloop-a.cz", Set("origin.cz"))
+    val ref = s.redirect_resolved.get
+    assert(ref.domain == "_spfloop-a.cz" && ref.record.isDefined)
+    // a → b resolves; b's redirect back to a is cut with {domain} alone
+    val inner = ref.parsed.get
+    assert(inner.contains("\"redirect\":{\"domain\":\"_spfloop-b.cz\",\"record\":"))
+    assert(inner.contains("\"redirect\":{\"domain\":\"_spfloop-a.cz\"}"))
+  }
+
+  test("SPF redirect target without an SPF record resolves to {domain} alone (documented deviation from checkdmarc's raise)") {
+    val s = p.parseSpfResolved("v=spf1 redirect=_openid.no-spf.cz -all",
+      Set("origin.cz"))
+    assert(s.redirect_resolved.contains(
+      graft.model.Model.SpfRef("_openid.no-spf.cz", None, None)))
+    // the rest of the parse survives
+    assert(s.all.contains("fail"))
+  }
+
+  test("HSTS preload from a real list file flips HSTS end-to-end; includeSubdomains and IDNA honored (hsts_utils.py:23-24)") {
+    val f = java.nio.file.Files.createTempFile("hsts-preload", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# chromium-style preload fixture\nseznam.cz\nexample.cz includeSubdomains\nháčky.cz\n")
+    val svc = new graft.universe.HstsPreloadService(u, f.toString)
+    val pp = new Probes(svc, CrawlConfig())
+    // exact entry flips a domain the synthetic set does not preload
+    assert(!u.hstsPreload("seznam.cz"))
+    val json = graft.spans.JsonSink.toJson(pp.processDomain("seznam.cz", "t"))
+    assert(json.contains("\"HSTS\":true"))
+    // exact ≠ subtree: www of an exact entry is NOT preloaded
+    assert(!svc.hstsPreload("www.seznam.cz"))
+    // includeSubdomains matches the domain and any depth below it
+    assert(svc.hstsPreload("example.cz"))
+    assert(svc.hstsPreload("a.b.example.cz"))
+    // IDNA: the entry and the query both canonicalize to punycode
+    assert(svc.hstsPreload("HÁČKY.CZ."))
+    // the already-punycoded form matches too (entries are stored encoded)
+    assert(svc.hstsPreload(graft.canon.Canon.canonicalize("háčky.cz")))
+    assert(graft.canon.Canon.canonicalize("háčky.cz").startsWith("xn--"))
+    // file replaces the synthetic set entirely (nic.cz not in the file)
+    assert(!svc.hstsPreload("nic.cz"))
+    // missing file degrades to the inner service with a warning
+    val missing = new graft.universe.HstsPreloadService(u, "/nonexistent/preload.txt")
+    assert(missing.hstsPreload("nic.cz"))
   }
 
   test("CHAOS records are config-driven incl. fortune; keys dot-stripped (dns_utils.py:249-250)") {

@@ -64,6 +64,28 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(r1.sameElements(r2))
   }
 
+  test("--real-timestamps stamps actual UTC wall time; the default stays the fixed deterministic stamp") {
+    val in = Files.createTempFile("domains-ts", ".txt")
+    Files.writeString(in, "nic.cz\nexample.cz\n")
+    def stamps(extra: String*): Seq[String] = {
+      val out = Files.createTempDirectory("ts-out").toString + "/res"
+      val work = Files.createTempDirectory("ts-work").toString
+      CrawlMain.main(Array(in.toString, "--out", out, "--work", work) ++ extra)
+      spark.read.textFile(out).collect().toSeq
+        .map(l => "\"timestamp\":\"([^\"]+)\"".r.findFirstMatchIn(l).get.group(1))
+    }
+    // default: every document carries the fixed stamp (bit-identical runs)
+    assert(stamps().forall(_ == graft.engine.Engine.Clock.fixedStamp))
+    // flag: a parseable, current UTC stamp in the reference format
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    stamps("--real-timestamps").foreach { s =>
+      val t = java.time.LocalDateTime.parse(s, fmt)
+      assert(math.abs(java.time.Duration.between(t, now).toMinutes) <= 10,
+        s"wall-clock stamp $s not near current UTC $now")
+    }
+  }
+
   test("--discover flag: discovered hosts appear in the output beyond the seed set") {
     import spark.implicits._
     import graft.model.Model.{Doc, Span}
