@@ -241,6 +241,7 @@ object ConfigLoader {
       authChaosTxt = strList(dns, "auth_chaos_txt", base.authChaosTxt),
       additionalRrtypes = strList(dns, "additional", base.additionalRrtypes),
       jobTimeoutSeconds = int(timeouts, "job", base.jobTimeoutSeconds),
+      hardLeafTimeouts = bool(timeouts, "hard_leaf_timeouts", base.hardLeafTimeouts),
       cacheTtlSeconds = int(timeouts, "cache", base.cacheTtlSeconds),
       dnsTimeoutSeconds = num(timeouts, "dns", base.dnsTimeoutSeconds),
       httpTimeoutSeconds = num(timeouts, "http", base.httpTimeoutSeconds),
@@ -270,6 +271,7 @@ object ConfigLoader {
       saveWorkerHostname = bool(root, "save_worker_hostname", base.saveWorkerHostname),
       geoipCountry = optStr(geoip, "country", base.geoipCountry),
       geoipIsp = optStr(geoip, "isp", base.geoipIsp),
-      geoipAsn = optStr(geoip, "asn", base.geoipAsn))
+      geoipAsn = optStr(geoip, "asn", base.geoipAsn),
+      hstsPreloadFile = optStr(root, "hsts_preload", base.hstsPreloadFile))
   }
 }

@@ -26,7 +26,10 @@ class Probes(
 
   private val deadline: Option[DeadlineProbeService] =
     Option.when(cfg.jobTimeoutSeconds > 0)(new DeadlineProbeService(
-      rawService, cfg.jobTimeoutSeconds * 1000000000L, clock, hardLeafTimeouts))
+      rawService, cfg.jobTimeoutSeconds * 1000000000L, clock,
+      // hard mode reaches engine-built Probes through the config (the
+      // engine constructs its own Probes per partition)
+      hardLeafTimeouts || cfg.hardLeafTimeouts))
 
   /** The leaf service all probe code calls — deadline-guarded when T3 is on. */
   val u: ProbeService = deadline.getOrElse(rawService)
@@ -161,6 +164,37 @@ class Probes(
     case _ => Dnssec(None, None, Some("Missing DS or DNSKEY records"), None)
   }
 
+  /** SPF parse with checkdmarc-style `redirect=` resolution (F3 closure;
+    * reference `dns_utils.py:166-183` → `checkdmarc.parse_spf_record`):
+    * the redirect target's TXT is fetched through the probe service, its
+    * SPF record parsed recursively — bounded by a seen-set loop guard
+    * (checkdmarc's SPFRedirectLoop analog) and RFC 7208 §4.6.4's
+    * 10-lookup limit — and attached as the resolved `{domain, record,
+    * parsed}` object (`result-schema.json:91-93`: redirect is null or an
+    * object). A target with no SPF record resolves to `{domain}` alone
+    * (documented deviation: checkdmarc raises and the whole parse becomes
+    * `{"error"}`; keeping the partial parse means one dead redirect does
+    * not erase an otherwise-valid record).
+    */
+  def parseSpfResolved(record: String, seen: Set[String]): SpfParsed = {
+    val base = Parsers.parseSpf(record)
+    base.redirect match {
+      case Some(target) if base.error.isEmpty =>
+        val t = target.toLowerCase
+        val ref =
+          if (seen.contains(t) || seen.size >= 10) SpfRef(target, None, None)
+          else u.txtFor(t).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .find(_.toLowerCase.startsWith("v=spf1")) match {
+            case Some(rec) =>
+              val nested = parseSpfResolved(rec, seen + t)
+              SpfRef(target, Some(rec), Some(Parsers.renderSpfNested(nested)))
+            case None => SpfRef(target, None, None)
+          }
+        base.copy(redirect_resolved = Some(ref))
+      case _ => base
+    }
+  }
+
   private def annotate(recs: Option[Seq[DnsRecord]], tokenIndex: Int) =
     recs.map(_.map(r => r.copy(algorithm = Parsers.annotateAlgorithm(r.value, tokenIndex))))
 
@@ -171,9 +205,11 @@ class Probes(
   def getDnsLocal(domain: String): DnsLocal = {
     val txt = resolve(domain, "TXT")
     // one parse PER spf-matching record (crawl.py:55-56 get_txt regex +
-    // parse_spf list, dns_utils.py:166-183); no matches → None
+    // parse_spf list, dns_utils.py:166-183); no matches → None; redirect
+    // modifiers resolved over DNS like checkdmarc (seen seeded with the
+    // queried domain, dns_utils.py via parse_spf_record's loop guard)
     val spf = txt.map(_.filter(r => Probes.SpfPattern.matcher(r.value).matches())
-        .map(r => Parsers.parseSpf(r.value)))
+        .map(r => parseSpfResolved(r.value, Set(domain.toLowerCase))))
       .filter(_.nonEmpty)
     // one parse PER record at _dmarc.<domain>, junk records kept as
     // per-record error entries (dns_utils.py:144-158)
@@ -514,6 +550,13 @@ case class CrawlConfig(
     mailPorts: Seq[Int] = Seq(25, 465, 587),
     cacheTtlSeconds: Int = 3600,      // config.yml:23
     jobTimeoutSeconds: Int = 80,      // config.yml:19
+    /** Hard T3 enforcement (production mode for real socket leaves): each
+      * probe leaf runs under a timed interrupt capped at the remaining
+      * per-domain budget, so even a black-holed connect cannot exceed it.
+      * Off by default — the deterministic universe never blocks, and the
+      * cooperative check costs one clock read instead of a thread hop.
+      */
+    hardLeafTimeouts: Boolean = false,
     /** Per-leaf network timeouts (config.yml timeouts.dns/http/http_read/
       * mail) — consumed by real socket-backed [[ProbeService]]s; the
       * deterministic universe never blocks, and the enforced per-domain
@@ -553,4 +596,10 @@ case class CrawlConfig(
       */
     geoipCountry: Option[String] = None,
     geoipIsp: Option[String] = None,
-    geoipAsn: Option[String] = None)
+    geoipAsn: Option[String] = None,
+    /** Newline HSTS preload list (`hsts_preload` config key — our analog
+      * of the reference's packaged Chromium list, `hsts_utils.py:23-24`);
+      * None = the synthetic universe's preload set. See
+      * [[graft.universe.HstsPreload]] for the file format.
+      */
+    hstsPreloadFile: Option[String] = None)

@@ -230,12 +230,20 @@ object StreamingCrawl {
         val spark = batch.sparkSession
         import spark.implicits._
         if (!batch.isEmpty) {
-          val spansT = new graft.tables.SnapTable(spark,
-            s"$workDir/result_spans", Seq("doc_id"))
-          spansT.mergeCommit(batch.map(graft.spans.SpanCodec.encode).toDF())
-          val resultsT = new graft.tables.SnapTable(spark,
-            s"$workDir/results", Seq("domain"))
-          resultsT.mergeCommit(batch.map(r => (r.domain, r)).toDF("domain", "result"))
+          // cache: the two commits below must observe the SAME probe
+          // responses even under a non-deterministic (real-socket)
+          // ProbeService upstream, and no domain may be fetched twice per
+          // micro-batch (politeness). Batches are politeness-bounded, so
+          // the wide-row materialization is small by construction.
+          val b = batch.cache()
+          try {
+            val spansT = new graft.tables.SnapTable(spark,
+              s"$workDir/result_spans", Seq("doc_id"))
+            spansT.mergeCommit(b.map(graft.spans.SpanCodec.encode).toDF())
+            val resultsT = new graft.tables.SnapTable(spark,
+              s"$workDir/results", Seq("domain"))
+            resultsT.mergeCommit(b.map(r => (r.domain, r)).toDF("domain", "result"))
+          } finally b.unpersist()
         }
         ()
       }

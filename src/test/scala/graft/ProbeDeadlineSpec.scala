@@ -106,4 +106,67 @@ class ProbeDeadlineSpec extends AnyFunSuite {
     val p = new Probes(u, CrawlConfig(jobTimeoutSeconds = 0))
     assert(p.u eq u) // no DeadlineProbeService in the path
   }
+
+  test("engine scope: hard-mode deadlines bound a full Engine.run against a fault-injected leaf; the non-timed-out subset is bit-identical to a clean run") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import graft.model.Model.{Doc, Span}
+    val uE = new Universe(42L)
+    val seeds = (0 until 40).map(i => uE.seedDomain(i.toLong))
+    val canonical = seeds.map(graft.canon.Canon.canonicalize).distinct
+    // seeded fault plan: 3 domains get a black-holed first web connect
+    // (sleeps far past the budget); every other host gets a small seeded
+    // jitter (≤ 2 ms — never trips the 1 s budget across a domain's ~45
+    // web steps) so the run exercises real wall-clock variance
+    val hung = canonical.filter(d => uE.aFor(d).nonEmpty) // must have a web combo to hang
+      .sortBy(d => graft.ops.TextOps.hashToken(d) ^ 0xfa1L)
+      .take(3).toSet
+    class FaultService extends ForwardingProbeService(uE) {
+      override def webStep(host: String, ip: String, port: Int, hop: Int,
+          path: String, wantBody: Boolean)
+          : (Int, Option[String], Seq[(String, String)], Option[String], Boolean) = {
+        if (hung.contains(host) && hop == 0 && port == 80)
+          Thread.sleep(120000) // hangs until the hard interrupt fires
+        else
+          Thread.sleep(Math.floorMod(graft.ops.TextOps.hashToken(host + port), 3L))
+        super.webStep(host, ip, port, hop, path, wantBody)
+      }
+    }
+    val docs: org.apache.spark.sql.Dataset[Doc] = spark.createDataset(
+      seeds.zipWithIndex.map { case (d, i) =>
+        Doc(f"doc-$i%04d", Seq(Span("text", d, null, 0)))
+      })
+    val cfg = CrawlConfig(jobTimeoutSeconds = 1, hardLeafTimeouts = true)
+    def jsonByDomain(workDir: String, svc: graft.probes.ProbeService)
+        : (Map[String, String], Seq[graft.engine.Engine.RoundStats]) = {
+      val eng = new graft.engine.Engine(spark, uE, cfg = cfg,
+        workDir = workDir, frontierPartitions = 8, probeService = svc)
+      val stats = eng.run(docs)
+      val rows = eng.resultsTable.read().get.select("result.*")
+        .as[graft.model.Model.DomainResult].collect()
+        .map(r => r.domain -> JsonSink.toJson(r, cfg)).toMap
+      (rows, stats)
+    }
+    val t0 = System.nanoTime()
+    val (faulted, stats) = jsonByDomain(
+      java.nio.file.Files.createTempDirectory("dl-fault").toString, new FaultService)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // bounded: 3 hung domains × 1 s budget in parallel + normal crawl —
+    // nowhere near the 360 s an unbounded run would sleep
+    assert(stats.forall(_.seconds < 60), s"round over budget: $stats")
+    assert(wallSec < 120, s"wall $wallSec s — hard deadline did not bound the hang")
+    // every selected domain still completes with a document
+    assert(faulted.keySet == canonical.toSet)
+    // hung domains carry the reference's timeout step shape
+    hung.foreach { d =>
+      assert(faulted(d).contains("\"error\":\"timeout\""), s"$d missing timeout shape")
+    }
+    // determinism of the non-timed-out subset: identical to a clean run
+    // (jitter changes timing, never values; the fixed clock stamps)
+    val (clean, _) = jsonByDomain(
+      java.nio.file.Files.createTempDirectory("dl-clean").toString, uE)
+    (canonical.toSet -- hung).foreach { d =>
+      assert(faulted(d) == clean(d), s"non-timed-out $d diverged")
+    }
+  }
 }
