@@ -214,9 +214,17 @@ class Engine(
       * budgets/salts ride a broadcast join, ranking stays in windows, and
       * pop_rank derives from per-bucket offsets — bit-identical output
       * (SelectPathSpec), flat driver memory at 100× provider cardinality.
+      *
+      * Defaults are MEASURED, not guessed (SelectScaleBench, BENCH.md):
+      * the driver path's `typedlit` budget/salt maps are plan literals,
+      * and at 10^5 buckets the literal-map plan already costs 130 s vs
+      * the fallback's 6.5 s (905 s and +742 MB driver heap at 10^6) —
+      * so the bucket guard sits at 8192, far below where the literal
+      * cost bites, while reference-zone cardinality (~40 providers,
+      * thousands at 100×) stays comfortably on the cheaper driver path.
       */
-    maxDriverBuckets: Int = 100000,
-    maxDriverSelectRows: Long = 5000000L,
+    maxDriverBuckets: Int = 8192,
+    maxDriverSelectRows: Long = 2000000L,
     /** Timestamp source for result documents — fixed by default for
       * determinism, [[Engine.Clock.utcWall]] for reference-faithful wall
       * time (see [[Engine.Clock]]).
