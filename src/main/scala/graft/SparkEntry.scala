@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.Canon
-import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, MultiModalOps, SimilarityOps, TextOps}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
@@ -34,6 +34,67 @@ object SparkEntry {
   // sides can never drift).
   private val stop = TextOps.StopwordsEn
   private val stopSqlList = stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private def markerSqlList(lang: String): String =
+    TextOps.langMarkers(lang).map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared DuckDB CTE chain replicating the q35 dedup composition —
+    * 3-gram shingles → 2-md5 minhash family → 4×2 band buckets →
+    * candidate pairs → exact Jaccard ≥ 0.8 verify → recursive
+    * connected-components — ending in `cl(doc_id, cluster)` (singletons
+    * labeled by their own id). q35 selects it directly; q43/q45 build the
+    * representative/funnel logic on top, so all three oracles share one
+    * verified definition.
+    */
+  private lazy val dupClustersCteSql: String = {
+    val minCols = (0 until 8).map { i =>
+      val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
+      s"min(substring($h, $off, 8)) AS c$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM mins"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_transform(range(len(tk) - 2),
+           i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
+         FROM toks WHERE len(tk) >= 3),
+       shx AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+       hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM shx),
+       mins AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
+       bands AS (
+         $bandSelects),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       d AS (SELECT DISTINCT doc_id AS id, unnest(shl) AS s FROM sh),
+       sizes AS (SELECT id, count(*) AS n_sh FROM d GROUP BY id),
+       inter AS (
+         SELECT c.id_a, c.id_b, count(*) AS n_inter
+         FROM cand c
+         JOIN d x ON x.id = c.id_a
+         JOIN d y ON y.id = c.id_b AND y.s = x.s
+         GROUP BY 1, 2),
+       e AS (
+         SELECT i.id_a, i.id_b
+         FROM inter i
+         JOIN sizes sa ON sa.id = i.id_a
+         JOIN sizes sb ON sb.id = i.id_b
+         WHERE i.n_inter * 10 >= (sa.n_sh + sb.n_sh - i.n_inter) * 8),
+       und AS (SELECT id_a AS a, id_b AS b FROM e
+               UNION SELECT id_b, id_a FROM e),
+       reach AS (
+         SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM und) t
+         UNION
+         SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+       clus AS (SELECT src, min(dst) AS cluster FROM reach GROUP BY src),
+       cl AS (
+         SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
+         FROM documents dd LEFT JOIN clus c ON c.src = dd.doc_id)"""
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1 — scan + trim/empty filter + predicate pushdown
@@ -428,6 +489,36 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // Curation — one representative per near-dup cluster (longest text,
+    // ties → min id): the keep-the-best-copy policy applied to q35's
+    // clusters. One window per cluster; clusters are small by nature.
+    "q43_cluster_reps" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 4, rowsPerBand = 2)
+      val verified = DedupOps.ngramJaccardForPairs(docs, cand, "doc_id", "text",
+          shingleK = 3, minShared = 1)
+        .where(col("n_inter") * 10 >= col("n_union") * 8)
+      CurationOps.clusterRepresentatives(docs,
+        DedupOps.dupClusters(docs, verified, "doc_id"), "doc_id", "text")
+    }),
+
+    // Curation — deterministic hash-stratified sampling: per-stratum rate
+    // from md5(stratum), membership from md5(id); pure scan-local filter
+    // (no shuffle, no RNG — the same rows survive on every engine and at
+    // every parallelism).
+    "q44_stratified_sample" -> ((s, dir) =>
+      CurationOps.stratifiedSample(T(s, dir, "documents"), "doc_id", "source")),
+
+    // Curation — the full funnel as ONE declarative plan: benchmark
+    // holdout → language gate (q16 heuristic) → stopword-quality gate
+    // (q15) → decontamination anti-join (q41) → near-dup representative
+    // keep (q35 + q43). The composition a training-data pipeline runs
+    // stage-by-stage, planned holistically by Catalyst.
+    "q45_curation_funnel" -> ((s, dir) =>
+      CurationOps.curationFunnel(T(s, dir, "documents"), "doc_id", "text",
+        benchMod = 97, wantLang = "en", minStopMill = 60, shingleK = 3)),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -678,54 +769,82 @@ object SparkEntry {
          JOIN sizes sb ON sb.id = i.id_b"""
     },
 
-    "q35_dup_clusters" -> {
-      val minCols = (0 until 8).map { i =>
-        val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
-        s"min(substring($h, $off, 8)) AS c$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM mins"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_transform(range(len(tk) - 2),
-             i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
-           FROM toks WHERE len(tk) >= 3),
-         shx AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-         hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM shx),
-         mins AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
-         bands AS (
-           $bandSelects),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM bands x JOIN bands y
-             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         d AS (SELECT DISTINCT doc_id AS id, unnest(shl) AS s FROM sh),
-         sizes AS (SELECT id, count(*) AS n_sh FROM d GROUP BY id),
-         inter AS (
-           SELECT c.id_a, c.id_b, count(*) AS n_inter
-           FROM cand c
-           JOIN d x ON x.id = c.id_a
-           JOIN d y ON y.id = c.id_b AND y.s = x.s
-           GROUP BY 1, 2),
-         e AS (
-           SELECT i.id_a, i.id_b
-           FROM inter i
-           JOIN sizes sa ON sa.id = i.id_a
-           JOIN sizes sb ON sb.id = i.id_b
-           WHERE i.n_inter * 10 >= (sa.n_sh + sb.n_sh - i.n_inter) * 8),
-         und AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION SELECT id_b, id_a FROM e),
-         reach AS (
-           SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM und) t
-           UNION
-           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
-         clus AS (SELECT src, min(dst) AS cluster FROM reach GROUP BY src)
-         SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster
-         FROM documents dd LEFT JOIN clus c ON c.src = dd.doc_id"""
-    },
+    "q35_dup_clusters" ->
+      s"""$dupClustersCteSql
+         SELECT doc_id, cluster FROM cl""",
+
+    "q43_cluster_reps" ->
+      s"""$dupClustersCteSql,
+         sized AS (
+           SELECT c.cluster, c.doc_id, len(dd.text) AS l
+           FROM cl c JOIN documents dd USING (doc_id)),
+         ranked AS (
+           SELECT cluster, doc_id,
+             row_number() OVER (PARTITION BY cluster ORDER BY l DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n
+           FROM sized)
+         SELECT cluster, doc_id AS rep_id, CAST(n AS BIGINT) AS n_members
+         FROM ranked WHERE rn = 1""",
+
+    "q44_stratified_sample" ->
+      """SELECT doc_id, source, substring(md5(source), 1, 2) AS rate_hex
+         FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+             < substring(md5(source), 1, 2)""",
+
+    "q45_curation_funnel" ->
+      s"""$dupClustersCteSql,
+         sized AS (
+           SELECT c.cluster, c.doc_id, len(dd.text) AS l
+           FROM cl c JOIN documents dd USING (doc_id)),
+         reps AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY cluster
+               ORDER BY l DESC, doc_id) AS rn
+             FROM sized) t WHERE rn = 1),
+         lt AS (
+           SELECT doc_id, length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS ltk
+           FROM documents WHERE doc_id % 97 <> 0),
+         ls AS (
+           SELECT doc_id, n_chars, cjk, len(ltk) AS n_tok,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("en")})) AS s_en,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("de")})) AS s_de,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("fr")})) AS s_fr,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("es")})) AS s_es
+           FROM lt),
+         lg AS (
+           SELECT doc_id,
+             CASE WHEN n_chars = 0 THEN 'und'
+                  WHEN cjk * 5 >= n_chars THEN 'zh'
+                  WHEN n_tok = 0 THEN 'und'
+                  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  ELSE 'de' END AS lang_guess
+           FROM ls),
+         q AS (
+           SELECT doc_id,
+             CAST(FLOOR(1000.0 *
+               len(list_filter(str_split(lower(text), ' '),
+                 t -> t <> '' AND t IN $stopSqlList)) /
+               len(list_filter(str_split(text, ' '), t -> t <> ''))) AS BIGINT)
+               AS stop_mill
+           FROM documents
+           WHERE doc_id % 97 <> 0
+             AND len(list_filter(str_split(text, ' '), t -> t <> '')) > 0),
+         contam AS (
+           SELECT DISTINCT c.id AS doc_id
+           FROM d c JOIN (SELECT DISTINCT s FROM d WHERE id % 97 = 0) b USING (s)
+           WHERE c.id % 97 <> 0)
+         SELECT q.doc_id, q.stop_mill
+         FROM q
+         JOIN lg ON lg.doc_id = q.doc_id AND lg.lang_guess = 'en'
+         JOIN reps r ON r.doc_id = q.doc_id
+         LEFT JOIN contam x ON x.doc_id = q.doc_id
+         WHERE q.stop_mill >= 60 AND x.doc_id IS NULL""",
 
     "q20_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (

@@ -607,15 +607,35 @@ class Engine(
     * key frequency): each nameserver bucket is split into enough salt
     * cells that no cell exceeds ~one reducer's share. A fixed per-hot-
     * bucket salt constant caps speedup as parallelism grows; this adapts.
+    *
+    * With a known total (`totalHint` — the frontier loop always passes
+    * its politeness-bounded selected count), only buckets ABOVE the
+    * per-reducer target are collected: at most `total / target` = one
+    * per shuffle partition can exceed it, so the driver map is bounded
+    * by the core count regardless of bucket cardinality — every other
+    * bucket's salt is the implicit 1 the lookups default to. Without a
+    * hint (ad-hoc `crawlDomains` / bench callers) the full map collects,
+    * as before.
     */
-  private def saltCounts(entries: Dataset[FrontierEntry]): Map[Int, Int] = {
-    val counts = entries.groupBy(col("nsBucket")).count()
-      .as[(Int, Long)].collect().toMap
-    val total = counts.values.sum.max(1L)
+  private def saltCounts(entries: Dataset[FrontierEntry],
+      totalHint: Option[Long] = None): Map[Int, Int] = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val target = math.max(1L, total / parts)
-    counts.map { case (b, c) =>
-      b -> math.max(1, math.ceil(c.toDouble / target).toInt)
+    totalHint match {
+      case Some(total) =>
+        val target = math.max(1L, total.max(1L) / parts)
+        entries.groupBy(col("nsBucket")).count()
+          .where(col("count") > target) // ≤ parts survivors by pigeonhole
+          .as[(Int, Long)].collect()
+          .map { case (b, c) => b -> math.ceil(c.toDouble / target).toInt }
+          .toMap
+      case None =>
+        val counts = entries.groupBy(col("nsBucket")).count()
+          .as[(Int, Long)].collect().toMap
+        val total = counts.values.sum.max(1L)
+        val target = math.max(1L, total / parts)
+        counts.map { case (b, c) =>
+          b -> math.max(1, math.ceil(c.toDouble / target).toInt)
+        }
     }
   }
 
@@ -645,7 +665,7 @@ class Engine(
     // re-caching would log "already cached" and double-register storage)
     val needCache = entries.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val input = if (needCache) entries.cache() else entries
-    val salts = saltCounts(input)
+    val salts = saltCounts(input, sizeHint) // hinted: driver map ≤ cores
     val saltOf = udf((b: Int) => salts.getOrElse(b, 1))
     // Explicit partition count: the probe stage is compute-bound on tiny
     // rows, so AQE's byte-based coalescing would collapse it onto a few

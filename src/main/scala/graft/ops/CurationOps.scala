@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the selection stages a training-data
+  * pipeline runs AFTER the analysis passes (dedup clusters, quality,
+  * language ID, decontamination) have produced their facets. Everything
+  * here is declarative Catalyst (windows, joins, codegen'd expressions);
+  * each op documents its 100 TB plan shape.
+  */
+object CurationOps {
+
+  /** One representative document per near-duplicate cluster: the LONGEST
+    * text wins, ties broken by min id — the standard keep-the-best-copy
+    * policy after transitive dedup (cluster ids from
+    * [[DedupOps.dupClusters]]).
+    *
+    * Scale shape: one hash-join docs⋈clusters on the id (both sides
+    * pre-partitionable by id), then a window per cluster. Near-dup
+    * clusters are budget-bounded small in practice (pathological
+    * mega-clusters — boilerplate pages — are exactly the rows a curation
+    * pipeline wants collapsed to one, and AQE splits a skewed cluster's
+    * sort); no driver-side state.
+    */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val sized = docs.select(col(idCol), length(col(textCol)).cast("long").as("_len"))
+      .join(clusters, idCol)
+    val byCluster = Window.partitionBy(col("cluster"))
+    sized
+      .withColumn("_rn", row_number().over(
+        byCluster.orderBy(col("_len").desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("_rn") === 1)
+      .select(col("cluster"), col(idCol).as("rep_id"),
+        col("n_members").cast("long").as("n_members"))
+  }
+
+  /** Deterministic hash-stratified sampling: a document survives when the
+    * first md5 byte of its id sorts below the first md5 byte of its
+    * stratum — every stratum gets its own stable rate in [0, 255]/256,
+    * derived from nothing but the stratum name, and the SAME rows survive
+    * on every engine and at every parallelism (md5 hex compares are plain
+    * ASCII byte compares in Spark and DuckDB alike).
+    *
+    * Scale shape: a narrow projection + filter — no shuffle, no state;
+    * the filter sits directly on the scan, so column pruning and
+    * predicate evaluation stay inside whole-stage codegen.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol), col(stratumCol),
+        substring(md5(col(idCol).cast("string")), 1, 2).as("_h"),
+        substring(md5(col(stratumCol)), 1, 2).as("rate_hex"))
+      .where(col("_h") < col("rate_hex"))
+      .select(col(idCol), col(stratumCol), col("rate_hex"))
+
+  /** The full curation funnel as ONE declarative plan — the composition a
+    * reference user runs stage-by-stage with intermediate materialization,
+    * expressed so Catalyst sees every stage at once (filters reordered
+    * and pushed to the scan, shared scans reused):
+    *
+    *   1. hold out the benchmark slice (`id % benchMod == 0`);
+    *   2. language gate: [[TextOps.langIdCol]] == `wantLang`;
+    *   3. quality gate: stopword ratio ≥ `minStopMill` mills
+    *      ([[TextOps.stopwordRatioMill]]; token-less docs drop with it);
+    *   4. decontamination: anti-join against
+    *      [[DedupOps.contaminatedDocs]] (any shared `shingleK`-gram with
+    *      the benchmark slice);
+    *   5. near-dup collapse: keep only cluster representatives
+    *      ([[DedupOps.dupClusters]] over MinHash-LSH candidates verified
+    *      at Jaccard ≥ 0.8, longest-text-wins policy).
+    *
+    * Scale shape: gates 1–3 are scan-local codegen; gate 4 is a broadcast
+    * anti-join (benchmark shingles are the small side by construction);
+    * gate 5 reuses the dedup stack's bounded shuffles. Nothing here adds
+    * a driver-side structure.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+      benchMod: Int = 97, wantLang: String = "en", minStopMill: Long = 60,
+      shingleK: Int = 3): DataFrame = {
+    val corpus = docs.where(col(idCol) % benchMod =!= 0)
+    val bench = docs.where(col(idCol) % benchMod === 0)
+    val gated = corpus
+      .where(TextOps.langIdCol(col(textCol)) === wantLang)
+      .select(col(idCol), col(textCol),
+        TextOps.stopwordRatioMill(col(textCol)).cast("long").as("stop_mill"))
+      .where(col("stop_mill") >= minStopMill)
+    val contaminated = DedupOps.contaminatedDocs(
+      corpus, bench, idCol, textCol, shingleK).select(col(idCol))
+    val clean = gated.join(contaminated, Seq(idCol), "left_anti")
+    // dedup facets over the FULL corpus (q35's exact composition), so the
+    // representative choice is independent of the upstream gates
+    val cand = DedupOps.minhashCandidatePairs(docs, idCol, textCol,
+      shingleK = 3, bands = 4, rowsPerBand = 2)
+    val verified = DedupOps.ngramJaccardForPairs(docs, cand, idCol, textCol,
+        shingleK = 3, minShared = 1)
+      .where(col("n_inter") * 10 >= col("n_union") * 8)
+    val clusters = DedupOps.dupClusters(docs, verified, idCol)
+    val reps = clusterRepresentatives(docs, clusters, idCol, textCol)
+      .select(col("rep_id").as(idCol))
+    clean.join(reps, Seq(idCol), "left_semi")
+      .select(col(idCol), col("stop_mill"))
+  }
+}

@@ -260,14 +260,26 @@ object DedupOps {
     * shuffle on id. Near-dup components are tiny (bands connect most pairs
     * directly), so rounds ≈ component diameter ≤ `maxIters`; the loop exits
     * early on convergence (a count of changed labels — O(1) driver data).
+    *
+    * Each iteration goes through an EAGER `localCheckpoint`, not `cache`:
+    * a cached frame keeps its full logical plan, so iteration k's plan
+    * embeds the edge pipeline k times — analysis cost (and plan text)
+    * grows O(iters²) and q43-style compositions hit six-figure plan line
+    * counts. Checkpointing flattens each round to a LogicalRDD, keeping
+    * per-round optimizer work constant — the same reason GraphX/
+    * GraphFrames connected components checkpoint periodically. Tradeoff
+    * (documented, accepted): checkpointed rounds aren't recomputable on
+    * executor loss — the frames are (id, lbl) pairs, tiny next to the
+    * corpus, and MEMORY_AND_DISK-persisted; superseded rounds are freed
+    * by the ContextCleaner as the loop drops its references.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"))
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -276,18 +288,13 @@ object DedupOps {
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))
       val next = labels.join(viaEdges, Seq("id"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
-    // the final labels frame stays cached (the loop materialized it) until
-    // the caller's first consuming action, then its storage is released
-    unpersistWhenConsumed(labels)
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 

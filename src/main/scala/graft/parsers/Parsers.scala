@@ -300,7 +300,9 @@ object Parsers {
     */
   def parseAltSvc(raw: String): Map[String, String] =
     raw.split(",").iterator.flatMap { entry =>
-      val kv = entry.split(";")(0).trim
+      // limit=2 keeps ≥1 element even for all-empty fields (";".split(";")
+      // with no limit is the EMPTY array — trailing empties are dropped)
+      val kv = entry.split(";", 2)(0).trim
       val eq = kv.indexOf('=')
       if (eq <= 0) None
       else Some(kv.substring(0, eq).trim ->

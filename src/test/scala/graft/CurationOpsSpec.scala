@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CurationOps, DedupOps}
+
+/** Curation-stage operators: cluster-representative policy, deterministic
+  * stratified sampling, and the composed funnel (subset/monotonicity
+  * invariants; exact values are pinned by the q43/q44/q45 DuckDB oracles).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("clusterRepresentatives keeps the longest text per cluster, ties to min id") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "a b c d e f x"), // cluster 1
+      (4L, "solo doc")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val reps = CurationOps.clusterRepresentatives(docs, clusters, "doc_id", "text")
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    // 2 and 3 tie on length 13 → min id 2 wins
+    assert(reps == Seq((1L, 2L, 3L), (4L, 4L, 1L)))
+  }
+
+  test("stratifiedSample is deterministic, per-stratum rated, and a pure filter (no shuffle)") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 8}")).toDF("doc_id", "source")
+    val s1 = CurationOps.stratifiedSample(docs, "doc_id", "source")
+    val rows = s1.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(rows == CurationOps.stratifiedSample(docs, "doc_id", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1))
+    // per-stratum acceptance ≈ rate_hex/256 (loose band; deterministic seed)
+    val byStratum = rows.groupBy(_._2)
+    byStratum.foreach { case (src, rs) =>
+      val rate = Integer.parseInt(rs.head._3, 16) / 256.0
+      val got = rs.size / 250.0
+      assert(math.abs(got - rate) < 0.15, s"$src: got $got expected ≈ $rate")
+    }
+    // plan: no exchange — the sample is scan-local
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample plan shuffles:\n$plan")
+  }
+
+  test("curationFunnel output is a subset of every gate it composes") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = CurationOps.curationFunnel(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty, "funnel produced an empty corpus at sf0.001")
+    // every survivor: non-benchmark, en, quality ≥ 60, uncontaminated, a rep
+    assert(out.keys.forall(_ % 97 != 0))
+    assert(out.values.forall(_ >= 60L))
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val contaminated = DedupOps.contaminatedDocs(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.keySet.intersect(contaminated).isEmpty)
+    // tightening a gate can only shrink the output
+    val stricter = CurationOps.curationFunnel(docs, "doc_id", "text",
+      minStopMill = 120).as[(Long, Long)].collect().toMap
+    assert(stricter.keySet.subsetOf(out.keySet))
+  }
+}
