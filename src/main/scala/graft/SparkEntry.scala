@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.Canon
-import graft.ops.{CurationOps, DedupOps, MultiModalOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, MultiModalOps, PiiOps, SimilarityOps, TextOps}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
@@ -519,6 +519,74 @@ object SparkEntry {
       CurationOps.curationFunnel(T(s, dir, "documents"), "doc_id", "text",
         benchMod = 97, wantLang = "en", minStopMill = 60, shingleK = 3)),
 
+    // Curation — C4-style duplicated-line removal over synthesized
+    // multi-line bodies: a corpus-wide footer and a ~1/5 group line get
+    // dropped (doc-frequency ≥ 2), the document's own text and its unique
+    // line survive in original order.
+    "q46_line_dedup" -> ((s, dir) => {
+      val body = concat(
+        col("text"), lit("\n"),
+        lit("shared footer (c) example registry"), lit("\n"),
+        lit("group-"), (col("doc_id") % 5).cast("string"), lit("\n"),
+        lit("unique "), md5(col("doc_id").cast("string")))
+      val docs = T(s, dir, "documents").select(col("doc_id"), body.as("body"))
+      CurationOps.dropCommonLines(docs, "doc_id", "body")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_fp"), col("n_kept"))
+    }),
+
+    // Curation — PII scrub (emails → <EMAIL>, IPv4 → <IP>, E.164 phones →
+    // <PHONE>) over bodies salted with one deterministic instance of each;
+    // counts are staged (each category counted after the previous one
+    // redacted). Pure scan-local codegen — the oracle replays the exact
+    // regex pipeline.
+    "q47_pii_scrub" -> ((s, dir) => {
+      val body = concat(
+        col("text"),
+        lit(" contact admin"), substring(md5(col("doc_id").cast("string")), 1, 4),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.cz"),
+        lit(" from 192.0.2."), (col("doc_id") % 250).cast("string"),
+        lit(" tel +420"), (lit(200000000L) + col("doc_id") % 1000000L).cast("string"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          PiiOps.piiCounts(body).as("c"),
+          md5(PiiOps.redactPii(body)).as("clean_fp"))
+        .select(col("doc_id"), col("c.n_emails").as("n_emails"),
+          col("c.n_ips").as("n_ips"), col("c.n_phones").as("n_phones"),
+          col("clean_fp"))
+    }),
+
+    // Quality — CCNet/KenLM-style LM fluency gate, deterministic integer
+    // variant: model = the corpus's k most frequent char trigrams
+    // (count desc, trigram asc); score = permille of each doc's trigram
+    // occurrences that hit the model. Model fit is one map-side-combined
+    // agg + TakeOrdered; scoring is a broadcast join; the only real
+    // shuffle carries one row per doc. k=64 here: the synthetic corpus has
+    // only ~380 distinct trigrams, so 64 spreads scores 243–640 mill
+    // (512 would cover everything and score every doc 1000).
+    "q48_lm_coverage" -> ((s, dir) =>
+      TextOps.lmCoverage(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 64)),
+
+    // Multimodal — perceptual-hash (aHash) near-dup over binary media
+    // columns with planted exact twins (every 50th doc's payload repeated
+    // under doc_id+1e6): banded Hamming LSH, 4×16-bit bands, exact-recall
+    // verify at Hamming ≤ 3. The sandbox payloads are text bytes (no image
+    // magic), so they take the md5 fallback hash — which the oracle
+    // recomputes nibble-by-nibble, hash-verifying the whole band/LSH path.
+    "q49_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = T(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        lit("image").as("media_kind"),
+        col("text").cast("binary").as("media"))
+      val twins = base.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      MultiModalOps.mediaNearDupPairs(
+        MultiModalOps.perceptualBands(
+          base.unionByName(twins).as[MultiModalOps.MediaRow]).toDF())
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -845,6 +913,92 @@ object SparkEntry {
          JOIN reps r ON r.doc_id = q.doc_id
          LEFT JOIN contam x ON x.doc_id = q.doc_id
          WHERE q.stop_mill >= 60 AND x.doc_id IS NULL""",
+
+    "q46_line_dedup" ->
+      """WITH bodies AS (
+           SELECT doc_id, text || chr(10) ||
+             'shared footer (c) example registry' || chr(10) ||
+             'group-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+             'unique ' || md5(CAST(doc_id AS VARCHAR)) AS body
+           FROM documents),
+         lines AS (
+           SELECT doc_id, unnest(range(len(l))) AS off, unnest(l) AS line
+           FROM (SELECT doc_id, str_split(body, chr(10)) AS l FROM bodies)),
+         common AS (
+           SELECT line FROM lines WHERE trim(line) <> ''
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (
+           SELECT doc_id, off, line FROM lines
+           WHERE line NOT IN (SELECT line FROM common))
+         SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY off)) AS clean_fp,
+           count(*) AS n_kept
+         FROM kept GROUP BY doc_id""",
+
+    "q47_pii_scrub" -> {
+      import graft.ops.PiiOps.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH bodies AS (
+           SELECT doc_id, text || ' contact admin' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) ||
+             '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.cz' ||
+             ' from 192.0.2.' || CAST(doc_id % 250 AS VARCHAR) ||
+             ' tel +420' || CAST(200000000 + doc_id % 1000000 AS VARCHAR) AS body
+           FROM documents),
+         s1 AS (
+           SELECT doc_id, body,
+             regexp_replace(body, '$EmailRe', '<EMAIL>', 'g') AS e1
+           FROM bodies),
+         s2 AS (
+           SELECT doc_id, body, e1,
+             regexp_replace(e1, '$Ipv4Re', '<IP>', 'g') AS e2
+           FROM s1)
+         SELECT doc_id,
+           len(regexp_extract_all(body, '$EmailRe')) AS n_emails,
+           len(regexp_extract_all(e1, '$Ipv4Re')) AS n_ips,
+           len(regexp_extract_all(e2, '$PhoneRe')) AS n_phones,
+           md5(regexp_replace(e2, '$PhoneRe', '<PHONE>', 'g')) AS clean_fp
+         FROM s2"""
+    },
+
+    "q48_lm_coverage" ->
+      """WITH gi AS (
+           SELECT doc_id, lower(text) AS lt,
+             unnest(range(1, len(text) - 1)) AS i
+           FROM documents WHERE len(text) >= 3),
+         g AS (SELECT doc_id, substr(lt, i, 3) AS tg FROM gi),
+         model AS (
+           SELECT tg FROM (
+             SELECT tg, count(*) AS c FROM g GROUP BY tg
+             ORDER BY c DESC, tg ASC LIMIT 64))
+         SELECT g.doc_id,
+           count(m.tg) * 1000 // count(*) AS coverage_mill,
+           count(m.tg) AS covered, count(*) AS total
+         FROM g LEFT JOIN model m ON g.tg = m.tg
+         GROUP BY g.doc_id""",
+
+    "q49_media_neardup" -> {
+      // 16-bit band from 4 hex chars of md5 via nibble math (no hex cast
+      // in DuckDB) — replays StubCodec.hash64's band split exactly
+      def band(pos: Int) = (0 until 4).map(i =>
+        s"(strpos('0123456789abcdef', substring(hx, ${pos + i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+        .mkString("(", " + ", ")")
+      val ham = (0 until 4).map(i => s"bit_count(xor(aa$i, cc$i))").mkString(" + ")
+      s"""WITH m AS (
+           SELECT doc_id, md5(text) AS hx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 50 = 0),
+         b AS (
+           SELECT doc_id, ${band(0)} AS b0, ${band(4)} AS b1,
+                  ${band(8)} AS b2, ${band(12)} AS b3 FROM m),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.b0 AS aa0, a.b1 AS aa1, a.b2 AS aa2, a.b3 AS aa3,
+             c.b0 AS cc0, c.b1 AS cc1, c.b2 AS cc2, c.b3 AS cc3
+           FROM b a, b c
+           WHERE a.doc_id < c.doc_id AND
+             (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
+         SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+         FROM cand WHERE $ham <= 3"""
+    },
 
     "q20_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (

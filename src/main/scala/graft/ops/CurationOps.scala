@@ -58,6 +58,41 @@ object CurationOps {
       .where(col("_h") < col("rate_hex"))
       .select(col(idCol), col(stratumCol), col("rate_hex"))
 
+  /** C4-style duplicated-line removal (Raffel et al. 2020 §2.2 "we
+    * discarded ... any line that appeared more than once"): drop every
+    * line whose exact text occurs in at least `minDocFreq` distinct
+    * documents (boilerplate — cookie banners, footers, nav), then
+    * reassemble each document's surviving lines in original order.
+    * Returns `(idCol, clean_text, n_kept)`; a document whose every line
+    * was boilerplate disappears from the output (that is the point).
+    * Blank lines are never counted as boilerplate.
+    *
+    * Scale shape: posexplode → one hash-agg on the line text (map-side
+    * combine; the doc-frequency side collapses to distinct common lines,
+    * typically tiny next to the corpus) → anti-join on the line → one
+    * groupBy(id) reassembly. Two shuffles total, both on keys that
+    * shrink: no window, no driver state, skew on a mega-boilerplate line
+    * is irrelevant because the agg output is one row per distinct line.
+    */
+  def dropCommonLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long = 2): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("off", "line")))
+    val common = lines
+      .where(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("line"))
+    lines.join(common, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("off"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept"))
+  }
+
   /** The full curation funnel as ONE declarative plan — the composition a
     * reference user runs stage-by-stage with intermediate materialization,
     * expressed so Catalyst sees every stage at once (filters reordered

@@ -105,6 +105,43 @@ object MultiModalOps {
       }
     }
 
+    /** 64-bit average-hash (aHash) of a decodable image: luminance sampled
+      * on a fixed 8×8 grid, bit set where the cell is brighter than the
+      * grid mean (MSB = top-left, row-major). Stable under resize,
+      * re-encode, and global brightness shifts — the standard cheap
+      * perceptual key for media near-dup. O(64) regardless of pixel count.
+      * None for payloads `javax.imageio` can't decode.
+      */
+    def aHash64(bytes: Array[Byte]): Option[Long] = {
+      if (!sniff(bytes).exists(_ != "wav")) return None // images only
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val lums = new Array[Double](64)
+        var i = 0
+        while (i < 64) {
+          // center-of-cell sampling: stable under integer resize rounding
+          val x = ((i % 8) * 2 + 1) * w / 16
+          val y = ((i / 8) * 2 + 1) * h / 16
+          val rgb = img.getRGB(math.min(x, w - 1), math.min(y, h - 1))
+          lums(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000.0
+          i += 1
+        }
+        val mean = lums.sum / 64.0
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (lums(i) > mean) hash |= (1L << (63 - i))
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
     private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -170,6 +207,17 @@ object MultiModalOps {
       val feat = Array.tabulate(8)(d => (chunk(6 + d * 3) % 2000 - 1000).toFloat / 1000f)
       (w, ht, feat)
     }
+
+    /** Deterministic 64-bit fake perceptual hash: the first 16 hex chars
+      * of md5(payload). Identical bytes → identical hash (Hamming 0), so
+      * planted exact twins survive the near-dup path; and the oracle can
+      * recompute each 16-bit band from the same hex nibbles.
+      */
+    def hash64(bytes: Array[Byte]): Long = {
+      val md = md5tl.get(); md.reset()
+      val hex = md.digest(bytes).take(8).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseUnsignedLong(hex, 16)
+    }
   }
 
   /** Partition-batched decode: one JVM-side pass per partition (the Scala
@@ -188,6 +236,65 @@ object MultiModalOps {
         MediaFeatures(r.doc_id, r.media_kind, r.media.length.toLong, w, h, feat)
       }
     }
+  }
+
+  // ------------------------------------------- perceptual near-dup (aHash)
+
+  case class MediaBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Per-payload perceptual hash, pre-split into 4×16-bit LSH bands
+    * (b0 = the hash's top 16 bits). Real [[JvmCodec.aHash64]] for
+    * JDK-decodable images; [[StubCodec.hash64]]'s md5-derived
+    * deterministic fake for exotic payloads (the path the DuckDB oracle
+    * replays, exactly like q25's decode fallback).
+    *
+    * Hamming pigeonhole: two 64-bit hashes within Hamming distance 3 must
+    * agree on at least one of 4 bands, so a band equi-join has PERFECT
+    * recall at `maxHamming ≤ 3` — no probabilistic miss, unlike MinHash
+    * banding.
+    */
+  def perceptualBands(media: Dataset[MediaRow]): Dataset[MediaBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = JvmCodec.aHash64(r.media).getOrElse(StubCodec.hash64(r.media))
+        MediaBands(r.doc_id,
+          ((h >>> 48) & 0xffff).toInt, ((h >>> 32) & 0xffff).toInt,
+          ((h >>> 16) & 0xffff).toInt, (h & 0xffff).toInt)
+      }
+    }
+  }
+
+  /** Media near-dup pairs by banded Hamming LSH over the perceptual hash:
+    * candidates = pairs sharing any 16-bit band (4 equi-joins unioned,
+    * row-identical duplicates dropped), verified by exact Hamming ≤
+    * `maxHamming`, computed as the sum of per-band `bit_count(xor)` — the
+    * 64-bit hash never needs reassembling. Returns `(id_a, id_b, hamming)`
+    * with `id_a < id_b`.
+    *
+    * Scale shape: each candidate join is a shuffle on a 16-bit band value
+    * — short keys, heavily combinable; vectors/payloads never travel. A
+    * degenerate band (e.g. all-black images hashing alike) concentrates
+    * one band value, which AQE's skew-join splitting handles; the verify
+    * is a per-row expression. Recall is exact for `maxHamming ≤ 3` by the
+    * pigeonhole above (require-guarded).
+    */
+  def mediaNearDupPairs(bands: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees full recall up to Hamming 3")
+    val a = bands.select(col("doc_id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("doc_id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val cands = (0 to 3).map(i =>
+        a.join(b, col(s"a$i") === col(s"c$i") && col("id_a") < col("id_b")))
+      .reduce(_ unionByName _)
+      .distinct() // same pair via 2+ bands → identical rows (bands are per-id)
+    cands
+      .withColumn("hamming",
+        (0 to 3).map(i => expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Demo source: wraps the `documents` table's text bytes as a fake media

@@ -117,6 +117,55 @@ object TextOps {
           .cast("long")).as("top_bigram_mill"))
   }
 
+  // ---------------------------------------------------- LM-coverage score
+
+  /** Overlapping character trigrams of `c` (lowercased), in order; empty
+    * array below 3 chars (guarded — `sequence(1, 0)` would count DOWN).
+    * Pure expression tree — rides WholeStageCodegen next to the scan.
+    */
+  def charTrigrams(c: Column): Column = {
+    val lc = lower(c)
+    when(length(lc) >= 3,
+      transform(sequence(lit(1), length(lc) - 2), i => lc.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CCNet/KenLM-style fluency gate (Wenzek et al. 2020 §4.3 score-and-
+    * threshold), as a deterministic integer variant the DuckDB oracle can
+    * replay bit-exactly (a real 5-gram LM's float perplexity can't
+    * hash-compare across engines):
+    *
+    *   - fit: the `k` most frequent character trigrams of the corpus
+    *     (count desc, trigram asc tie-break) — a truncated
+    *     unigram-over-trigrams model;
+    *   - score: per document, the permille of trigram OCCURRENCES found
+    *     in the model (`covered * 1000 div total`, integer division).
+    *     Gibberish, wrong-charset, and symbol-soup text scores low; text
+    *     distributionally typical of the corpus scores high.
+    *
+    * Scale shape: the explode feeds one hash-agg with map-side combine
+    * (distinct trigrams ≪ corpus size), top-k is a TakeOrdered (never a
+    * full sort), the model joins back BROADCAST (k rows), and the per-doc
+    * agg's map-side partials collapse to one row per doc per partition, so
+    * the only real shuffle carries O(|docs|) rows — not O(|trigrams|).
+    * Documents shorter than 3 chars have no trigrams and drop out.
+    */
+  def lmCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 512): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("tg"))
+    val model = grams.groupBy(col("tg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tg").asc)
+      .limit(k)
+      .select(col("tg").as("mtg"), lit(1L).as("_hit"))
+    grams.join(broadcast(model), col("tg") === col("mtg"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("covered"),
+        count(lit(1)).cast("long").as("total"))
+      .select(col(idCol),
+        expr("covered * 1000 div total").as("coverage_mill"),
+        col("covered"), col("total"))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.

@@ -44,6 +44,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sample plan shuffles:\n$plan")
   }
 
+  test("dropCommonLines drops df>=2 lines, keeps order, drops all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nomega one"),
+      (2L, "alpha two\nshared footer\nomega two"),
+      (3L, "shared footer")).toDF("doc_id", "body")
+    val out = CurationOps.dropCommonLines(docs, "doc_id", "body")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // doc 3 was pure boilerplate → gone; survivors keep original line order
+    assert(out == Seq(
+      (1L, "alpha one\nomega one", 2L),
+      (2L, "alpha two\nomega two", 2L)))
+    // blank lines are never boilerplate, even when every doc has them
+    val blanky = Seq((1L, "a\n\nb"), (2L, "c\n\nd")).toDF("doc_id", "body")
+    val kept = CurationOps.dropCommonLines(blanky, "doc_id", "body")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(kept == Seq((1L, "a\n\nb", 3L), (2L, "c\n\nd", 3L)))
+  }
+
   test("curationFunnel output is a subset of every gate it composes") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")

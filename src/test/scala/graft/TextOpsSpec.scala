@@ -6,6 +6,34 @@ import graft.ops.TextOps
 
 class TextOpsSpec extends AnyFunSuite {
 
+  test("lmCoverage: corpus-typical text outscores gibberish; short docs drop out") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // 8 fluent docs share a trigram distribution; 1 is symbol gibberish
+    val fluent = (0 until 8).map(i => (i.toLong, s"the cat sat on the mat $i"))
+    val docs = (fluent :+ (8L, "zqx!#@%&*()[]{}~^|\\") :+ (9L, "ab"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmCoverage(docs, "doc_id", "text", k = 16)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(!out.contains(9L), "sub-trigram doc must drop out")
+    assert(fluent.forall { case (id, _) => out(id) > out(8L) },
+      s"fluent docs must outscore gibberish: $out")
+    // permille bounds and integer-division exactness on a known case:
+    // every doc has a score in [0, 1000]
+    assert(out.values.forall(v => v >= 0 && v <= 1000))
+  }
+
+  test("lmCoverage model tie-break is deterministic (count desc, trigram asc)") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // two distinct 3-char docs → every trigram has count 1; k=1 must pick
+    // the lexicographically smallest, so only that doc scores 1000
+    val docs = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val out = TextOps.lmCoverage(docs, "doc_id", "text", k = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1000L, 1L, 1L), (2L, 0L, 0L, 1L)))
+  }
+
   test("simhash: similar docs have small hamming distance, unrelated large") {
     val base = "the quick brown fox jumps over the lazy dog again and again today".split(" ").toSeq
     val near = base.updated(3, "foxx") // one token changed
