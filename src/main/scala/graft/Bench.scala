@@ -24,7 +24,7 @@ object Bench {
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._
     val u = new Universe(42L)
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val dir = graft.TmpDirs.create("graft-bench").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 32,
       seedChunkSize = nDomains)
     // distributed seed generation — no driver-side 10^5-element Seq

@@ -78,7 +78,7 @@ object CrawlMain {
     val outDir = opt("--out")
     val format = opt("--format").getOrElse("jsonl")
     val workDir = opt("--work").getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-crawl").toString)
+      graft.TmpDirs.create("graft-crawl").toString)
     val maxRounds = opt("--max-rounds").map(_.toInt).getOrElse(Int.MaxValue)
     val partitions = opt("--partitions").map(_.toInt).getOrElse(32)
     val seed = opt("--seed").map(_.toLong).getOrElse(42L)

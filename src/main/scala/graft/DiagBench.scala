@@ -20,7 +20,7 @@ object DiagBench {
     spark.sparkContext.setLogLevel("WARN")
     val u = new Universe(42L)
     val eng = new Engine(spark, u,
-      workDir = java.nio.file.Files.createTempDirectory("diag").toString)
+      workDir = graft.TmpDirs.create("diag").toString)
 
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()

@@ -58,7 +58,7 @@ object DiscoveryBench {
     val u: Universe =
       if (budgetScale == 1) new Universe(42L)
       else new WideBudgetUniverse(42L, budgetScale)
-    val dir = java.nio.file.Files.createTempDirectory("graft-discbench").toString
+    val dir = graft.TmpDirs.create("graft-discbench").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 32,
       seedChunkSize = nDomains,
       // seen-filter capacity sized to the run's keys (~3× seeds with

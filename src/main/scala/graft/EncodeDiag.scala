@@ -24,7 +24,7 @@ object EncodeDiag {
     spark.sparkContext.setLogLevel("WARN")
     val u = new Universe(42L)
     val eng = new graft.engine.Engine(spark, u,
-      workDir = java.nio.file.Files.createTempDirectory("encdiag").toString)
+      workDir = graft.TmpDirs.create("encdiag").toString)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -43,7 +43,7 @@ object EncodeDiag {
       results.map(r => SpanCodec.encode(r).spans.length.toLong).reduce(_ + _))
     val enriched = results.map(r => (r.domain, r, SpanCodec.encode(r)))
       .toDF("domain", "result", "span_doc")
-    val outDir = java.nio.file.Files.createTempDirectory("encdiag-out").toString
+    val outDir = graft.TmpDirs.create("encdiag-out").toString
     time("C probe + encode + parquet write (full columns)")(
       enriched.write.mode("overwrite").parquet(outDir + "/c"))
     val cached = enriched.cache()

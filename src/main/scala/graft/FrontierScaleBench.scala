@@ -33,7 +33,7 @@ object FrontierScaleBench {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
     val u = new Universe(42L)
-    val dir = java.nio.file.Files.createTempDirectory("frontier-scale").toString
+    val dir = graft.TmpDirs.create("frontier-scale").toString
     // capacity sized to the key count (95% cuckoo load bound)
     val cap = math.max(1L << 20, (n / p) * 2)
     val eng = new Engine(spark, u, workDir = dir,

@@ -46,7 +46,7 @@ object LoopDiag {
     })
 
     val u = new Universe(42L)
-    val dir = java.nio.file.Files.createTempDirectory("graft-loopdiag").toString
+    val dir = graft.TmpDirs.create("graft-loopdiag").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 32,
       seedChunkSize = n,
       filterCapacityPerPartition = 1L << 14,

@@ -33,7 +33,7 @@ object OrderingCheck {
     spark.sparkContext.setLogLevel("WARN")
     val u = new Universe(42L)
     val eng = new Engine(spark, u,
-      workDir = java.nio.file.Files.createTempDirectory(s"ordering-$cores").toString,
+      workDir = graft.TmpDirs.create(s"ordering-$cores").toString,
       frontierPartitions = 16, seedChunkSize = 5000)
     // identical seed corpus: interleaved docs, 10 text spans per doc
     val docs = spark.range(nDomains.toLong / 10).map { d =>

@@ -48,7 +48,7 @@ object SelectScaleBench {
           Math.floorMod(graft.ops.TextOps.hashToken(domain), nBuckets.toLong).toInt
         override def policyBudget(nsBucket: Int): Int = 4
       }
-      val dir = java.nio.file.Files.createTempDirectory("select-scale").toString
+      val dir = graft.TmpDirs.create("select-scale").toString
       val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 64)
       val frontier = eng.toFrontier(
         spark.range(n).map(i => (s"d$i.cz", i.longValue))).cache()

@@ -587,6 +587,32 @@ object SparkEntry {
           base.unionByName(twins).as[MultiModalOps.MediaRow]).toDF())
     }),
 
+    // Training prep — sequence-packing assignment: documents sharded into
+    // 8 independent streams, concatenated in id order, cut every 256
+    // tokens; each doc assigned to the pack where it starts. One shuffle
+    // (stratum hash) + a partitioned window — never a global sort.
+    "q51_seq_packing" -> ((s, dir) =>
+      CurationOps.packSequences(T(s, dir, "documents"), "doc_id", "text",
+        tokenBudget = 256, strata = 8)),
+
+    // Streaming twin (batch execution) — the streaming curation funnel
+    // (language gate → stopword-quality gate → PII scrub → first-arrival
+    // exact dedup, graft.streaming.StreamingCuration) over the bounded
+    // documents table: Spark runs flatMapGroupsWithState with transient
+    // state here, so first-arrival-wins collapses to min-id per
+    // scrubbed-text fingerprint — which the oracle replays in SQL. The
+    // genuinely streaming behavior (cross-micro-batch suppression, state
+    // TTL) is spec-verified in StreamingCurationSpec.
+    "q50_stream_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[graft.streaming.StreamingCuration.CurationDoc]
+      graft.streaming.StreamingCuration.curateStream(docs)
+        .toDF()
+        .select(col("doc_id"), md5(col("text")).as("clean_fp"))
+    }),
+
     // SQL surface (U-layer) — the same operators through the registered
     // SQL functions (GraftExtensions): canonicalize_domain, is_global_ip
     // gate, token count, norm fingerprint. Exercises the SparkSessionExtensions
@@ -609,7 +635,7 @@ object SparkEntry {
       import s.implicits._
       val u = new graft.universe.Universe(42L)
       val eng = new graft.engine.Engine(s, u,
-        workDir = java.nio.file.Files.createTempDirectory("graft-q26").toString)
+        workDir = graft.TmpDirs.create("graft-q26").toString)
       val seeds = s.createDataset((0L until 200L).map(u.seedDomain))
       eng.crawlDomains(seeds)
         .map(graft.spans.SpanCodec.encode)
@@ -623,7 +649,7 @@ object SparkEntry {
       import s.implicits._
       val u = new graft.universe.Universe(42L)
       val eng = new graft.engine.Engine(s, u,
-        workDir = java.nio.file.Files.createTempDirectory("graft-q27").toString)
+        workDir = graft.TmpDirs.create("graft-q27").toString)
       val seeds = s.createDataset((0L until 200L).map(u.seedDomain))
       eng.crawlDomains(seeds).toDF()
         .select(col("domain"),
@@ -998,6 +1024,75 @@ object SparkEntry {
              (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
          SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          FROM cand WHERE $ham <= 3"""
+    },
+
+    "q51_seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(doc_id % 8 AS INT) AS stratum,
+             CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, stratum, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS start_tok
+           FROM t)
+         SELECT doc_id, stratum, n_tokens, start_tok,
+           start_tok // 256 AS pack_id
+         FROM c""",
+
+    "q50_stream_curation" -> {
+      import graft.ops.PiiOps.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH lt AS (
+           SELECT doc_id, length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS ltk
+           FROM documents),
+         ls AS (
+           SELECT doc_id, n_chars, cjk, len(ltk) AS n_tok,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("en")})) AS s_en,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("de")})) AS s_de,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("fr")})) AS s_fr,
+             len(list_filter(ltk, x -> x IN ${markerSqlList("es")})) AS s_es
+           FROM lt),
+         lg AS (
+           SELECT doc_id,
+             CASE WHEN n_chars = 0 THEN 'und'
+                  WHEN cjk * 5 >= n_chars THEN 'zh'
+                  WHEN n_tok = 0 THEN 'und'
+                  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  ELSE 'de' END AS lang_guess
+           FROM ls),
+         q AS (
+           SELECT doc_id,
+             CAST(FLOOR(1000.0 *
+               len(list_filter(str_split(lower(text), ' '),
+                 t -> t <> '' AND t IN $stopSqlList)) /
+               len(list_filter(str_split(text, ' '), t -> t <> ''))) AS BIGINT)
+               AS stop_mill
+           FROM documents
+           WHERE len(list_filter(str_split(text, ' '), t -> t <> '')) > 0),
+         gated AS (
+           SELECT d.doc_id, d.text FROM documents d
+           JOIN lg ON lg.doc_id = d.doc_id AND lg.lang_guess = 'en'
+           JOIN q ON q.doc_id = d.doc_id AND q.stop_mill >= 60),
+         scrub AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '$EmailRe', '<EMAIL>', 'g'),
+               '$Ipv4Re', '<IP>', 'g'),
+               '$PhoneRe', '<PHONE>', 'g') AS ct
+           FROM gated),
+         fp AS (
+           SELECT doc_id, ct,
+             md5(regexp_replace(lower(trim(ct)), '\\s+', ' ', 'g')) AS f
+           FROM scrub),
+         keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1)
+         SELECT fp.doc_id, md5(fp.ct) AS clean_fp
+         FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.doc_id"""
     },
 
     "q20_cosine_topk" ->

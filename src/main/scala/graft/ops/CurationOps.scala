@@ -93,6 +93,37 @@ object CurationOps {
         count(lit(1)).cast("long").as("n_kept"))
   }
 
+  /** GPT-style sequence-packing ASSIGNMENT — the training-prep step after
+    * curation: concatenate documents in a deterministic order and cut the
+    * stream every `tokenBudget` tokens; a document belongs to the pack in
+    * which it STARTS (`pack_id = start_offset div budget`; the trainer's
+    * loader splits stragglers locally). Documents are first sharded into
+    * `strata` independent streams (`id mod strata`) so the packing is
+    * embarrassingly parallel; within a stratum order is by id, so the
+    * assignment is a pure function of the input.
+    *
+    * Returns `(idCol, stratum, n_tokens, start_tok, pack_id)`.
+    *
+    * Scale shape: ONE shuffle (hash on stratum) + a PARTITIONED window —
+    * never a global sort. Each stratum holds |corpus|/strata rows
+    * (uniform ids), so at 10^11 docs and strata = 2^20 a window sorts
+    * ~10^5 rows; raise `strata` to scale out further. The running sum is
+    * the only state and it rides the window operator.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long = 2048, strata: Int = 1024): DataFrame = {
+    require(tokenBudget > 0 && strata > 0)
+    val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        pmod(col(idCol), lit(strata)).cast("int").as("stratum"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("pack_id", expr(s"start_tok div $tokenBudget"))
+      .select(col(idCol), col("stratum"), col("n_tokens"),
+        col("start_tok"), col("pack_id"))
+  }
+
   /** The full curation funnel as ONE declarative plan — the composition a
     * reference user runs stage-by-stage with intermediate materialization,
     * expressed so Catalyst sees every stage at once (filters reordered

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.{PiiOps, TextOps}
+
+/** Structured-Streaming form of the training-data curation pipeline — the
+  * shape an INGESTION deployment of this library runs: documents arrive
+  * as a stream (crawl output, firehose, backfill), pass the stateless
+  * gates micro-batch by micro-batch, and exact-dedup against everything
+  * already accepted. Near-dup (MinHash/SimHash) stays a batch compaction
+  * job by design: banding needs corpus-wide candidate joins that keyed
+  * streaming state cannot express without a shuffle per band per batch.
+  *
+  * Batch parity is structural, not re-implemented: the gates are the SAME
+  * `Column` expressions the batch funnel uses, and Spark executes
+  * `flatMapGroupsWithState` over a bounded Dataset with transient state,
+  * where first-arrival-wins collapses to min-id per fingerprint — exactly
+  * [[graft.ops.DedupOps.dedupedCorpus]]. One code path, two execution
+  * modes (StreamingCurationSpec asserts both).
+  *
+  * Scale shape: gates are scan-local codegen (no state, no shuffle);
+  * dedup state is one boolean per distinct fingerprint, hash-partitioned
+  * by the state store across executors (RocksDB-backed in production), so
+  * state size is O(distinct docs)/cluster with no driver footprint; the
+  * optional `ttl` bounds it to a dedup window via processing-time
+  * eviction. The approximate O(2.4 B/key) alternative — a per-partition
+  * cuckoo filter in `GroupState` — is already in tree for frontier
+  * admission ([[StreamingFrontier.admitStream]]); curation keeps the
+  * exact form because a false positive here silently DROPS a unique
+  * training document, which no throughput win justifies.
+  */
+object StreamingCuration {
+
+  case class CurationDoc(doc_id: Long, text: String)
+  case class FpDoc(doc_id: Long, text: String, fp: String)
+
+  /** Stateless gates, identical expressions to the batch funnel's
+    * language/quality steps plus the PII scrub applied to survivors:
+    * keep docs whose [[TextOps.langIdCol]] is `wantLang` and whose
+    * stopword ratio is at least `minStopMill` mills, then redact
+    * emails/IPv4/phones ([[PiiOps.redactPii]]). Gates read the ORIGINAL
+    * text (a scrub tag is not a stopword); the emitted text is scrubbed.
+    */
+  def gateStream(docs: DataFrame, idCol: String, textCol: String,
+      wantLang: String = "en", minStopMill: Long = 60): DataFrame =
+    docs
+      .where(TextOps.langIdCol(col(textCol)) === wantLang)
+      .where(TextOps.stopwordRatioMill(col(textCol)).cast("long") >= minStopMill)
+      .select(col(idCol), PiiOps.redactPii(col(textCol)).as(textCol))
+
+  /** Stateful exact dedup, first-arrival-wins over the scrubbed-text
+    * fingerprint ([[TextOps.normFingerprint]]): within a micro-batch the
+    * min-id copy survives (deterministic tiebreak — iterator order inside
+    * a group is not a contract); across micro-batches every later copy is
+    * suppressed by the per-fingerprint state. `ttl` turns the guarantee
+    * into a sliding dedup window (state evicts after the duration,
+    * bounding the store on unbounded streams).
+    */
+  def dedupStream(docs: Dataset[CurationDoc],
+      ttl: Option[String] = None): Dataset[CurationDoc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .withColumn("fp", TextOps.normFingerprint(col("text")))
+      .as[FpDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: String, it: Iterator[FpDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            ttl.foreach(state.setTimeoutDuration)
+            val first = it.minBy(_.doc_id)
+            Iterator.single(CurationDoc(first.doc_id, first.text))
+          }
+      }
+  }
+
+  /** The composed streaming funnel: gates → scrub → exact dedup as one
+    * plan. Works identically over a bounded Dataset (the q50 oracle path).
+    */
+  def curateStream(docs: Dataset[CurationDoc], wantLang: String = "en",
+      minStopMill: Long = 60,
+      ttl: Option[String] = None): Dataset[CurationDoc] = {
+    import docs.sparkSession.implicits._
+    dedupStream(
+      gateStream(docs.toDF(), "doc_id", "text", wantLang, minStopMill)
+        .as[CurationDoc],
+      ttl)
+  }
+}

@@ -18,8 +18,8 @@ class CrawlMainSpec extends AnyFunSuite {
     // Seznam.CZ and seznam.cz. are the same canonical domain — the
     // reference still emits one result per input line (single.py:52-59)
     Files.writeString(in, "nic.cz\n\n  \nSeznam.CZ\nexample.cz.\nseznam.cz.\n")
-    val out = Files.createTempDirectory("crawl-out").toString + "/res"
-    val work = Files.createTempDirectory("crawl-work").toString
+    val out = graft.TmpDirs.create("crawl-out").toString + "/res"
+    val work = graft.TmpDirs.create("crawl-work").toString
     CrawlMain.main(Array(in.toString, "--out", out, "--work", work))
     // read part files in name order — the ordered write preserves the
     // line order across the sorted range partitions
@@ -50,15 +50,15 @@ class CrawlMainSpec extends AnyFunSuite {
     val docs = (0 until 40).map(i =>
       Doc(f"doc-$i%04d", Seq(Span("text", s"site${i % 25}.cz", null, 0),
         Span("image", null, s"blob://img-$i", 1))))
-    val in = Files.createTempDirectory("crawl-in").toString + "/docs.parquet"
+    val in = graft.TmpDirs.create("crawl-in").toString + "/docs.parquet"
     spark.createDataset(docs).write.parquet(in)
-    val work = Files.createTempDirectory("crawl-work").toString
-    val out1 = Files.createTempDirectory("crawl-out").toString + "/r1"
+    val work = graft.TmpDirs.create("crawl-work").toString
+    val out1 = graft.TmpDirs.create("crawl-out").toString + "/r1"
     CrawlMain.main(Array(in, "--out", out1, "--work", work, "--partitions", "4"))
     val r1 = spark.read.textFile(out1).collect().sorted
     assert(r1.length == 25) // dedup across docs
     // resume: same work dir, nothing new to crawl, identical output
-    val out2 = Files.createTempDirectory("crawl-out").toString + "/r2"
+    val out2 = graft.TmpDirs.create("crawl-out").toString + "/r2"
     CrawlMain.main(Array(in, "--out", out2, "--work", work, "--partitions", "4"))
     val r2 = spark.read.textFile(out2).collect().sorted
     assert(r1.sameElements(r2))
@@ -68,8 +68,8 @@ class CrawlMainSpec extends AnyFunSuite {
     val in = Files.createTempFile("domains-ts", ".txt")
     Files.writeString(in, "nic.cz\nexample.cz\n")
     def stamps(extra: String*): Seq[String] = {
-      val out = Files.createTempDirectory("ts-out").toString + "/res"
-      val work = Files.createTempDirectory("ts-work").toString
+      val out = graft.TmpDirs.create("ts-out").toString + "/res"
+      val work = graft.TmpDirs.create("ts-work").toString
       CrawlMain.main(Array(in.toString, "--out", out, "--work", work) ++ extra)
       spark.read.textFile(out).collect().toSeq
         .map(l => "\"timestamp\":\"([^\"]+)\"".r.findFirstMatchIn(l).get.group(1))
@@ -91,10 +91,10 @@ class CrawlMainSpec extends AnyFunSuite {
     import graft.model.Model.{Doc, Span}
     val docs = (0 until 30).map(i =>
       Doc(f"d-$i%04d", Seq(Span("text", s"shop${i % 20}.cz", null, 0))))
-    val in = Files.createTempDirectory("disc-in").toString + "/docs.parquet"
+    val in = graft.TmpDirs.create("disc-in").toString + "/docs.parquet"
     spark.createDataset(docs).write.parquet(in)
-    val work = Files.createTempDirectory("disc-work").toString
-    val out = Files.createTempDirectory("disc-out").toString + "/r"
+    val work = graft.TmpDirs.create("disc-work").toString
+    val out = graft.TmpDirs.create("disc-out").toString + "/r"
     CrawlMain.main(Array(in, "--out", out, "--work", work,
       "--partitions", "4", "--discover-depth", "1"))
     val lines = spark.read.textFile(out).collect()

@@ -62,6 +62,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept == Seq((1L, "a\n\nb", 3L), (2L, "c\n\nd", 3L)))
   }
 
+  test("packSequences: packs cut at the token budget, per-stratum, id order") {
+    // one stratum (strata = 1), 3-token docs, budget 7:
+    // starts 0,3,6,9,12 → packs 0,0,0,1,1
+    val docs = (1L to 5L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = CurationOps.packSequences(docs, "doc_id", "text",
+      tokenBudget = 7, strata = 1)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._4) == Seq(0L, 3L, 6L, 9L, 12L), s"starts: $out")
+    assert(out.map(_._5) == Seq(0L, 0L, 0L, 1L, 1L), s"packs: $out")
+    // strata shard independently: same docs over 2 strata → per-stratum
+    // running sums restart (ids 1,3,5 in stratum 1; 2,4 in stratum 0)
+    val sharded = CurationOps.packSequences(docs, "doc_id", "text",
+      tokenBudget = 7, strata = 2)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(sharded.filter(_._2 == 1).sortBy(_._1).map(_._4).toSeq == Seq(0L, 3L, 6L))
+    assert(sharded.filter(_._2 == 0).sortBy(_._1).map(_._4).toSeq == Seq(0L, 3L))
+    // plan: the window is PARTITIONED (one stratum-hash exchange, no
+    // global single-partition sort)
+    val plan = CurationOps.packSequences(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
+  }
+
   test("curationFunnel output is a subset of every gate it composes") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")

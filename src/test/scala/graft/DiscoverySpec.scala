@@ -117,7 +117,7 @@ class DiscoverySpec extends AnyFunSuite {
   // ---------------------------------------------------- end-to-end
 
   test("discovery crawl: found hosts enter later rounds exactly once, depth-capped, seen-set deduped") {
-    val dir = Files.createTempDirectory("disc-e2e").toString
+    val dir = graft.TmpDirs.create("disc-e2e").toString
     val svc = new LinkPlantingService(u)
     val eng = new Engine(spark, u, cfg = contentCfg, workDir = dir,
       frontierPartitions = 8, probeService = svc,
@@ -139,7 +139,7 @@ class DiscoverySpec extends AnyFunSuite {
 
     // depth cap: rerunning with maxDepth=2 in a fresh dir discovers a
     // superset (the depth-1 crawls themselves discover hosts)
-    val dir2 = Files.createTempDirectory("disc-e2e2").toString
+    val dir2 = graft.TmpDirs.create("disc-e2e2").toString
     val eng2 = new Engine(spark, u, cfg = contentCfg, workDir = dir2,
       frontierPartitions = 8, probeService = svc,
       discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 2))
@@ -164,8 +164,8 @@ class DiscoverySpec extends AnyFunSuite {
         .resultsTable.read().get.select("domain", "pop_round", "pop_rank")
         .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
     }
-    val full = run(Files.createTempDirectory("disc-full").toString, interrupted = false)
-    val resumed = run(Files.createTempDirectory("disc-res").toString, interrupted = true)
+    val full = run(graft.TmpDirs.create("disc-full").toString, interrupted = false)
+    val resumed = run(graft.TmpDirs.create("disc-res").toString, interrupted = true)
     assert(resumed == full)
     assert(full.map(_._1).contains("planted-link.cz"))
   }
@@ -188,7 +188,7 @@ class DiscoverySpec extends AnyFunSuite {
         .resultsTable.read().get.select("domain", "pop_round", "pop_rank")
         .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
 
-    val ctrl = Files.createTempDirectory("crash-ctrl").toString
+    val ctrl = graft.TmpDirs.create("crash-ctrl").toString
     mk(ctrl).run(seedDocs(40))
     val ctrlRows = rows(ctrl)
     // the control must have gone past round 2 with round-2 discoveries,
@@ -197,7 +197,7 @@ class DiscoverySpec extends AnyFunSuite {
     assert(Files.isDirectory(r2d), "control run produced no round-2 discovery snapshots")
     assert(ctrlRows.exists(_._2 >= 3), "control run never crawled a round-3 (depth-2) host")
 
-    val crashed = Files.createTempDirectory("crash-res").toString
+    val crashed = graft.TmpDirs.create("crash-res").toString
     mk(crashed).run(seedDocs(40), maxRounds = 1)
     // plant the crashed round-2 attempt's snapshot state
     for (name <- Seq("r2", "r2d")) {
@@ -217,7 +217,7 @@ class DiscoverySpec extends AnyFunSuite {
   }
 
   test("discovery off by default: stats report zero discoveries and only seeds are crawled") {
-    val dir = Files.createTempDirectory("disc-off").toString
+    val dir = graft.TmpDirs.create("disc-off").toString
     val eng = new Engine(spark, u, workDir = dir, frontierPartitions = 8,
       probeService = new LinkPlantingService(u))
     val stats = eng.run(seedDocs(30))

@@ -51,7 +51,7 @@ class EngineSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
 
   test("end-to-end: dedup via canonicalize + seen-set, politeness deferral, all crawled") {
-    val dir = Files.createTempDirectory("engine-e2e").toString
+    val dir = graft.TmpDirs.create("engine-e2e").toString
     val docs = seedDocs(150)
     val eng = newEngine(dir)
     val stats = eng.run(docs)
@@ -77,8 +77,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("pop order is deterministic and independent of shuffle parallelism") {
     val docs = seedDocs(120)
-    val dirA = Files.createTempDirectory("engine-pA").toString
-    val dirB = Files.createTempDirectory("engine-pB").toString
+    val dirA = graft.TmpDirs.create("engine-pA").toString
+    val dirB = graft.TmpDirs.create("engine-pB").toString
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "3")
@@ -93,8 +93,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("resume from checkpoint reproduces the uninterrupted run bit-for-bit") {
     val docs = seedDocs(100)
-    val dirFull = Files.createTempDirectory("engine-full").toString
-    val dirResume = Files.createTempDirectory("engine-resume").toString
+    val dirFull = graft.TmpDirs.create("engine-full").toString
+    val dirResume = graft.TmpDirs.create("engine-resume").toString
 
     newEngine(dirFull).run(docs) // uninterrupted
 
@@ -121,8 +121,8 @@ class EngineSpec extends AnyFunSuite {
     // resume must rebuild its frontier and watermark from a compacted
     // (single-delta) snapshot plus post-compaction commits
     val docs = seedDocs(120)
-    val dirFull = Files.createTempDirectory("engine-compact-full").toString
-    val dirResume = Files.createTempDirectory("engine-compact-resume").toString
+    val dirFull = graft.TmpDirs.create("engine-compact-full").toString
+    val dirResume = graft.TmpDirs.create("engine-compact-resume").toString
 
     val full = newEngine(dirFull, chunk = 12).run(docs)
     assert(full.size > 9, s"need >9 rounds to cross the compaction, got ${full.size}")
@@ -135,7 +135,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("crawlEntries task count: size hint clamps between one wave and the 8x ceiling") {
-    val eng = newEngine(Files.createTempDirectory("engine-parts").toString)
+    val eng = newEngine(graft.TmpDirs.create("engine-parts").toString)
     val seeds = spark.createDataset((0L until 64L).map(u.seedDomain))
     val entries = eng.toFrontier(
       seeds.toDF("domain").withColumn("seq",
@@ -157,7 +157,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("one-shot library API crawls a plain domain dataset") {
     val ds = spark.createDataset(Seq("nic.cz", "d1.cz", "D1.CZ", "d2.cz."))
-    val eng = newEngine(Files.createTempDirectory("engine-lib").toString)
+    val eng = newEngine(graft.TmpDirs.create("engine-lib").toString)
     val out = eng.crawlDomains(ds).collect()
     assert(out.map(_.domain).sorted.toSeq == Seq("d1.cz", "d2.cz", "nic.cz"))
     val nic = out.find(_.domain == "nic.cz").get
@@ -167,7 +167,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("extractSeeds survives digit-less and digit-colliding doc ids (ANSI-safe)") {
-    val eng = newEngine(Files.createTempDirectory("engine-ids").toString)
+    val eng = newEngine(graft.TmpDirs.create("engine-ids").toString)
     val docs = spark.createDataset(Seq(
       Doc("intro", Seq(Span("text", "alpha.cz", null, 0))), // no digits
       Doc("a-7", Seq(Span("text", "beta.cz", null, 0))),    // same digit run...
@@ -184,7 +184,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("per-partition probe cache and global dedup-probe-join agree") {
-    val eng = newEngine(Files.createTempDirectory("engine-dedup").toString)
+    val eng = newEngine(graft.TmpDirs.create("engine-dedup").toString)
     val seeds = spark.createDataset((0L until 80L).map(u.seedDomain))
     val entries = eng.toFrontier(
       seeds.toDF("domain").withColumn("seq",
@@ -207,7 +207,7 @@ class EngineSpec extends AnyFunSuite {
   test("seen-filter snapshots are complete, atomically-published files even " +
       "when the consumer stops early") {
     import java.nio.file.{Files => F, Paths}
-    val dir = F.createTempDirectory("engine-snap").toString
+    val dir = graft.TmpDirs.create("engine-snap").toString
     val eng = newEngine(dir)
     val seeds = spark.createDataset(
       (0 until 200).map(i => (u.seedDomain(i.toLong), i.toLong)))

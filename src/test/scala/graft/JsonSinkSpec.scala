@@ -145,7 +145,7 @@ class JsonSinkSpec extends AnyFunSuite {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
     val eng = new graft.engine.Engine(spark, u,
-      workDir = java.nio.file.Files.createTempDirectory("graft-json").toString)
+      workDir = graft.TmpDirs.create("graft-json").toString)
     val results = eng.crawlDomains(spark.createDataset((0L until 40L).map(u.seedDomain)))
     val a = JsonSink.jsonLines(results, cfg).collect().sorted
     val b = JsonSink.jsonLines(results, cfg).collect().sorted

@@ -149,7 +149,7 @@ class ProbeDeadlineSpec extends AnyFunSuite {
     }
     val t0 = System.nanoTime()
     val (faulted, stats) = jsonByDomain(
-      java.nio.file.Files.createTempDirectory("dl-fault").toString, new FaultService)
+      graft.TmpDirs.create("dl-fault").toString, new FaultService)
     val wallSec = (System.nanoTime() - t0) / 1e9
     // bounded: 3 hung domains × 1 s budget in parallel + normal crawl —
     // nowhere near the 360 s an unbounded run would sleep
@@ -164,7 +164,7 @@ class ProbeDeadlineSpec extends AnyFunSuite {
     // determinism of the non-timed-out subset: identical to a clean run
     // (jitter changes timing, never values; the fixed clock stamps)
     val (clean, _) = jsonByDomain(
-      java.nio.file.Files.createTempDirectory("dl-clean").toString, uE)
+      graft.TmpDirs.create("dl-clean").toString, uE)
     (canonical.toSet -- hung).foreach { d =>
       assert(faulted(d) == clean(d), s"non-timed-out $d diverged")
     }

@@ -70,7 +70,7 @@ class SelectPathSpec extends AnyFunSuite {
   test("distributed selection fallback (guards forced to 0) is bit-identical to the driver path, discovery on") {
     val svc = new LinkPlantingService(u)
     def run(forceFallback: Boolean): (Seq[(String, Int, Long, Long)], Seq[Engine.RoundStats]) = {
-      val dir = Files.createTempDirectory("selpath").toString
+      val dir = graft.TmpDirs.create("selpath").toString
       val eng = new Engine(spark, u, cfg = contentCfg, workDir = dir,
         frontierPartitions = 8, probeService = svc,
         discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 1),
@@ -96,10 +96,10 @@ class SelectPathSpec extends AnyFunSuite {
       frontierPartitions = 8, probeService = svc,
       discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 1),
       maxDriverBuckets = 0, maxDriverSelectRows = 0L)
-    val dirFull = Files.createTempDirectory("selpath-full").toString
+    val dirFull = graft.TmpDirs.create("selpath-full").toString
     val engFull = mk(dirFull)
     engFull.run(seedDocs(40))
-    val dirRes = Files.createTempDirectory("selpath-res").toString
+    val dirRes = graft.TmpDirs.create("selpath-res").toString
     mk(dirRes).run(seedDocs(40), maxRounds = 1)
     val engRes = mk(dirRes)
     engRes.run(seedDocs(40))
@@ -109,7 +109,7 @@ class SelectPathSpec extends AnyFunSuite {
   test("non-deterministic probe service: each domain is probed exactly once per round (results persisted, passes share them)") {
     val id = "nondet-" + System.nanoTime()
     val svc = new CountingProbeService(u, id, det = false)
-    val dir = Files.createTempDirectory("selpath-nondet").toString
+    val dir = graft.TmpDirs.create("selpath-nondet").toString
     val eng = new Engine(spark, u, cfg = contentCfg, workDir = dir,
       frontierPartitions = 8, probeService = svc,
       discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 1))
@@ -125,7 +125,7 @@ class SelectPathSpec extends AnyFunSuite {
   test("deterministic probe service (the default): passes re-execute the cheap probes instead of caching wide rows") {
     val id = "det-" + System.nanoTime()
     val svc = new CountingProbeService(u, id, det = true)
-    val dir = Files.createTempDirectory("selpath-det").toString
+    val dir = graft.TmpDirs.create("selpath-det").toString
     val eng = new Engine(spark, u, cfg = contentCfg, workDir = dir,
       frontierPartitions = 8, probeService = svc,
       discovery = Engine.DiscoveryConfig.on.copy(maxDepth = 1))

@@ -11,7 +11,7 @@ class SnapTableSpec extends AnyFunSuite {
   test("mergeCommit upserts by key; read resolves latest; time travel works") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
-    val dir = Files.createTempDirectory("snaptable").toString
+    val dir = graft.TmpDirs.create("snaptable").toString
     val t = new SnapTable(spark, dir, Seq("k"))
     assert(t.read().isEmpty && !t.exists)
 
@@ -35,7 +35,7 @@ class SnapTableSpec extends AnyFunSuite {
   test("compact folds deltas into one dir; history stays time-travelable") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
-    val dir = Files.createTempDirectory("snaptable3").toString
+    val dir = graft.TmpDirs.create("snaptable3").toString
     val t = new SnapTable(spark, dir, Seq("k"))
     t.mergeCommit(Seq(("a", 1), ("b", 1)).toDF("k", "v"))
     t.mergeCommit(Seq(("b", 2)).toDF("k", "v"))
@@ -56,7 +56,7 @@ class SnapTableSpec extends AnyFunSuite {
   test("commits are append-only deltas (merge-on-read, no history rewrite)") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
-    val dir = Files.createTempDirectory("snaptable2").toString
+    val dir = graft.TmpDirs.create("snaptable2").toString
     val t = new SnapTable(spark, dir, Seq("k"))
     t.mergeCommit(Seq(("x", 1)).toDF("k", "v"))
     val dataV1 = java.nio.file.Paths.get(dir, "data", "v1")

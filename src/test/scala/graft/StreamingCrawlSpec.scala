@@ -105,7 +105,7 @@ class StreamingCrawlSpec extends AnyFunSuite {
       doc("doc-2", "s4.cz", "s5.cz"))
 
     // batch reference: the full frontier loop with MERGE commits
-    val batchDir = Files.createTempDirectory("parity-batch").toString
+    val batchDir = graft.TmpDirs.create("parity-batch").toString
     val eng = new graft.engine.Engine(spark, u, workDir = batchDir,
       frontierPartitions = 4)
     eng.run(spark.createDataset(docs))
@@ -116,8 +116,8 @@ class StreamingCrawlSpec extends AnyFunSuite {
       .as[(String, String, String, String, Int)].collect().sorted.toSeq
 
     // streaming: same docs through crawlStream + commitStream
-    val streamDir = Files.createTempDirectory("parity-stream").toString
-    val ckpt = Files.createTempDirectory("parity-ckpt").toString
+    val streamDir = graft.TmpDirs.create("parity-stream").toString
+    val ckpt = graft.TmpDirs.create("parity-ckpt").toString
     val input = MemoryStream[Doc]
     val results = StreamingCrawl.crawlStream(input.toDS(), u, CrawlConfig(),
       partitions = 4, budgetPerBatch = _ => 100)
@@ -165,7 +165,7 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val dcfg = graft.engine.Engine.DiscoveryConfig.on.copy(maxDepth = 1)
 
     // batch reference: Engine.run with discovery on
-    val batchDir = Files.createTempDirectory("disc-parity-batch").toString
+    val batchDir = graft.TmpDirs.create("disc-parity-batch").toString
     val eng = new graft.engine.Engine(spark, u, workDir = batchDir,
       frontierPartitions = 4, discovery = dcfg)
     eng.run(spark.createDataset(docs))
@@ -183,9 +183,9 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val batchSpans = spanRows(batchDir)
 
     // streaming: same docs through the self-feeding discovering stream
-    val streamDir = Files.createTempDirectory("disc-parity-stream").toString
-    val discDir = Files.createTempDirectory("disc-parity-hosts").toString + "/d"
-    val ckpt = Files.createTempDirectory("disc-parity-ckpt").toString
+    val streamDir = graft.TmpDirs.create("disc-parity-stream").toString
+    val discDir = graft.TmpDirs.create("disc-parity-hosts").toString + "/d"
+    val ckpt = graft.TmpDirs.create("disc-parity-ckpt").toString
     val input = MemoryStream[Doc]
     val q = StreamingCrawl.discoveringCrawlIntoTables(input.toDS(), u,
       CrawlConfig(), dcfg, streamDir, discDir, ckpt,
