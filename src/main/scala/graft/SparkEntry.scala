@@ -587,6 +587,30 @@ object SparkEntry {
           base.unionByName(twins).as[MultiModalOps.MediaRow]).toDF())
     }),
 
+    // Dedup — snapshot-incremental: the accumulated-corpus ledger is the
+    // fingerprints of every third doc; the incoming batch is the whole
+    // table. Kept = first copy per fingerprint among incoming, minus
+    // anything already in the ledger.
+    "q52_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ledger = docs.where(col("doc_id") % 3 === 0)
+        .select(graft.ops.TextOps.normFingerprint(col("text")).as("fp"))
+      DedupOps.incrementalDedup(docs, ledger, "doc_id", "text")
+        .select(col("doc_id"), col("fp"))
+    }),
+
+    // Training mixture — deterministic quality-weighted upsampling:
+    // weight = 1 + stop_mill div 200 (0–199 mills → 1 copy, 200–399 → 2,
+    // …, capped at 4); token-less docs have null stop_mill → null weight
+    // → dropped by the w >= 1 gate.
+    "q53_upsample_mixture" -> ((s, dir) =>
+      CurationOps.upsampleByWeight(
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.stopwordRatioMill(col("text")).cast("long").as("stop_mill"))
+          .select(col("doc_id"), (lit(1L) + expr("stop_mill div 200")).as("w")),
+        "doc_id", "w", maxRepeat = 4)),
+
     // Training prep — sequence-packing assignment: documents sharded into
     // 8 independent streams, concatenated in id order, cut every 256
     // tokens; each doc assigned to the pack where it starts. One shuffle
@@ -1025,6 +1049,37 @@ object SparkEntry {
          SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          FROM cand WHERE $ham <= 3"""
     },
+
+    "q52_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ledger AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+         firsts AS (
+           SELECT doc_id, fp FROM (
+             SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM f) t WHERE rn = 1)
+         SELECT doc_id, fp FROM firsts
+         WHERE fp NOT IN (SELECT fp FROM ledger)""",
+
+    "q53_upsample_mixture" ->
+      s"""WITH q AS (
+           SELECT doc_id,
+             CAST(FLOOR(1000.0 *
+               len(list_filter(str_split(lower(text), ' '),
+                 t -> t <> '' AND t IN $stopSqlList)) /
+               len(list_filter(str_split(text, ' '), t -> t <> ''))) AS BIGINT)
+               AS stop_mill
+           FROM documents
+           WHERE len(list_filter(str_split(text, ' '), t -> t <> '')) > 0),
+         w AS (
+           SELECT doc_id,
+             CAST(least(1 + stop_mill // 200, 4) AS INT) AS wv
+           FROM q)
+         SELECT doc_id, CAST(unnest(range(wv)) AS BIGINT) AS copy
+         FROM w WHERE wv >= 1""",
 
     "q51_seq_packing" ->
       """WITH t AS (

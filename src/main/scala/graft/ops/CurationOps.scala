@@ -124,6 +124,31 @@ object CurationOps {
         col("start_tok"), col("pack_id"))
   }
 
+  /** Deterministic integer upsampling for training mixtures (the
+    * quality-weighted repetition step of mixture construction — e.g.
+    * Llama-style source reweighting, done per document): emit `w` copies
+    * of each doc id, `w` from an integer weight column, capped at
+    * `maxRepeat` (unbounded repetition of one document is never what a
+    * mixture wants), docs with weight < 1 dropped. Output is
+    * `(idCol, copy)` with `copy` in `[0, w)` — the trainer joins text
+    * back by id, so the expansion never materializes document bytes.
+    *
+    * Scale shape: scan-local `explode(sequence(...))` — zero shuffle,
+    * zero state; output row count = Σ min(w, maxRepeat), controlled
+    * entirely by the weight expression the caller supplies.
+    */
+  def upsampleByWeight(docs: DataFrame, idCol: String, weightCol: String,
+      maxRepeat: Int = 16): DataFrame =
+    docs
+      // explicit null gate: Spark's least() SKIPS nulls, so without it a
+      // null weight would silently upsample to maxRepeat
+      .where(col(weightCol).isNotNull)
+      .select(col(idCol),
+        least(col(weightCol), lit(maxRepeat)).cast("int").as("_w"))
+      .where(col("_w") >= 1)
+      .select(col(idCol), explode(sequence(lit(0), col("_w") - 1)).as("copy"))
+      .select(col(idCol), col("copy").cast("long").as("copy"))
+
   /** The full curation funnel as ONE declarative plan — the composition a
     * reference user runs stage-by-stage with intermediate materialization,
     * expressed so Catalyst sees every stage at once (filters reordered

@@ -329,4 +329,28 @@ object DedupOps {
       .orderBy(col(idCol))
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
+
+  /** Snapshot-incremental exact dedup — the daily-ingest pattern: a new
+    * batch arrives, everything already in the accumulated corpus must not
+    * re-enter, and the batch must also dedup against itself. `ledger` is
+    * the corpus fingerprint set so far (one `fp` column — ids and text
+    * stay in the corpus tables; the ledger is the only thing the join
+    * touches). Returns the kept incoming rows with their `fp`, so the
+    * caller appends exactly that projection to the ledger for the next
+    * batch — making the operator its own successor.
+    *
+    * 100 TB shape: within-batch dedup is the q05 hash-agg window (keys =
+    * batch fingerprints); the ledger check is ONE shuffle-on-fp anti-join
+    * where only md5 strings travel — never document text. Bucket the
+    * ledger table by `fp` and the join plans shuffle-one-side against
+    * each day's (much smaller) batch.
+    */
+  def incrementalDedup(incoming: DataFrame, ledger: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    incoming
+      .withColumn("fp", TextOps.normFingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .join(ledger.select(col("fp")), Seq("fp"), "left_anti")
+  }
 }

@@ -86,6 +86,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
   }
 
+  test("upsampleByWeight: w copies in [0,w), cap applies, w<1 and null drop") {
+    val docs = Seq((1L, 1L), (2L, 3L), (3L, 0L), (4L, 99L))
+      .toDF("doc_id", "w")
+      .union(Seq((5L, Option.empty[Long])).toDF("doc_id", "w"))
+    val out = CurationOps.upsampleByWeight(docs, "doc_id", "w", maxRepeat = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (2L, 1L), (2L, 2L),
+      (4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L)))
+    // scan-local: no shuffle in the plan
+    val plan = CurationOps.upsampleByWeight(docs, "doc_id", "w")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsample plan shuffles:\n$plan")
+  }
+
+  test("incrementalDedup: ledger hits drop, batch dedups itself, fp ready to append") {
+    import graft.ops.{DedupOps, TextOps}
+    val ledgerDocs = Seq((100L, "already ingested")).toDF("doc_id", "text")
+    val ledger = ledgerDocs.select(TextOps.normFingerprint(col("text")).as("fp"))
+    val incoming = Seq(
+      (1L, "already ingested"),   // in ledger → dropped
+      (2L, "fresh content"),      // kept
+      (3L, "fresh content"),      // within-batch dup of 2 → dropped
+      (4L, "ALREADY   ingested")) // normalizes into the ledger → dropped
+      .toDF("doc_id", "text")
+    val kept = DedupOps.incrementalDedup(incoming, ledger, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // the operator is its own successor: appending kept fps to the ledger
+    // makes a re-run of the SAME batch return nothing
+    val ledger2 = ledger.union(kept.select("fp"))
+    assert(DedupOps.incrementalDedup(incoming, ledger2, "doc_id", "text")
+      .count() == 0L)
+  }
+
   test("curationFunnel output is a subset of every gate it composes") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
