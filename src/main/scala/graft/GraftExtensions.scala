@@ -81,7 +81,13 @@ object GraftExtensions {
       TextOps.normFingerprint),
     unary("graft_lang_id",
       "graft_lang_id(text) - heuristic language id (en/de/fr/es/cs/zh/unknown).")(
-      TextOps.langIdCol)
+      TextOps.langIdCol),
+    unary("graft_redact_pii",
+      "graft_redact_pii(text) - emails -> <EMAIL>, IPv4 -> <IP>, E.164 phones -> <PHONE>.")(
+      graft.ops.PiiOps.redactPii),
+    unary("graft_char_trigrams",
+      "graft_char_trigrams(text) - overlapping lowercase character trigrams (array<string>).")(
+      TextOps.charTrigrams)
   )
 
   /** Retro-fit registration into an already-built session. */

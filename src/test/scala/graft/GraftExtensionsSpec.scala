@@ -60,6 +60,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_redact_pii and graft_char_trigrams agree with their twins") {
+    val t = "mail bob@corp.example from 10.0.0.7 tel +420123456789 end"
+    val viaSql = one[String](s"SELECT graft_redact_pii('$t')")
+    val viaCol = spark.sql("SELECT 1").select(graft.ops.PiiOps.redactPii(
+      org.apache.spark.sql.functions.lit(t))).collect().head.getString(0)
+    assert(viaSql == viaCol)
+    assert(viaSql == "mail <EMAIL> from <IP> tel <PHONE> end")
+    assert(one[collection.Seq[String]](
+      "SELECT graft_char_trigrams('AbCd')").toSeq == Seq("abc", "bcd"))
+    assert(one[collection.Seq[String]](
+      "SELECT graft_char_trigrams('ab')").toSeq == Seq())
+  }
+
   test("registered functions stay expression trees (codegen, not UDF)") {
     val plan = spark.sql(
       "SELECT domain_key(concat('a', id, '.cz')) FROM range(1000)")
