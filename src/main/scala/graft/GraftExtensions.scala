@@ -87,7 +87,10 @@ object GraftExtensions {
       graft.ops.PiiOps.redactPii),
     unary("graft_char_trigrams",
       "graft_char_trigrams(text) - overlapping lowercase character trigrams (array<string>).")(
-      TextOps.charTrigrams)
+      TextOps.charTrigrams),
+    unary("graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization (codegen'd expression).")(
+      graft.canon.TextNorm.nfc)
   )
 
   /** Retro-fit registration into an already-built session. */

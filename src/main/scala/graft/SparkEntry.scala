@@ -587,6 +587,18 @@ object SparkEntry {
           base.unionByName(twins).as[MultiModalOps.MediaRow]).toDF())
     }),
 
+    // Curation — Unicode NFC normalization + control-char strip (custom
+    // codegen Expression + built-ins): bodies salted with a decomposed
+    // a+U+0301 and a BEL control; normalization canonicalizes both, and
+    // DuckDB's nfc_normalize replays the NFC exactly.
+    "q54_text_norm" -> ((s, dir) => {
+      val body = concat(col("text"), lit(" Ka\u0301va"), lit("\u0007"), lit(" end"))
+      T(s, dir, "documents").select(col("doc_id"),
+        md5(graft.canon.TextNorm.nfc(graft.canon.TextNorm.stripControls(body)))
+          .as("norm_fp"),
+        (graft.canon.TextNorm.nfc(body) =!= body).as("changed"))
+    }),
+
     // Dedup — snapshot-incremental: the accumulated-corpus ledger is the
     // fingerprints of every third doc; the incoming batch is the whole
     // table. Kept = first copy per fingerprint among incoming, minus
@@ -1049,6 +1061,17 @@ object SparkEntry {
          SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          FROM cand WHERE $ham <= 3"""
     },
+
+    "q54_text_norm" ->
+      """WITH b AS (
+           SELECT doc_id,
+             text || ' Ka' || chr(769) || 'va' || chr(7) || ' end' AS body
+           FROM documents)
+         SELECT doc_id,
+           md5(nfc_normalize(regexp_replace(body,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS norm_fp,
+           nfc_normalize(body) <> body AS changed
+         FROM b""",
 
     "q52_incremental_dedup" ->
       """WITH f AS (

@@ -152,9 +152,12 @@ class ProbeDeadlineSpec extends AnyFunSuite {
       graft.TmpDirs.create("dl-fault").toString, new FaultService)
     val wallSec = (System.nanoTime() - t0) / 1e9
     // bounded: 3 hung domains × 1 s budget in parallel + normal crawl —
-    // nowhere near the 360 s an unbounded run would sleep
-    assert(stats.forall(_.seconds < 60), s"round over budget: $stats")
-    assert(wallSec < 120, s"wall $wallSec s — hard deadline did not bound the hang")
+    // nowhere near the 360 s an unbounded run would sleep. The ceilings
+    // are deliberately loose (the discriminator is O(seconds) vs the
+    // 360+ s unbounded case): under full-suite CPU contention a round's
+    // wall time can stretch severalfold, and a tight bound flakes.
+    assert(stats.forall(_.seconds < 150), s"round over budget: $stats")
+    assert(wallSec < 300, s"wall $wallSec s — hard deadline did not bound the hang")
     // every selected domain still completes with a document
     assert(faulted.keySet == canonical.toSet)
     // hung domains carry the reference's timeout step shape
