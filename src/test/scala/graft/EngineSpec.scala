@@ -222,7 +222,9 @@ class EngineSpec extends AnyFunSuite {
     def bins = {
       val s = F.list(fdir); try s.iterator().asScala.map(_.toString).toVector finally s.close()
     }
-    val deadline = System.nanoTime() + 5000000000L
+    // generous window: cancelled-task completion can lag under full-suite
+    // CPU contention; the loop exits as soon as the first file lands
+    val deadline = System.nanoTime() + 30000000000L
     while (bins.count(_.endsWith(".bin")) == 0 && System.nanoTime() < deadline)
       Thread.sleep(50)
     val published = bins
