@@ -171,7 +171,28 @@ object SimilarityOps {
         * region. Production default should be "spread"; a k-means pass is
         * the further upgrade once a trainer stage exists.
         */
-      centroids: String = "first"): DataFrame = {
+      centroids: String = "first"): DataFrame =
+    ivfQuery(ivfFit(corpus, idCol, vecCol, nlist, centroids),
+      queries, idCol, vecCol, k, nprobe)
+
+  /** A fitted IVF index: the tiny centroid table plus the cell-assigned
+    * corpus. At corpus scale this is the artifact you build ONCE and
+    * serve many query batches from — refitting per query batch (what a
+    * naive `ivfTopK` call does) re-scans and re-shuffles the whole
+    * corpus every time. `cells` is a plain DataFrame, so persisting the
+    * index is just writing it (bucket by `cell` for shuffle-free probe
+    * joins); [[SimilarityOps.ivfSave]]/[[SimilarityOps.ivfLoad]] do the
+    * round trip.
+    */
+  final case class IvfIndex(cents: Seq[(Long, Array[Float])], cells: DataFrame)
+
+  /** Fit the IVF index: pick `nlist` deterministic centroids and assign
+    * every corpus vector to its nearest cell (one corpus scan; the
+    * assignment travels with the vector, so serving joins shuffle only
+    * the short cell key).
+    */
+  def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, centroids: String = "first"): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centOrder = centroids match {
@@ -182,22 +203,31 @@ object SimilarityOps {
       .orderBy(centOrder: _*).limit(nlist)
       .as[(Long, Array[Float])].collect()
     val cb = spark.sparkContext.broadcast(cents)
-    // nearest cells by (cosine desc, centroid id asc) — the same
-    // tie-break the oracle's row_number ordering uses
-    def nearestCells(vec: Array[Float], n: Int): Seq[Long] =
-      cb.value.map { case (cid, cvec) => (cid, vecCosine(vec, cvec)) }
-        .sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1).toSeq
     val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, vec) => (id, vec, nearestCells(vec, 1).head) })
+      .mapPartitions(_.map { case (id, vec) =>
+        (id, vec, nearestCells(cb.value, vec, 1).head)
+      })
       .toDF("neighbor_id", "nvec", "cell")
+    IvfIndex(cents.toSeq, assigned)
+  }
+
+  /** Serve one query batch from a fitted index: each query probes its
+    * `nprobe` nearest cells; candidates re-rank exactly. Per-query work ≈
+    * |corpus|·nprobe/nlist.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(index.cents.toArray)
     val probes = queries.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, vec) =>
-        nearestCells(vec, nprobe).map(c => (id, vec, c))
+        nearestCells(cb.value, vec, nprobe).map(c => (id, vec, c))
       })
       .toDF("query_id", "qvec", "cell")
-    val cand = assigned.join(probes, Seq("cell"))
+    val cand = index.cells.join(probes, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("sim", cosine(col("qvec"), col("nvec")))
@@ -205,6 +235,29 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Persist a fitted index: cells parquet (bucket-worthy at scale) +
+    * centroids parquet. */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    import index.cells.sparkSession.implicits._
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.cents.toDF("cid", "cvec").write.mode("overwrite").parquet(s"$dir/cents")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/cents")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    IvfIndex(cents.toSeq, spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** Nearest cells by (cosine desc, centroid id asc) — the same tie-break
+    * the q36 oracle's row_number ordering uses.
+    */
+  private def nearestCells(cents: Array[(Long, Array[Float])],
+      vec: Array[Float], n: Int): Seq[Long] =
+    cents.map { case (cid, cvec) => (cid, vecCosine(vec, cvec)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1).toSeq
 
   /** LSH-bucketed approximate top-k: candidates = bucket collisions in any
     * of `tables` SRP tables; exact cosine re-rank on candidates only.

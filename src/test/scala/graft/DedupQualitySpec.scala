@@ -182,6 +182,39 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(again == spread.toSeq.flatMap { case (q, ns) => ns.toSeq.map(q -> _) }.toSet)
   }
 
+  test("IVF index: fit once, serve many; save/load round-trips exactly") {
+    val dims = 16
+    def vec(i: Long): Array[Float] = Array.tabulate(dims)(d =>
+      (Math.floorMod(TextOps.mix64(i * 37L + d), 2000L) - 1000L) / 1000f)
+    val emb = (0L until 96L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q1 = emb.where($"vec_id" % 12 === 0)
+    val q2 = emb.where($"vec_id" % 12 === 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+
+    // one-shot path == fit-then-query (ivfTopK delegates; both bit-equal)
+    val oneShot = rows(SimilarityOps.ivfTopK(emb, q1, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3))
+    val idx = SimilarityOps.ivfFit(emb, "vec_id", "embedding", nlist = 8)
+    assert(rows(SimilarityOps.ivfQuery(idx, q1, "vec_id", "embedding", 3,
+      nprobe = 3)) == oneShot)
+
+    // the SAME index serves a different query batch (no refit)
+    val served2 = rows(SimilarityOps.ivfQuery(idx, q2, "vec_id", "embedding", 3,
+      nprobe = 3))
+    assert(served2 == rows(SimilarityOps.ivfTopK(emb, q2, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)))
+
+    // persist + reload: identical answers from the on-disk index
+    val dir = graft.TmpDirs.create("ivf-idx").toString
+    SimilarityOps.ivfSave(idx, dir)
+    val loaded = SimilarityOps.ivfLoad(spark, dir)
+    assert(rows(SimilarityOps.ivfQuery(loaded, q1, "vec_id", "embedding", 3,
+      nprobe = 3)) == oneShot)
+    assert(rows(SimilarityOps.ivfQuery(loaded, q2, "vec_id", "embedding", 3,
+      nprobe = 3)) == served2)
+  }
+
   test("SRP-LSH ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
     // 8 clusters x 16 points: unit-ish center + small deterministic noise
     val dims = 32
