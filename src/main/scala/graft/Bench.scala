@@ -19,7 +19,11 @@ object Bench {
     "q02_agg_pricing", "q03_join_regions", "q05_dedup_exact",
     "q07_topk_orders", "q12_hourly_rollup", "q17_minhash_bands",
     "q19_ngram_jaccard", "q20_cosine_topk", "q21_ann_lsh", "q25_multimodal",
-    "q38_star_join")
+    "q38_star_join",
+    // round-5 additions: the heavy curation operators, so regressions are
+    // visible where the new work lives (verdict r4 next-round #8)
+    "q45_curation_funnel", "q46_line_dedup", "q48_lm_coverage",
+    "q50_stream_curation")
 
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._

@@ -280,8 +280,11 @@ object SparkEntry {
     // hash-checked)
     "q36_ivf_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
+      // centroids pinned to "first" (the oracle replays lowest-id cells);
+      // the production default is "spread" (IvfSpec measures its recall win)
       SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+          centroids = "first")
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -510,6 +513,18 @@ object SparkEntry {
     "q44_stratified_sample" -> ((s, dir) =>
       CurationOps.stratifiedSample(T(s, dir, "documents"), "doc_id", "source")),
 
+    // Curation — CALLER-RATED stratified sampling (the production form of
+    // q44): explicit per-stratum keep rates ride a broadcast-joined rate
+    // table (never plan literals), membership is the same deterministic
+    // md5 filter — 10% of src0, 80% of src1, all of src2, none of src3,
+    // 25% of everything else
+    "q55_rated_sample" -> ((s, dir) =>
+      CurationOps.stratifiedSampleRated(T(s, dir, "documents"),
+        "doc_id", "source",
+        rates = Map("src0" -> 0.10, "src1" -> 0.80, "src2" -> 1.0,
+          "src3" -> 0.0),
+        defaultRate = 0.25)),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -644,7 +659,10 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[graft.streaming.StreamingCuration.CurationDoc]
-      graft.streaming.StreamingCuration.curateStream(docs)
+      // ttl = None: bounded batch execution — exact dedup over the whole
+      // input is the point here (the TTL choice is a required argument
+      // precisely so unbounded deployments pick a state bound consciously)
+      graft.streaming.StreamingCuration.curateStream(docs, ttl = None)
         .toDF()
         .select(col("doc_id"), md5(col("text")).as("clean_fp"))
     }),
@@ -921,6 +939,19 @@ object SparkEntry {
          FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
              < substring(md5(source), 1, 2)""",
+
+    // rate→hex thresholds: floor(rate·2³²) as 8 lowercase hex chars
+    // (0.10→19999999, 0.80→cccccccc, 0.25→40000000); 1.0→'g' (above every
+    // hex digit), 0.0→'00000000' (strict < never true)
+    "q55_rated_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE source
+             WHEN 'src0' THEN '19999999'
+             WHEN 'src1' THEN 'cccccccc'
+             WHEN 'src2' THEN 'g'
+             WHEN 'src3' THEN '00000000'
+             ELSE '40000000' END""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

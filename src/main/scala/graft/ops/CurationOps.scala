@@ -58,6 +58,46 @@ object CurationOps {
       .where(col("_h") < col("rate_hex"))
       .select(col(idCol), col(stratumCol), col("rate_hex"))
 
+  /** A keep-rate in [0,1] as the 8-hex-char threshold its 32-bit hash
+    * slice is compared against: a row survives iff
+    * `substring(md5(id),1,8) < rateHex(rate)` — lowercase hex compares are
+    * plain ASCII byte compares, identical in Spark and DuckDB, so the SAME
+    * rows survive on every engine. `rate ≥ 1` maps to `"g"` (lexically
+    * above every hex digit — keeps all); `rate ≤ 0` maps to `"00000000"`
+    * (strict `<` never true — keeps none).
+    */
+  def rateHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "00000000"
+    else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+
+  /** Caller-specified per-stratum keep rates — the production form of
+    * [[stratifiedSample]]: "keep 10% of stratum X, 80% of Y". Mechanism is
+    * the same deterministic md5 filter (no RNG — rerun/resume/engine
+    * stable; raising a rate strictly grows the sample, so a 10% sample is
+    * a subset of the 20% one); the rate comes from the caller's map
+    * instead of the stratum-name hash. Strata absent from the map keep
+    * `defaultRate`.
+    *
+    * Scale shape: the rate table is caller-small → broadcast left join
+    * (no shuffle of the corpus), then a scan-local filter; the rates ride
+    * as data, not as plan literals, so a million-stratum map costs plan
+    * size nothing (the r4 `typedlit` lesson).
+    */
+  def stratifiedSampleRated(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.map { case (s, r) => (s, rateHex(r)) }
+      .toDF(stratumCol, "_rate_hex")
+    docs
+      .select(col(idCol), col(stratumCol),
+        substring(md5(col(idCol).cast("string")), 1, 8).as("_h"))
+      .join(broadcast(rateDf), Seq(stratumCol), "left")
+      .where(col("_h") < coalesce(col("_rate_hex"), lit(rateHex(defaultRate))))
+      .select(col(idCol), col(stratumCol))
+  }
+
   /** C4-style duplicated-line removal (Raffel et al. 2020 §2.2 "we
     * discarded ... any line that appeared more than once"): drop every
     * line whose exact text occurs in at least `minDocFreq` distinct
@@ -111,12 +151,25 @@ object CurationOps {
     * the only state and it rides the window operator.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long = 2048, strata: Int = 1024): DataFrame =
+    packSequencesBy(docs, idCol,
+      TextOps.tokenCount(col(textCol)).cast("long"), tokenBudget, strata)
+
+  /** Tokenizer-pluggable form of [[packSequences]]: `tokenCountExpr`
+    * supplies the per-document token count — typically a PRECOMPUTED
+    * tokenizer count column (`col("bpe_count")`) from the real training
+    * tokenizer, since whitespace tokens ([[TextOps.tokenCount]], the
+    * [[packSequences]] default) only approximate BPE lengths. The window
+    * logic is count-agnostic; the plan shape (one stratum-hash shuffle +
+    * a partitioned window) is identical.
+    */
+  def packSequencesBy(docs: DataFrame, idCol: String, tokenCountExpr: Column,
       tokenBudget: Long = 2048, strata: Int = 1024): DataFrame = {
     require(tokenBudget > 0 && strata > 0)
     val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
     docs.select(col(idCol),
         pmod(col(idCol), lit(strata)).cast("int").as("stratum"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCountExpr.cast("long").as("n_tokens"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .withColumn("pack_id", expr(s"start_tok div $tokenBudget"))
@@ -185,15 +238,72 @@ object CurationOps {
     val clean = gated.join(contaminated, Seq(idCol), "left_anti")
     // dedup facets over the FULL corpus (q35's exact composition), so the
     // representative choice is independent of the upstream gates
+    val reps = nearDupReps(docs, idCol, textCol)
+    clean.join(reps, Seq(idCol), "left_semi")
+      .select(col(idCol), col("stop_mill"))
+  }
+
+  /** The funnel's near-dup representative facet as one reusable plan:
+    * MinHash-LSH candidates → exact Jaccard ≥ 0.8 verify → transitive
+    * clusters → longest-text-wins representatives, over the FULL corpus
+    * (q35's exact composition). Returns one `idCol` column of surviving
+    * representative ids (every singleton survives as its own rep).
+    */
+  def nearDupReps(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cand = DedupOps.minhashCandidatePairs(docs, idCol, textCol,
       shingleK = 3, bands = 4, rowsPerBand = 2)
     val verified = DedupOps.ngramJaccardForPairs(docs, cand, idCol, textCol,
         shingleK = 3, minShared = 1)
       .where(col("n_inter") * 10 >= col("n_union") * 8)
     val clusters = DedupOps.dupClusters(docs, verified, idCol)
-    val reps = clusterRepresentatives(docs, clusters, idCol, textCol)
+    clusterRepresentatives(docs, clusters, idCol, textCol)
       .select(col("rep_id").as(idCol))
-    clean.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** Batch compaction of a STREAMED-accepted corpus — the hand-off
+    * [[graft.streaming.StreamingCuration]] documents: the streaming funnel
+    * runs the per-document stages (language/quality gates, PII scrub,
+    * exact first-arrival dedup); the corpus-wide stages that keyed
+    * streaming state cannot express — benchmark holdout, decontamination,
+    * near-dup collapse — run here, periodically, over the accepted table.
+    *
+    * @param accepted  the streamed-accepted docs (ids at minimum — the
+    *                  output of [[graft.streaming.StreamingCuration.curateStream]]
+    *                  as committed by the ingestion job)
+    * @param rawCorpus the raw archive the stream ingested from (a crawl
+    *                  pipeline always retains it) — near-dup facets and
+    *                  the benchmark slice compute over the FULL corpus, so
+    *                  representative choice matches the batch funnel's
+    *
+    * Output `(idCol, stop_mill)` — the same columns [[curationFunnel]]
+    * emits, and for a corpus whose exact duplicates are byte-identical the
+    * same ROWS (streaming's fingerprint dedup keeps the min id of a
+    * byte-identical group, which is exactly the group's longest-text/min-id
+    * cluster representative; a whitespace-padded variant of a duplicate
+    * would instead win the batch rep choice by raw length —
+    * StreamingCurationSpec pins the equivalence and this caveat). Requires
+    * the stream to have run with the same `wantLang`/`minStopMill` the
+    * batch funnel uses.
+    *
+    * Scale shape: identical to the funnel's corpus-wide stages — broadcast
+    * anti-join for decontamination, the dedup stack's bounded shuffles for
+    * reps, one id-keyed join to recover `stop_mill` from the raw table.
+    */
+  def compactAccepted(accepted: DataFrame, rawCorpus: DataFrame,
+      idCol: String, textCol: String, benchMod: Int = 97,
+      shingleK: Int = 3): DataFrame = {
+    val corpus = rawCorpus.where(col(idCol) % benchMod =!= 0)
+    val bench = rawCorpus.where(col(idCol) % benchMod === 0)
+    val contaminated = DedupOps.contaminatedDocs(
+      corpus, bench, idCol, textCol, shingleK).select(col(idCol))
+    val reps = nearDupReps(rawCorpus, idCol, textCol)
+    accepted.select(col(idCol))
+      .where(col(idCol) % benchMod =!= 0)
+      .join(contaminated, Seq(idCol), "left_anti")
+      .join(reps, Seq(idCol), "left_semi")
+      .join(rawCorpus.select(col(idCol),
+        TextOps.stopwordRatioMill(col(textCol)).cast("long").as("stop_mill")),
+        Seq(idCol))
       .select(col(idCol), col("stop_mill"))
   }
 }

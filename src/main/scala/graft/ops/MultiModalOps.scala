@@ -112,8 +112,13 @@ object MultiModalOps {
       * perceptual key for media near-dup. O(64) regardless of pixel count.
       * None for payloads `javax.imageio` can't decode.
       */
+    /** Sniffable kinds that are raster images (ImageIO-decodable); anything
+      * else — audio, future video containers — must NOT reach ImageIO.
+      */
+    val ImageKinds: Set[String] = Set("png", "jpeg", "bmp", "gif")
+
     def aHash64(bytes: Array[Byte]): Option[Long] = {
-      if (!sniff(bytes).exists(_ != "wav")) return None // images only
+      if (!sniff(bytes).exists(ImageKinds.contains)) return None // images only
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }

@@ -162,16 +162,17 @@ object SimilarityOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      /** Quantizer selection: `"first"` = lowest-id vectors (default —
-        * trivially oracle-replicable, which is why q36 hash-checks), or
-        * `"spread"` = the nlist vectors with the smallest `xxhash64(id)` —
-        * still fully deterministic (resume/incremental-safe, no RNG
-        * state) but id-decorrelated, so an id-ordered corpus (e.g.
-        * cluster-then-assign ids) can't collapse all centroids into one
-        * region. Production default should be "spread"; a k-means pass is
-        * the further upgrade once a trainer stage exists.
+      /** Quantizer selection: `"spread"` (default) = the nlist vectors
+        * with the smallest `xxhash64(id)` — fully deterministic
+        * (resume/incremental-safe, no RNG state) and id-decorrelated, so
+        * an id-ordered corpus (e.g. cluster-then-assign ids) can't
+        * collapse all centroids into one region; or `"first"` = lowest-id
+        * vectors — trivially oracle-replicable, which is why q36 pins it
+        * explicitly. IvfSpec measures spread-recall ≥ first-recall on an
+        * id-ordered corpus; a k-means refinement pass is the further
+        * upgrade once a trainer stage exists.
         */
-      centroids: String = "first"): DataFrame =
+      centroids: String = "spread"): DataFrame =
     ivfQuery(ivfFit(corpus, idCol, vecCol, nlist, centroids),
       queries, idCol, vecCol, k, nprobe)
 
@@ -192,7 +193,7 @@ object SimilarityOps {
     * the short cell key).
     */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, centroids: String = "first"): IvfIndex = {
+      nlist: Int = 16, centroids: String = "spread"): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centOrder = centroids match {

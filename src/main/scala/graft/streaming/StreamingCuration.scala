@@ -55,12 +55,22 @@ object StreamingCuration {
     * fingerprint ([[TextOps.normFingerprint]]): within a micro-batch the
     * min-id copy survives (deterministic tiebreak — iterator order inside
     * a group is not a contract); across micro-batches every later copy is
-    * suppressed by the per-fingerprint state. `ttl` turns the guarantee
-    * into a sliding dedup window (state evicts after the duration,
-    * bounding the store on unbounded streams).
+    * suppressed by the per-fingerprint state.
+    *
+    * `ttl` is a REQUIRED choice (no default), because it is the state-size
+    * policy of the deployment: `Some(duration)` bounds the store to a
+    * sliding dedup window (state evicts after the duration — one boolean
+    * per fingerprint seen within the window); `None` is exact dedup
+    * forever, state growing O(distinct fingerprints) for the life of the
+    * query — correct for bounded backfills, an eventual OOM of the state
+    * store on an unbounded ingest unless the dedup horizon is handed off
+    * to the batch compaction job ([[compactToTable]]). Sizing rule of
+    * thumb: a fingerprint entry costs ~100 B in the store, so a 10⁹-doc
+    * window is ~100 GB of state cluster-wide — pick the TTL that keeps
+    * (ingest rate × window) inside the state backend's budget.
     */
   def dedupStream(docs: Dataset[CurationDoc],
-      ttl: Option[String] = None): Dataset[CurationDoc] = {
+      ttl: Option[String]): Dataset[CurationDoc] = {
     import docs.sparkSession.implicits._
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -84,14 +94,32 @@ object StreamingCuration {
 
   /** The composed streaming funnel: gates → scrub → exact dedup as one
     * plan. Works identically over a bounded Dataset (the q50 oracle path).
+    * `ttl` is the required state-size policy — see [[dedupStream]].
     */
-  def curateStream(docs: Dataset[CurationDoc], wantLang: String = "en",
-      minStopMill: Long = 60,
-      ttl: Option[String] = None): Dataset[CurationDoc] = {
+  def curateStream(docs: Dataset[CurationDoc], ttl: Option[String],
+      wantLang: String = "en", minStopMill: Long = 60): Dataset[CurationDoc] = {
     import docs.sparkSession.implicits._
     dedupStream(
       gateStream(docs.toDF(), "doc_id", "text", wantLang, minStopMill)
         .as[CurationDoc],
       ttl)
   }
+
+  /** The batch hand-off this object's doc promises: compact the
+    * streamed-accepted table with the corpus-wide curation stages keyed
+    * streaming state cannot express (benchmark holdout, decontamination,
+    * near-dup representative collapse —
+    * [[graft.ops.CurationOps.compactAccepted]]), MERGE-committing the
+    * curated snapshot into `out`. Idempotent per run (MERGE keyed by the
+    * id), so a scheduled compaction re-running over a grown accepted
+    * table supersedes prior snapshots per key. Returns the committed
+    * version, or None when the accepted table is still empty.
+    */
+  def compactToTable(accepted: graft.tables.SnapTable, rawCorpus: DataFrame,
+      out: graft.tables.SnapTable, idCol: String, textCol: String,
+      benchMod: Int = 97, shingleK: Int = 3): Option[Int] =
+    accepted.read().map { acc =>
+      out.mergeCommit(graft.ops.CurationOps.compactAccepted(
+        acc, rawCorpus, idCol, textCol, benchMod, shingleK))
+    }
 }

@@ -71,7 +71,12 @@ final class SnapTable(spark: SparkSession, root: String, keyCols: Seq[String]) {
     * counters from the committed data instead of task-side accumulators,
     * which Spark only guarantees exactly-once for actions: a retried or
     * speculatively-executed task would double-count an accumulator, but
-    * the committed delta has exactly one row per merged key.
+    * the committed delta is written exactly once. NOTE the delta contains
+    * the input DataFrame's rows AS-IS — mergeCommit does no per-key dedup
+    * (key resolution happens at read time) — so arithmetic over
+    * commitRowCount (e.g. Engine's nDeferred = commitRowCount − nSelected
+    * − nDiscovered) is valid only when the caller's inputs are
+    * key-disjoint, which the engine's seen-set invariants guarantee.
     */
   def commitRowCount(version: Int): Long =
     spark.read.parquet(rootP.resolve(s"data/v$version").toString).count()

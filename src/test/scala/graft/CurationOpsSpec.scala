@@ -44,6 +44,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sample plan shuffles:\n$plan")
   }
 
+  test("stratifiedSampleRated: realized rate tracks the requested rate per stratum") {
+    val docs = (0L until 30000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.10, "src1" -> 0.80, "src2" -> 1.0)
+    val rows = CurationOps.stratifiedSampleRated(docs, "doc_id", "source", rates)
+      .as[(Long, String)].collect().toSeq
+    val byStratum = rows.groupBy(_._2).view.mapValues(_.size / 10000.0).toMap
+    rates.foreach { case (src, want) =>
+      val got = byStratum.getOrElse(src, 0.0)
+      assert(math.abs(got - want) < 0.02, s"$src: realized $got requested $want")
+    }
+    // rate 1.0 keeps EVERY row of its stratum, not 'almost all'
+    assert(byStratum("src2") == 1.0)
+    // determinism + monotonicity: raising a rate strictly grows the sample
+    // (the 10% sample is a subset of the 20% one — md5 threshold mechanics)
+    val at10 = rows.filter(_._2 == "src0").map(_._1).toSet
+    val at20 = CurationOps.stratifiedSampleRated(docs, "doc_id", "source",
+        Map("src0" -> 0.20)).as[(Long, String)].collect()
+      .filter(_._2 == "src0").map(_._1).toSet
+    assert(at10.subsetOf(at20))
+    // strata absent from the map: defaultRate 0.0 keeps none
+    assert(at20.size < 10000 &&
+      CurationOps.stratifiedSampleRated(docs, "doc_id", "source",
+        Map("src0" -> 0.20)).as[(Long, String)].collect()
+        .forall(_._2 == "src0"))
+    // rate table rides a broadcast join, never a corpus shuffle
+    val plan = CurationOps.stratifiedSampleRated(docs, "doc_id", "source", rates)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"rated sample plan:\n$plan")
+  }
+
+  test("rateHex edges: >=1 keeps all, <=0 keeps none, interior is 8 hex chars") {
+    assert(CurationOps.rateHex(1.0) == "g" && CurationOps.rateHex(2.0) == "g")
+    assert(CurationOps.rateHex(0.0) == "00000000")
+    assert(CurationOps.rateHex(-0.5) == "00000000")
+    assert(CurationOps.rateHex(0.10) == "19999999")
+    assert(CurationOps.rateHex(0.80) == "cccccccc")
+    assert(CurationOps.rateHex(0.25) == "40000000")
+  }
+
   test("dropCommonLines drops df>=2 lines, keeps order, drops all-boilerplate docs") {
     val docs = Seq(
       (1L, "alpha one\nshared footer\nomega one"),
@@ -84,6 +124,30 @@ class CurationOpsSpec extends AnyFunSuite {
     val plan = CurationOps.packSequences(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
+  }
+
+  test("packSequencesBy packs by a precomputed tokenizer count, window logic count-agnostic") {
+    // same 5 docs, but a 'BPE' count column that disagrees with whitespace
+    // tokens (5,1,4,2,6): starts 0,5,6,10,12 at budget 7 → packs 0,0,0,1,1
+    val docs = Seq(
+      (1L, "a b c", 5L), (2L, "a b c", 1L), (3L, "a b c", 4L),
+      (4L, "a b c", 2L), (5L, "a b c", 6L)).toDF("doc_id", "text", "bpe")
+    val out = CurationOps.packSequencesBy(docs, "doc_id", col("bpe"),
+      tokenBudget = 7, strata = 1)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(5L, 1L, 4L, 2L, 6L))
+    assert(out.map(_._4) == Seq(0L, 5L, 6L, 10L, 12L), s"starts: $out")
+    assert(out.map(_._5) == Seq(0L, 0L, 0L, 1L, 1L), s"packs: $out")
+    // default counter: packSequences(textCol) ≡ packSequencesBy(tokenCount)
+    val byText = CurationOps.packSequences(docs, "doc_id", "text",
+      tokenBudget = 7, strata = 1).orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    val byExpr = CurationOps.packSequencesBy(docs, "doc_id",
+      graft.ops.TextOps.tokenCount(col("text")).cast("long"),
+      tokenBudget = 7, strata = 1).orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(byText == byExpr)
   }
 
   test("upsampleByWeight: w copies in [0,w), cap applies, w<1 and null drop") {

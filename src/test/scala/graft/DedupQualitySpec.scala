@@ -151,7 +151,7 @@ class DedupQualitySpec extends AnyFunSuite {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ivf = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 4, centroids = "first")
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, truth) =>
@@ -180,6 +180,60 @@ class DedupQualitySpec extends AnyFunSuite {
         k = 5, nlist = 16, nprobe = 4, centroids = "spread")
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(again == spread.toSeq.flatMap { case (q, ns) => ns.toSeq.map(q -> _) }.toSet)
+    // "spread" is the production DEFAULT (q36 pins "first" explicitly for
+    // its oracle): an argless call must equal the explicit spread call
+    val dflt = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(dflt == again, "ivfTopK default quantizer is not 'spread'")
+  }
+
+  test("IVF 'spread' beats 'first' on an id-ordered corpus at nlist = 64") {
+    // the degenerate case the default flip is FOR: ids assigned
+    // cluster-by-cluster, so the 64 lowest ids span only clusters 0-3 and
+    // "first" centroids leave clusters 4-7 unrepresented. The damage shows
+    // up as CELL IMBALANCE, not recall: the unrepresented half of the
+    // corpus collapses into mega-cells (per-query candidate work tends
+    // back toward |corpus| — the thing IVF exists to avoid), while nprobe
+    // still finds the mega-cell, keeping recall deceptively high.
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val rows = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 16 === 7)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(centroids: String): Double = {
+      val got = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nlist = 64, nprobe = 8, centroids = centroids)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, truth) =>
+        got.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    // spread recall stays high in absolute terms
+    val spread = meanRecall("spread")
+    assert(spread >= 0.9, s"spread recall $spread < 0.9 at nlist=64")
+    // and the index is materially better balanced: max cell population
+    // (per-query worst-case candidate count for a probed cell) shrinks
+    def maxCell(centroids: String): Long =
+      SimilarityOps.ivfFit(emb, "vec_id", "embedding", nlist = 64, centroids)
+        .cells.groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    val firstMax = maxCell("first")
+    val spreadMax = maxCell("spread")
+    assert(spreadMax < firstMax,
+      s"spread max cell $spreadMax !< first max cell $firstMax — " +
+        "the id-ordered degeneracy did not show, fixture broken")
   }
 
   test("IVF index: fit once, serve many; save/load round-trips exactly") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,7 +19,7 @@ class StreamingCurationSpec extends AnyFunSuite {
   test("streaming funnel: gates drop junk, dedup suppresses across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CurationDoc]
-    val out = StreamingCuration.curateStream(input.toDS())
+    val out = StreamingCuration.curateStream(input.toDS(), ttl = None)
     val q = out.writeStream
       .format("memory").queryName("curated_out")
       .outputMode("append")
@@ -56,7 +57,7 @@ class StreamingCurationSpec extends AnyFunSuite {
       CurationDoc(5L, "  ALPHA   beta GAMMA "), // same fp after normalize
       CurationDoc(8L, "something else entirely"))
     val ds = spark.createDataset(docs)
-    val streamed = StreamingCuration.dedupStream(ds)
+    val streamed = StreamingCuration.dedupStream(ds, ttl = None)
       .collect().map(_.doc_id).sorted.toSeq
     val batch = DedupOps.dedupedCorpus(ds.toDF(), "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
@@ -67,7 +68,116 @@ class StreamingCurationSpec extends AnyFunSuite {
     val ds = spark.createDataset(Seq(
       CurationDoc(42L, "x y z"), CurationDoc(41L, "x y z"),
       CurationDoc(43L, "x y z")))
-    val kept = StreamingCuration.dedupStream(ds).collect()
+    val kept = StreamingCuration.dedupStream(ds, ttl = None).collect()
     assert(kept.map(_.doc_id).toSeq == Seq(41L))
+  }
+
+  test("ttl bounds dedup state: an expired fingerprint is re-admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurationDoc]
+    val out = StreamingCuration.dedupStream(input.toDS(),
+      ttl = Some("100 milliseconds"))
+    val q = out.writeStream
+      .format("memory").queryName("ttl_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // NOTE: with ProcessingTimeTimeout every micro-batch schedules another
+    // batch (timeouts must keep firing), so `noNewData` is never reached
+    // and processAllAvailable() would BLOCK FOREVER. Poll the sink with a
+    // deadline instead — batches run continuously on the 50 ms trigger.
+    def waitForIds(want: Seq[Long], deadlineMs: Long = 60000L): Seq[Long] = {
+      val t0 = System.nanoTime()
+      var got = Seq.empty[Long]
+      while ({
+        got = spark.table("ttl_out").as[CurationDoc].collect()
+          .map(_.doc_id).sorted.toSeq
+        got != want && (System.nanoTime() - t0) < deadlineMs * 1000000L
+      }) Thread.sleep(100L)
+      got
+    }
+    try {
+      input.addData(CurationDoc(1L, "ttl probe doc"))
+      assert(waitForIds(Seq(1L)) == Seq(1L))
+      // well past the ttl: a subsequent batch fires the timeout and evicts
+      Thread.sleep(1000L)
+      input.addData(CurationDoc(2L, "unrelated batch to advance time"))
+      assert(waitForIds(Seq(1L, 2L)) == Seq(1L, 2L))
+      Thread.sleep(500L)
+      // the SAME fingerprint arrives after eviction → re-admitted
+      input.addData(CurationDoc(3L, "ttl probe doc"))
+      val ids = waitForIds(Seq(1L, 2L, 3L))
+      assert(ids == Seq(1L, 2L, 3L),
+        s"expected re-admission of the expired fingerprint, got $ids")
+    } finally q.stop()
+  }
+
+  test("batch compaction of the streamed-accepted table ≡ the batch curationFunnel") {
+    import graft.ops.CurationOps
+    import graft.tables.SnapTable
+    implicit val sqlCtx = spark.sqlContext
+    // a corpus exercising every corpus-wide stage the compaction owns
+    // (benchMod = 5 so the holdout/decontamination slices are non-trivial):
+    //   5, 10 → benchmark slice (id % 5 == 0): stream accepts, compaction holds out
+    //   1     → clean survivor;  2 → BYTE-IDENTICAL dup of 1 (stream drops
+    //           it; batch collapses it to rep 1 — same outcome)
+    //   3     → second clean survivor (distinct content)
+    //   4     → gibberish (language gate, both paths)
+    //   6     → PII doc (scrubbed in-stream; raw text feeds batch facets)
+    //   7     → contaminated: shares a 3-shingle with bench doc 5
+    val fluent2 = "we can see that the sun and the moon are out there over the hill"
+    val benchText = "unique trigram marker sequence appears here in the held out benchmark"
+    val raw = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent2),
+      (4L, "zqx!#@%&*()[]{}~^|"),
+      (5L, benchText),
+      (6L, s"$fluent mail bob@corp.example now please respond"),
+      (7L, s"$fluent2 but unique trigram marker appended"),
+      // second bench doc: shares NO 3-shingle with any corpus doc (a bench
+      // doc with corpus overlap would contaminate the overlapped doc)
+      (10L, "a quiet festival of lanterns was held beside a frozen lake"))
+      .toDF("doc_id", "text")
+    val docs = raw.select(col("doc_id"), col("text")).as[CurationDoc]
+
+    val acceptedTable = new SnapTable(spark,
+      graft.TmpDirs.create("compact-accepted").toString, Seq("doc_id"))
+    val input = MemoryStream[CurationDoc]
+    val q = StreamingCuration.curateStream(input.toDS(), ttl = None)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CurationDoc], _: Long) =>
+        if (!batch.isEmpty) { acceptedTable.mergeCommit(batch.toDF()); () }
+      }
+      .start()
+    try {
+      val all = docs.collect()
+      input.addData(all.take(4).toIndexedSeq)     // micro-batch 1
+      q.processAllAvailable()
+      input.addData(all.drop(4).toIndexedSeq)     // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val outTable = new SnapTable(spark,
+      graft.TmpDirs.create("compact-out").toString, Seq("doc_id"))
+    val v = StreamingCuration.compactToTable(acceptedTable, raw, outTable,
+      "doc_id", "text", benchMod = 5)
+    assert(v.contains(1))
+    val compacted = outTable.read().get
+      .select("doc_id", "stop_mill").as[(Long, Long)].collect().toSet
+    val batchFunnel = CurationOps.curationFunnel(raw, "doc_id", "text",
+      benchMod = 5).as[(Long, Long)].collect().toSet
+    assert(compacted == batchFunnel,
+      s"compaction ${compacted.toSeq.sorted} != funnel ${batchFunnel.toSeq.sorted}")
+    // and the stages did real work: dup 2 collapsed, bench 5/10 held out,
+    // contaminated 7 dropped, gibberish 4 gated
+    val ids = compacted.map(_._1)
+    assert(ids.contains(1L) && ids.contains(3L))
+    assert(!ids.exists(Set(2L, 4L, 5L, 7L, 10L)))
+    // re-running the compaction is idempotent (MERGE keyed by id)
+    StreamingCuration.compactToTable(acceptedTable, raw, outTable,
+      "doc_id", "text", benchMod = 5)
+    assert(outTable.read().get.select("doc_id", "stop_mill")
+      .as[(Long, Long)].collect().toSet == compacted)
   }
 }
