@@ -525,6 +525,68 @@ object SparkEntry {
           "src3" -> 0.0),
         defaultRate = 0.25)),
 
+    // Curation — deterministic train/holdout split + output sharding (the
+    // trainer-facing LAST step): split/shard/order from three DISJOINT md5
+    // slices of the id, shard_seq from a partitioned window — a pure
+    // function of the ids, no RNG state.
+    "q56_split_shard" -> ((s, dir) =>
+      CurationOps.splitAndShard(T(s, dir, "documents"), "doc_id",
+        holdoutRate = 0.10, nShards = 8)),
+
+    // Similarity — SemDeDup-style near-dup pairs via the IVF coarse
+    // quantizer: compare only within each cell (per-cell work
+    // (|corpus|/nlist)², never corpus²). centroids pinned to "first" so
+    // the oracle replays the cells; same 0.35 threshold as the exact q22,
+    // so the spec can bound the cell-boundary recall loss directly.
+    "q57_ivf_neardup" -> ((s, dir) =>
+      SimilarityOps.ivfNearDupPairs(T(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, nlist = 16,
+        centroids = "first")),
+
+    // Quality — per-stratum quantile gate: drop the worst 20% of each
+    // source by length; percent_rank is integer arithmetic divided once,
+    // so the oracle replays the gate bit-exactly (ties broken by id).
+    "q58_quantile_gate" -> ((s, dir) =>
+      CurationOps.qualityGateByQuantile(T(s, dir, "documents"),
+        "doc_id", "source", length(col("text")), dropBelow = 0.20)),
+
+    // Curation — within-document repeated-paragraph removal over bodies
+    // salted with a repeated nav block and a repeated text paragraph:
+    // first occurrences and the blank separator survive, repeats drop.
+    // Zero shuffle — the whole op is row-local higher-order expressions.
+    "q59_para_dedup" -> ((s, dir) => {
+      val nav = lit("nav menu home about")
+      val body = concat(
+        nav, lit("\n"),
+        col("text"), lit("\n"),
+        lit("\n"),
+        nav, lit("\n"),
+        lit("unique "), md5(col("doc_id").cast("string")), lit("\n"),
+        col("text"))
+      val docs = T(s, dir, "documents").select(col("doc_id"), body.as("body"))
+      CurationOps.dropRepeatedParagraphs(docs, "doc_id", "body")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_fp"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // Similarity — ONE Lloyd round over the "first" seeds, then the cell
+    // assignment. The refined centroids are exact checkable values
+    // because the mean is a fixed-point LONG reduction (floor(v·2^20)
+    // summed associatively, divided once) — the oracle replays the round
+    // in integer arithmetic and lands on bit-identical float centroids.
+    "q60_ivf_refined" -> ((s, dir) =>
+      SimilarityOps.ivfFitRefined(T(s, dir, "embeddings"), "vec_id",
+          "embedding", nlist = 16, centroids = "first", refineIters = 1)
+        .cells.select(col("neighbor_id").as("vec_id"), col("cell"))),
+
+    // Dedup — substring-granularity duplicate-span stats (Lee et al.
+    // 2022): per document, how many of its 20-token sliding spans occur
+    // verbatim anywhere else in the corpus (or again in itself). Docs
+    // shorter than the window report (0, 0) — the row survives.
+    "q61_dup_spans" -> ((s, dir) =>
+      DedupOps.duplicateSpanStats(T(s, dir, "documents"), "doc_id", "text",
+        window = 20)),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -952,6 +1014,117 @@ object SparkEntry {
              WHEN 'src2' THEN 'g'
              WHEN 'src3' THEN '00000000'
              ELSE '40000000' END""",
+
+    // split threshold = rateHex(0.10) = '19999999'; shard from hex chars
+    // 9-12 (an independent md5 slice), order key from chars 13-20
+    "q56_split_shard" ->
+      """WITH k AS (
+           SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
+             substring(md5(CAST(doc_id AS VARCHAR)), 13, 8) AS ord
+           FROM documents)
+         SELECT doc_id, split, shard,
+           CAST(row_number() OVER (PARTITION BY split, shard
+             ORDER BY ord, doc_id) AS BIGINT) AS shard_seq
+         FROM k""",
+
+    "q57_ivf_neardup" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c) t
+           WHERE rn = 1)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+
+    "q58_quantile_gate" ->
+      """SELECT doc_id, source, CAST(l AS BIGINT) AS score FROM (
+           SELECT doc_id, source, length(text) AS l,
+             percent_rank() OVER (PARTITION BY source
+               ORDER BY length(text), doc_id) AS pr
+           FROM documents) t
+         WHERE pr >= 0.20""",
+
+    "q59_para_dedup" ->
+      """WITH b AS (
+           SELECT doc_id,
+             'nav menu home about' || chr(10) || text || chr(10) || chr(10) ||
+             'nav menu home about' || chr(10) ||
+             'unique ' || md5(CAST(doc_id AS VARCHAR)) || chr(10) || text AS body
+           FROM documents),
+         p AS (SELECT doc_id, str_split(body, chr(10)) AS paras FROM b),
+         k AS (SELECT doc_id, paras,
+             list_filter(paras, (x, i) -> x = '' OR list_position(paras, x) = i) AS kept
+           FROM p)
+         SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_fp,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(paras) - len(kept) AS BIGINT) AS n_dropped
+         FROM k""",
+
+    // One Lloyd round replayed in integer arithmetic: fixed-point sums
+    // floor(v*2^20) are exact BIGINTs in both engines; the single
+    // double-divide + float cast then lands on bit-identical centroids,
+    // so the final assignment matches cell-for-cell.
+    "q60_ivf_refined" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         a0 AS (
+           SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent0 c) t
+           WHERE rn = 1),
+         u AS (
+           SELECT cell, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS fx
+           FROM a0),
+         m AS (SELECT cell, dim, sum(fx) AS sfx, count(*) AS n
+               FROM u GROUP BY cell, dim),
+         cent1 AS (
+           SELECT cell AS cid,
+             list(CAST(CAST(sfx AS DOUBLE) / n / 1048576 AS FLOAT) ORDER BY dim) AS cvec
+           FROM m GROUP BY cell),
+         centf AS (
+           SELECT cid, cvec FROM cent1
+           UNION ALL
+           SELECT cid, cvec FROM cent0
+           WHERE cid NOT IN (SELECT cid FROM cent1))
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+           FROM embeddings e CROSS JOIN centf c) t
+         WHERE rn = 1""",
+
+    "q61_dup_spans" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         sp0 AS (
+           SELECT doc_id, ts,
+             unnest(generate_series(1, len(ts) - 19)) AS i FROM tok),
+         sp AS (
+           SELECT doc_id,
+             md5(array_to_string(list_slice(ts, i, i + 19), ' ')) AS fp
+           FROM sp0),
+         freq AS (SELECT fp, count(*) AS cnt FROM sp GROUP BY fp),
+         per AS (SELECT s.doc_id, count(*) AS n_spans,
+                   count(CASE WHEN f.cnt > 1 THEN 1 END) AS n_dup
+                 FROM sp s JOIN freq f USING (fp) GROUP BY s.doc_id)
+         SELECT d.doc_id, CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

@@ -306,4 +306,121 @@ object CurationOps {
         Seq(idCol))
       .select(col(idCol), col("stop_mill"))
   }
+
+  /** Deterministic train/holdout split + output sharding — the LAST step
+    * of a curation pipeline, producing what the trainer actually reads:
+    * each document gets a `split` ("holdout" iff its 32-bit md5 slice
+    * sorts below [[rateHex]](holdoutRate), same monotone mechanism as
+    * [[stratifiedSampleRated]] — growing the holdout keeps it a superset),
+    * a `shard` in [0, nShards) from an INDEPENDENT md5 slice (hex chars
+    * 9–12, disjoint from the split slice, so split membership never skews
+    * shard balance), and `shard_seq` — the document's position within its
+    * (split, shard) file in md5 order, i.e. a deterministic global
+    * shuffle: adjacent input documents land in unrelated shard positions,
+    * which is exactly the decorrelation a training loader wants, yet the
+    * whole assignment is a pure function of the ids (rerun/resume/engine
+    * stable, no RNG state).
+    *
+    * Scale shape: the split/shard/order keys are scan-local codegen
+    * (three md5 slices); the only shuffle is the hash on (split, shard)
+    * feeding a PARTITIONED window of |corpus|/nShards rows — raise
+    * `nShards` to scale out (a 10^11-doc corpus at nShards = 2^20 sorts
+    * ~10^5 rows per window partition). Writing the result partitioned by
+    * (split, shard) then gives shuffle-free, individually-orderable
+    * training files.
+    */
+  def splitAndShard(docs: DataFrame, idCol: String, holdoutRate: Double,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hx = md5(col(idCol).cast("string"))
+    val withKeys = docs.select(
+      col(idCol),
+      when(substring(hx, 1, 8) < lit(rateHex(holdoutRate)), lit("holdout"))
+        .otherwise(lit("train")).as("split"),
+      pmod(conv(substring(hx, 9, 4), 16, 10).cast("long"), lit(nShards.toLong))
+        .as("shard"),
+      substring(hx, 13, 8).as("_ord"))
+    val w = Window.partitionBy(col("split"), col("shard"))
+      .orderBy(col("_ord"), col(idCol))
+    withKeys
+      .withColumn("shard_seq", row_number().over(w).cast("long"))
+      .select(col(idCol), col("split"), col("shard"), col("shard_seq"))
+  }
+
+  /** Per-stratum quantile quality gate — "drop the worst `dropBelow`
+    * fraction of each language/source by score" (the FineWeb/CCNet-style
+    * calibration that replaces a hand-picked global threshold): a document
+    * survives iff its percent_rank within its stratum (ordered by score
+    * asc, id asc — ties broken deterministically) is ≥ `dropBelow`.
+    * percent_rank = (rank−1)/(n−1) is integer arithmetic divided once, so
+    * Spark and an oracle engine compute bit-identical values — the gate
+    * is exactly replayable, unlike an interpolated-percentile threshold.
+    *
+    * Scale shape: one shuffle + per-stratum sort (the window). With few
+    * mega-strata (a handful of languages over 10^11 docs) the sort
+    * dominates — use [[approxQualityGate]] there: it computes one
+    * `approx_percentile` threshold row per stratum (map-side combinable
+    * sketch agg), broadcasts the tiny threshold table back, and filters
+    * scan-locally — no sort anywhere, at the cost of the sketch's rank
+    * error at the cut line (interior rows gate identically).
+    */
+  def qualityGateByQuantile(docs: DataFrame, idCol: String,
+      stratumCol: String, scoreExpr: Column, dropBelow: Double): DataFrame = {
+    val scored = docs.select(col(idCol), col(stratumCol),
+      scoreExpr.cast("long").as("score"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("score"), col(idCol))
+    scored
+      .withColumn("_pr", percent_rank().over(w))
+      .where(col("_pr") >= dropBelow)
+      .select(col(idCol), col(stratumCol), col("score"))
+  }
+
+  /** Sketch-based form of [[qualityGateByQuantile]] for mega-strata: per
+    * stratum, keep rows with score ≥ the approx `dropBelow`-quantile.
+    * One agg + a broadcast join + a scan-local filter — no window, no
+    * sort; `accuracy` is Spark's approx_percentile knob (1/accuracy
+    * relative rank error). Not oracle-replayable (the sketch is
+    * engine-specific); CurationOpsSpec bounds its disagreement with the
+    * exact gate instead.
+    */
+  def approxQualityGate(docs: DataFrame, idCol: String, stratumCol: String,
+      scoreExpr: Column, dropBelow: Double, accuracy: Int = 10000): DataFrame = {
+    val scored = docs.select(col(idCol), col(stratumCol),
+      scoreExpr.cast("long").as("score"))
+    val thresholds = scored
+      .groupBy(col(stratumCol))
+      .agg(approx_percentile(col("score"), lit(dropBelow), lit(accuracy))
+        .as("_thr"))
+    scored.join(broadcast(thresholds), Seq(stratumCol))
+      .where(col("score") >= col("_thr"))
+      .select(col(idCol), col(stratumCol), col("score"))
+  }
+
+  /** Within-document repeated-paragraph removal — the scan-local sibling
+    * of [[dropCommonLines]]: inside EACH document, keep only the first
+    * occurrence of every exact-duplicate paragraph (templated pages
+    * repeat their own nav/footer blocks between sections; C4 drops
+    * dedupes at the line level, this is the paragraph-granularity form
+    * that never looks outside the row). Blank paragraphs are structural
+    * (they are the separators' residue) and are never deduped. Returns
+    * `(idCol, clean_text, n_kept, n_dropped)`.
+    *
+    * Scale shape: ZERO shuffle — split, first-occurrence filter
+    * (`array_position(paras, p) = i+1`, a pure higher-order expression),
+    * and reassembly all happen inside the row within whole-stage codegen;
+    * the op composes with any scan without changing its partitioning.
+    * Per-row cost is O(paragraphs²) compares — bounded by document size,
+    * never by corpus size.
+    */
+  def dropRepeatedParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(paras, (p, i) =>
+      p === lit("") || array_position(paras, p) === (i + 1).cast("long"))
+    docs.select(col(idCol),
+        array_join(kept, sep).as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(paras) - size(kept)).cast("long").as("n_dropped"))
+  }
 }

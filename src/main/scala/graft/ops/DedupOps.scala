@@ -260,6 +260,11 @@ object DedupOps {
     * shuffle on id. Near-dup components are tiny (bands connect most pairs
     * directly), so rounds ≈ component diameter ≤ `maxIters`; the loop exits
     * early on convergence (a count of changed labels — O(1) driver data).
+    * The loop runs over the ACTIVE SET only — edge endpoints — because an
+    * unpaired doc can never change label; at corpus scale that shrinks
+    * every round's joins, checkpoints, and convergence counts from
+    * |corpus| to |paired docs| (usually a small fraction), with one final
+    * left join gluing singletons back as their own cluster.
     *
     * Each iteration goes through an EAGER `localCheckpoint`, not `cache`:
     * a cached frame keeps its full logical plan, so iteration k's plan
@@ -267,35 +272,60 @@ object DedupOps {
     * grows O(iters²) and q43-style compositions hit six-figure plan line
     * counts. Checkpointing flattens each round to a LogicalRDD, keeping
     * per-round optimizer work constant — the same reason GraphX/
-    * GraphFrames connected components checkpoint periodically. Tradeoff
-    * (documented, accepted): checkpointed rounds aren't recomputable on
-    * executor loss — the frames are (id, lbl) pairs, tiny next to the
-    * corpus, and MEMORY_AND_DISK-persisted; superseded rounds are freed
-    * by the ContextCleaner as the loop drops its references.
+    * GraphFrames connected components checkpoint periodically.
+    *
+    * The default `localCheckpoint` rounds aren't recomputable on executor
+    * loss — fine on a stable cluster (the frames are (id, lbl) pairs,
+    * tiny next to the corpus, MEMORY_AND_DISK-persisted; superseded
+    * rounds are freed by the ContextCleaner as the loop drops its
+    * references). A 100×-scale run on PREEMPTIBLE executors should pass
+    * `checkpointDir` instead: each round then goes through a reliable
+    * `Dataset.checkpoint` to shared storage, so a lost executor re-reads
+    * the round's files rather than failing the job — the GraphFrames-
+    * recommended posture for iterative jobs on spot fleets. Same labels
+    * either way (DedupQualitySpec pins reliable ≡ local).
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    val ck: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint(true) else _.localCheckpoint(true)
+    val edges = ck(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"))
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .distinct())
+    val docIds = docs.select(col(idCol).as("id"))
+    // Active-set restriction: only docs incident to an edge can EVER
+    // change label under min-label propagation, so the iterative joins,
+    // checkpoints, and convergence counts run over edge endpoints only —
+    // at corpus scale the near-dup-paired subset is a small fraction of
+    // the corpus, and carrying the untouched 90% through every round's
+    // left join + count action is pure waste. Untouched docs are glued
+    // back as their own singleton cluster with ONE left join at the end.
+    // The left_semi keeps a pair endpoint that is not in `docs` inert
+    // (labelless), exactly as it was when labels started from `docs`.
+    var labels = ck(edges.select(col("src").as("id")).distinct()
+      .join(docIds, Seq("id"), "left_semi")
+      .withColumn("lbl", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))
-      val next = labels.join(viaEdges, Seq("id"), "left_outer")
-        .select(col("id"), least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+      // the change flag is computed IN the projection that builds the
+      // round (lbl never null, so least/=!= are null-safe here): counting
+      // changes is then a filter over the round's checkpoint instead of a
+      // whole extra shuffle join of next against labels
+      val newLbl = least(col("lbl"), coalesce(col("minNbr"), col("lbl")))
+      val next = ck(labels.join(viaEdges, Seq("id"), "left_outer")
+        .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("lbl")).as("_chg")))
+      val changed = next.where(col("_chg")).count()
+      labels = next.drop("_chg")
       converged = changed == 0
       it += 1
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    docIds.join(labels, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster"))
   }
 
   /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
@@ -321,6 +351,46 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Exact duplicate-span statistics — the substring-granularity dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a document pair can be far apart as whole documents
+    * yet share a verbatim 50-token boilerplate run that the model then
+    * memorizes. For every `window`-token span (tokenized like
+    * [[graft.ops.TextOps.shingles]] — lowercased whitespace tokens), count
+    * corpus-wide occurrences of its fingerprint and report per document
+    * how many of its spans are duplicated ANYWHERE (including within the
+    * same document). Returns (idCol, n_spans, n_dup_spans); documents
+    * shorter than `window` tokens report (0, 0), not a dropped row.
+    *
+    * The reference algorithm is a suffix array; the relational form —
+    * sliding-window fingerprints through a count — detects exactly the
+    * same condition ("some duplicated substring of ≥ window tokens covers
+    * this position") with ops Catalyst can partition: the md5 is the
+    * span's identity, so only 32-hex strings travel, never text.
+    *
+    * 100 TB shape: three shuffles, each skew-tolerant — (1) the frequency
+    * count is a hash agg on fp with map-side combine (a boilerplate span
+    * repeated 10^8 times still arrives as per-partition partials); (2) the
+    * spans⋈freq equi-join on fp is AQE-skew-splittable; (3) the final
+    * per-doc rollup keys on near-unique ids. Span explosion is ~|tokens|
+    * rows/doc — the inherent cost of substring-level detection (the suffix
+    * array pays the same linear factor).
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 50): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spans = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode_outer(transform(TextOps.shingles(col(textCol), window),
+          s => md5(s))).as("fp"))
+    val freq = spans.where(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(count(lit(1)).as("_cnt"))
+    spans.join(freq, Seq("fp"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("fp")).as("n_spans"),
+        count(when(col("_cnt") > 1, lit(1))).as("n_dup_spans"))
   }
 
   /** Keep-one policy over exact groups: retain min id per fingerprint. */

@@ -135,6 +135,35 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs via the IVF coarse quantizer:
+    * fit [[ivfFit]] once, then compare only WITHIN each cell — per-cell
+    * work is (|corpus|/nlist)² instead of |corpus|², and the only shuffle
+    * is the short cell key (then a self equi-join per cell, AQE-splittable
+    * on a skewed mega-cell). This is the sub-quadratic scale path for
+    * [[blockedNearDupPairs]]' exact blocked join: recall < 1 exactly at
+    * cell boundaries (a pair split across two cells is never compared —
+    * the SemDeDup tradeoff, bounded in DedupQualitySpec against the exact
+    * pair set), precision 1 (every emitted pair passed the true cosine
+    * test). Each vector lives in exactly one cell, so no pair dedup pass
+    * is needed. Deterministic throughout — same centroids, same cells,
+    * same pairs on every run and engine; q57 pins `centroids = "first"`
+    * so the DuckDB oracle replays the cells, production default stays
+    * `"spread"`.
+    */
+  def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16,
+      centroids: String = "spread"): DataFrame = {
+    val cells = ivfFit(emb, idCol, vecCol, nlist, centroids).cells
+    val a = cells.select(col("cell"), col("neighbor_id").as("id_a"),
+      col("nvec").as("_va"))
+    val b = cells.select(col("cell"), col("neighbor_id").as("id_b"),
+      col("nvec").as("_vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Scala-side double cosine (same accumulation order as [[cosine]]). */
   private def vecCosine(a: Array[Float], b: Array[Float]): Double = {
     var dot, na, nb = 0.0
@@ -155,10 +184,13 @@ object SimilarityOps {
     * `nprobe` nearest cells, and candidates re-rank exactly — per-query
     * work ≈ |corpus|·nprobe/nlist instead of |corpus|.
     *
-    * The quantizer is deterministic (the `nlist` lowest-id corpus vectors
-    * — a sampled quantizer, no Lloyd iterations whose float reductions
-    * would make centroids partitioning-dependent), so the result is an
+    * The quantizer is deterministic (a sampled quantizer — `nlist` corpus
+    * vectors chosen by a pure id function, no float-reduction Lloyd pass
+    * whose result would be partitioning-dependent), so the result is an
     * exact checkable value: the DuckDB oracle recomputes the same cells.
+    * For a Lloyd-refined quantizer that KEEPS determinism (fixed-point
+    * long reduction), fit with [[ivfFitRefined]] and serve via
+    * [[ivfQuery]].
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -169,8 +201,9 @@ object SimilarityOps {
         * collapse all centroids into one region; or `"first"` = lowest-id
         * vectors — trivially oracle-replicable, which is why q36 pins it
         * explicitly. IvfSpec measures spread-recall ≥ first-recall on an
-        * id-ordered corpus; a k-means refinement pass is the further
-        * upgrade once a trainer stage exists.
+        * id-ordered corpus; [[ivfFitRefined]] is the k-means upgrade —
+        * Lloyd rounds made partitioning-independent by a fixed-point long
+        * reduction.
         */
       centroids: String = "spread"): DataFrame =
     ivfQuery(ivfFit(corpus, idCol, vecCol, nlist, centroids),
@@ -194,23 +227,115 @@ object SimilarityOps {
     */
   def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, centroids: String = "spread"): IvfIndex = {
+    val cents = seedCents(corpus, idCol, vecCol, nlist, centroids)
+    IvfIndex(cents.toSeq, assignCells(corpus, idCol, vecCol, cents))
+  }
+
+  /** Deterministic seed centroids: the `nlist` corpus vectors that sort
+    * first under the quantizer order (`"spread"` = xxhash64(id) — id-
+    * decorrelated; `"first"` = lowest id — trivially oracle-replayable).
+    */
+  private def seedCents(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, centroids: String): Array[(Long, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centOrder = centroids match {
       case "spread" => Seq(xxhash64(col(idCol).cast("long")), col(idCol).cast("long"))
       case _ => Seq(col(idCol).cast("long"))
     }
-    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(centOrder: _*).limit(nlist)
       .as[(Long, Array[Float])].collect()
+  }
+
+  /** One corpus scan assigning every vector to its nearest centroid; the
+    * assignment travels with the vector, so serving joins shuffle only the
+    * short cell key.
+    */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cb = spark.sparkContext.broadcast(cents)
-    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, vec) =>
         (id, vec, nearestCells(cb.value, vec, 1).head)
       })
       .toDF("neighbor_id", "nvec", "cell")
-    IvfIndex(cents.toSeq, assigned)
+  }
+
+  /** Fixed-point scale for the Lloyd reduction: centroid sums accumulate
+    * `floor(v · 2^20)` as LONGS, whose addition is associative — the mean
+    * is bit-identical under any partitioning (the reason [[ivfTopK]]'s doc
+    * ruled out a float-reduction Lloyd pass) and exactly replayable by an
+    * integer-arithmetic oracle. `floor`, not `round`: Java half-up vs
+    * DuckDB half-away-from-zero diverge on exact .5 fixed-point values.
+    * Quantization error ≤ 2^-20 per coordinate — noise next to the
+    * embedding's own float precision. Overflow headroom: |v| ≲ 1 ⇒ a cell
+    * can hold ~2^43 vectors before a long sum wraps.
+    */
+  private val LloydScale = 1L << 20
+
+  /** Lloyd-refined IVF fit — the k-means upgrade [[ivfTopK]]'s doc
+    * anticipates: start from the deterministic seeds, then `refineIters`
+    * rounds of assign → recompute each centroid as its cell's elementwise
+    * mean. Refined centroids tighten cells around the corpus's actual
+    * density (seeds are corpus vectors — a seed landing in a cluster gap
+    * leaves a mega-cell that [[ivfQuery]] then scans per probe).
+    *
+    * Deterministic throughout: seeds are hash-ordered corpus vectors, the
+    * mean uses the [[LloydScale]] fixed-point long reduction
+    * (partitioning-independent), and empty cells keep their previous
+    * centroid (no re-seeding RNG). `refineIters = 0` degenerates to
+    * [[ivfFit]] exactly. Cell ids stay the seed ids, so downstream
+    * tie-breaks ([[nearestCells]] cid-asc) are unchanged.
+    *
+    * Scale shape: each round is ONE corpus scan emitting ≤ nlist partial
+    * rows per partition (count + long-sum vector — map-side combine by
+    * construction), merged associatively; only the final ≤ nlist rows
+    * reach the driver. Total fit cost ≈ (refineIters + 1) corpus scans.
+    */
+  def ivfFitRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, centroids: String = "spread",
+      refineIters: Int = 3): IvfIndex = {
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var cents = seedCents(corpus, idCol, vecCol, nlist, centroids)
+    for (_ <- 0 until refineIters) {
+      val cb = spark.sparkContext.broadcast(cents)
+      val partials = vecs.mapPartitions { it =>
+        val acc = scala.collection.mutable.LongMap.empty[(Long, Array[Long])]
+        it.foreach { case (_, v) =>
+          val c = nearestCells(cb.value, v, 1).head
+          val (n, s) = acc.getOrElseUpdate(c, (0L, new Array[Long](v.length)))
+          var i = 0
+          while (i < v.length) {
+            s(i) += math.floor(v(i).toDouble * LloydScale).toLong
+            i += 1
+          }
+          acc(c) = (n + 1L, s)
+        }
+        acc.iterator.map { case (c, (n, s)) => (c, n, s) }
+      }
+      val merged = partials.groupByKey(_._1).reduceGroups { (a, b) =>
+        val s = a._3.clone()
+        var i = 0
+        while (i < s.length) { s(i) += b._3(i); i += 1 }
+        (a._1, a._2 + b._2, s)
+      }.map(_._2).collect().map(r => r._1 -> (r._2, r._3)).toMap
+      cents = cents.map { case (cid, old) =>
+        merged.get(cid) match {
+          case Some((n, s)) if n > 0L =>
+            (cid, s.map(x => (x.toDouble / n / LloydScale).toFloat))
+          case _ => (cid, old) // empty cell: keep the previous centroid
+        }
+      }
+    }
+    IvfIndex(cents.toSeq, assignCells(corpus, idCol, vecCol, cents))
   }
 
   /** Serve one query batch from a fitted index: each query probes its

@@ -183,6 +183,106 @@ class CurationOpsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("splitAndShard: monotone holdout, independent balanced shards, dense shard_seq") {
+    val docs = (0L until 20000L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val out = CurationOps.splitAndShard(docs, "doc_id", holdoutRate = 0.10, nShards = 8)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.size == 20000)
+    // realized holdout fraction tracks the requested rate
+    val hold = out.filter(_._2 == "holdout").map(_._1).toSet
+    assert(math.abs(hold.size / 20000.0 - 0.10) < 0.01, s"holdout ${hold.size}")
+    // growing the rate keeps the holdout a SUPERSET (md5-threshold mechanics)
+    val hold20 = CurationOps.splitAndShard(docs, "doc_id", 0.20, 8)
+      .as[(Long, String, Long, Long)].collect()
+      .filter(_._2 == "holdout").map(_._1).toSet
+    assert(hold.subsetOf(hold20) && hold.size < hold20.size)
+    // the shard slice is DISJOINT from the split slice: each document's
+    // shard is identical under both rates (split membership can't skew it)
+    val shardAt10 = out.map(r => r._1 -> r._3).toMap
+    val shardAt20 = CurationOps.splitAndShard(docs, "doc_id", 0.20, 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(shardAt10 == shardAt20)
+    // shards are roughly balanced within each split
+    out.groupBy(r => (r._2, r._3)).foreach { case ((split, shard), rs) =>
+      val expect = (if (split == "holdout") hold.size else 20000 - hold.size) / 8.0
+      assert(math.abs(rs.size - expect) < expect * 0.2,
+        s"($split,$shard): ${rs.size} vs ≈$expect")
+    }
+    // shard_seq is a dense 1..n ranking inside every (split, shard) file
+    out.groupBy(r => (r._2, r._3)).foreach { case (k, rs) =>
+      assert(rs.map(_._4).sorted == (1L to rs.size).toSeq, s"seq gap in $k")
+    }
+    // ...and decorrelated from input order: adjacent ids don't get
+    // adjacent positions (the md5 order key is a deterministic shuffle)
+    val trainS0 = out.filter(r => r._2 == "train" && r._3 == 0L).sortBy(_._4)
+    assert(trainS0.sliding(2).count { case Seq(a, b) => b._1 == a._1 + 1 } <
+      trainS0.size / 10)
+    // plan: the only window is PARTITIONED by (split, shard)
+    val plan = CurationOps.splitAndShard(docs, "doc_id", 0.10, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window:\n$plan")
+  }
+
+  test("qualityGateByQuantile drops exactly the worst dropBelow fraction per stratum") {
+    // 10 docs per stratum with distinct scores: pr = (rank-1)/9, keep
+    // pr >= 0.2 → ranks 3..10 → exactly 8 survivors, the 2 lowest drop
+    val docs = (0L until 30L).map(i => (i, s"s${i % 3}", "x" * (1 + (i / 3).toInt)))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.qualityGateByQuantile(docs, "doc_id", "source",
+      length(col("text")), dropBelow = 0.2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.size == 24)
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.size == 8, s"$src kept ${rs.size}")
+      // the dropped two are the shortest: ids i with i/3 in {0,1}
+      assert(rs.forall(_._1 >= 6L), s"$src kept a bottom-quintile doc: $rs")
+    }
+    // determinism across partitionings
+    val again = CurationOps.qualityGateByQuantile(docs.repartition(7), "doc_id",
+      "source", length(col("text")), 0.2).as[(Long, String, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == out.sortBy(_._1))
+  }
+
+  test("approxQualityGate agrees with the exact gate away from the cut line, no sort in plan") {
+    val docs = (0L until 3000L).map(i => (i, s"s${i % 3}", "x" * (1 + (i % 997).toInt)))
+      .toDF("doc_id", "source", "text")
+    val exact = CurationOps.qualityGateByQuantile(docs, "doc_id", "source",
+      length(col("text")), dropBelow = 0.25)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    val approxDf = CurationOps.approxQualityGate(docs, "doc_id", "source",
+      length(col("text")), dropBelow = 0.25)
+    val approx = approxDf.as[(Long, String, Long)].collect().map(_._1).toSet
+    // the sketch may disagree only in a thin band at the cut line
+    val diff = (exact diff approx) union (approx diff exact)
+    assert(diff.size <= 3000 / 100, s"gates disagree on ${diff.size} docs")
+    // shape: one sketch agg + broadcast join back — no window, no sort
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("Window"),
+      s"approx gate plan:\n$plan")
+  }
+
+  test("dropRepeatedParagraphs keeps first occurrences and blanks, zero shuffle") {
+    val docs = Seq(
+      (1L, "x\nx\ny\n\nx\ny"),       // paras [x,x,y,'',x,y] → keep [x,y,'']
+      (2L, "solo"),                   // nothing repeated
+      (3L, "a\na\na")).toDF("doc_id", "body")
+    val out = CurationOps.dropRepeatedParagraphs(docs, "doc_id", "body")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "x\ny\n", 3L, 3L),
+      (2L, "solo", 1L, 0L),
+      (3L, "a", 1L, 2L)))
+    // custom separator: the sep is regex-quoted, not interpreted
+    val piped = Seq((1L, "p|q|p|q")).toDF("doc_id", "body")
+    val pOut = CurationOps.dropRepeatedParagraphs(piped, "doc_id", "body", sep = "|")
+      .as[(Long, String, Long, Long)].collect().head
+    assert(pOut == ((1L, "p|q", 2L, 2L)))
+    // row-local: no exchange anywhere
+    val plan = CurationOps.dropRepeatedParagraphs(docs, "doc_id", "body")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"paragraph dedup shuffles:\n$plan")
+  }
+
   test("curationFunnel output is a subset of every gate it composes") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")

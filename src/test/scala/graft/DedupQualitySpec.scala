@@ -102,6 +102,28 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(nearD < reshuffleD, s"near=$nearD not closer than reshuffle=$reshuffleD")
   }
 
+  test("duplicateSpanStats: hand-computed span counts, short docs survive as (0,0)") {
+    // window = 3 over whitespace-lowercased tokens:
+    //   d1 "a b c d e"      spans {abc, bcd, cde}
+    //   d2 "x y A B C D q"  spans {xya, yab, abc, bcd, cdq} — shares abc,
+    //                       bcd with d1 CASE-INSENSITIVELY
+    //   d3 "p p p p"        spans {ppp, ppp} — duplicated WITHIN the doc
+    //   d4 "s t"            shorter than the window → (0, 0), row kept
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y A B C D q"),
+      (3L, "p p p p"),
+      (4L, "s t")).toDF("doc_id", "text")
+    val out = DedupOps.duplicateSpanStats(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 2L), (2L, 5L, 2L), (3L, 2L, 2L), (4L, 0L, 0L)))
+    // partitioning-invariant, and never a cartesian plan
+    val again = DedupOps.duplicateSpanStats(docs.repartition(5), "doc_id",
+      "text", window = 3)
+    assert(again.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == out)
+    assert(!again.queryExecution.executedPlan.toString.contains("Cartesian"))
+  }
+
   test("dupClusters: transitive chains cluster together under min-label propagation") {
     import org.apache.spark.sql.functions.col
     // planted chain: A≈B, B≈C but A and C differ by 4 edits (may miss the
@@ -133,6 +155,58 @@ class DedupQualitySpec extends AnyFunSuite {
       assert(cl(i * 10L + 1) == i * 10L, s"exact copy of $i not clustered")
       assert(cl(i * 10L + 2) == i * 10L, s"near-dup of $i not clustered")
     }
+  }
+
+  test("dupClusters: reliable checkpointDir produces the same labels as localCheckpoint") {
+    val base = mkDoc(99L, words = 80)
+    val b = edit(base, 2, 991L)
+    val c = edit(b, 2, 992L)
+    val docs = Seq((1L, base), (2L, b), (3L, c), (50L, mkDoc(7L)), (51L, mkDoc(8L)))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val local = DedupOps.dupClusters(docs, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // the preemptible-fleet posture: rounds go through Dataset.checkpoint
+    // to shared storage instead of executor-memory localCheckpoint —
+    // labels must be identical (the checkpoint mode is an availability
+    // knob, never a semantics knob)
+    val dir = graft.TmpDirs.create("dupclusters-ck").toString
+    val reliable = DedupOps.dupClusters(docs, pairs, "doc_id",
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(reliable == local, s"reliable $reliable != local $local")
+    // the checkpoint files actually went to the reliable dir
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, s"no checkpoint files in $dir")
+  }
+
+  test("ivfNearDupPairs: precision 1 vs the exact pair set, recall bounded, default is spread") {
+    // clustered fixture: within-cluster cosines are high, cross-cluster low
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val rows = for (cl <- 0 until 8; p <- 0 until 16)
+      yield ((cl * 16 + p).toLong, vec(cl, p))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.blockedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8).as[(Long, Long)].collect().toSet
+    assert(exact.size > 100, s"fixture too sparse: ${exact.size} exact pairs")
+    val ivf = SimilarityOps.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8, nlist = 8).as[(Long, Long)].collect().toSet
+    // precision 1: every emitted pair passed the true cosine test
+    assert(ivf.subsetOf(exact), s"false pairs: ${ivf diff exact}")
+    // the SemDeDup tradeoff is bounded: only cell-boundary pairs are lost
+    val recall = ivf.size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
+    // deterministic, and the argless default is the spread quantizer
+    assert(SimilarityOps.ivfNearDupPairs(emb.repartition(7), "vec_id", "embedding",
+      threshold = 0.8, nlist = 8).as[(Long, Long)].collect().toSet == ivf)
+    assert(SimilarityOps.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8, nlist = 8, centroids = "spread")
+      .as[(Long, Long)].collect().toSet == ivf)
   }
 
   test("IVF ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
@@ -234,6 +308,78 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(spreadMax < firstMax,
       s"spread max cell $spreadMax !< first max cell $firstMax — " +
         "the id-ordered degeneracy did not show, fixture broken")
+  }
+
+  test("ivfFitRefined: Lloyd rounds are partitioning-invariant and improve the quantizer") {
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val rows = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    // refineIters = 0 degenerates to the plain sampled fit EXACTLY
+    val seedIdx = SimilarityOps.ivfFit(emb, "vec_id", "embedding", nlist = 8,
+      centroids = "first")
+    val zero = SimilarityOps.ivfFitRefined(emb, "vec_id", "embedding",
+      nlist = 8, centroids = "first", refineIters = 0)
+    assert(zero.cents.map { case (c, v) => (c, v.toSeq) } ==
+      seedIdx.cents.map { case (c, v) => (c, v.toSeq) })
+    def cellsOf(idx: SimilarityOps.IvfIndex): Map[Long, Long] =
+      idx.cells.select($"neighbor_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(cellsOf(zero) == cellsOf(seedIdx))
+
+    // worst-case seeds: "first" picks ids 0..7 — ALL inside cluster 0.
+    // Lloyd rounds must pull centroids toward the corpus's density: the
+    // spherical-k-means objective (mean cosine of each vector to its
+    // assigned centroid) improves materially over the seed quantizer.
+    def objective(idx: SimilarityOps.IvfIndex): Double = {
+      val cents = idx.cents.toMap
+      val assigned = idx.cells.select($"neighbor_id", $"nvec", $"cell")
+        .as[(Long, Array[Float], Long)].collect()
+      assigned.map { case (_, v, c) =>
+        val cv = cents(c)
+        var dot, na, nb = 0.0
+        for (i <- v.indices) {
+          dot += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
+        }
+        dot / math.sqrt(na * nb)
+      }.sum / assigned.length
+    }
+    val refined = SimilarityOps.ivfFitRefined(emb, "vec_id", "embedding",
+      nlist = 8, centroids = "first", refineIters = 3)
+    val seedObj = objective(seedIdx)
+    val refObj = objective(refined)
+    assert(refObj > seedObj + 0.01,
+      s"Lloyd did not improve the quantizer: $refObj vs seed $seedObj")
+
+    // the fixed-point long reduction makes the rounds partitioning-
+    // independent: identical centroids AND cells from a 7-way repartition
+    val refined7 = SimilarityOps.ivfFitRefined(emb.repartition(7), "vec_id",
+      "embedding", nlist = 8, centroids = "first", refineIters = 3)
+    assert(refined7.cents.map { case (c, v) => (c, v.toSeq) } ==
+      refined.cents.map { case (c, v) => (c, v.toSeq) })
+    assert(cellsOf(refined7) == cellsOf(refined))
+
+    // the refined index still serves: recall@5 >= 0.6 via the same
+    // ivfQuery path the sampled index uses
+    val queries = emb.where($"vec_id" % 16 === 3)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SimilarityOps.ivfQuery(refined, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      got.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"refined IVF mean recall@5 = $mean")
   }
 
   test("IVF index: fit once, serve many; save/load round-trips exactly") {
