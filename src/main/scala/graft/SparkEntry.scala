@@ -587,6 +587,14 @@ object SparkEntry {
       DedupOps.duplicateSpanStats(T(s, dir, "documents"), "doc_id", "text",
         window = 20)),
 
+    // Dedup — the acting half: REMOVE all but the globally first
+    // occurrence of every duplicated 20-token span (keeper = min
+    // (doc_id, pos), so the rewrite is deterministic and the oracle
+    // replays it token-for-token). Case-sensitive verbatim matching.
+    "q62_drop_spans" -> ((s, dir) =>
+      DedupOps.dropDuplicateSpans(T(s, dir, "documents"), "doc_id", "text",
+        window = 20)),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -1125,6 +1133,33 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q62_drop_spans" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         o0 AS (SELECT doc_id, ts,
+                  unnest(generate_series(1, len(ts) - 19)) AS pos FROM tok),
+         occ AS (SELECT doc_id, pos,
+                  md5(array_to_string(list_slice(ts, pos, pos + 19), ' ')) AS fp
+                 FROM o0),
+         rk AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk,
+                  count(*) OVER (PARTITION BY fp) AS cnt
+                FROM occ),
+         cov AS (SELECT doc_id, unnest(generate_series(pos, pos + 19)) AS ti
+                 FROM rk WHERE cnt > 1 AND rk > 1),
+         covs AS (SELECT doc_id, list(DISTINCT ti) AS cv FROM cov GROUP BY doc_id)
+         SELECT t.doc_id,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL; a fully
+           -- removed doc must read as '' like Spark's array_join
+           COALESCE(array_to_string(CASE WHEN c.cv IS NULL THEN t.ts
+             ELSE list_filter(t.ts, (x, i) -> NOT list_contains(c.cv, i)) END,
+             ' '), '') AS clean_text,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cv), 0) AS BIGINT) AS n_removed
+         FROM tok t LEFT JOIN covs c USING (doc_id)""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

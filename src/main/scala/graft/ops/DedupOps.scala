@@ -393,6 +393,60 @@ object DedupOps {
         count(when(col("_cnt") > 1, lit(1))).as("n_dup_spans"))
   }
 
+  /** Duplicate-span REMOVAL — the acting half of [[duplicateSpanStats]]
+    * (Lee et al. 2022 exact-substring dedup): for every `window`-token
+    * span duplicated anywhere in the corpus, keep the single globally
+    * first occurrence (min (id, pos) — deterministic, engine-independent)
+    * and delete the covered tokens of every other occurrence. Runs of
+    * duplicated text longer than `window` dissolve naturally: each of
+    * their sliding windows is itself a duplicate, and removal is the
+    * UNION of covered token indices. Returns (idCol, clean_text,
+    * n_tokens, n_removed); `clean_text` is the surviving tokens joined
+    * by single spaces (whitespace canonicalized — for all docs, so the
+    * output column is uniform), sub-window docs pass through untouched.
+    *
+    * Matching is case-SENSITIVE verbatim (unlike the case-folded stats
+    * op: a detector wants recall, a destructive rewrite must not merge
+    * text that differs by case).
+    *
+    * 100 TB shape: same skew-tolerant skeleton as the stats op — span
+    * fps with positions (scan-local), ONE hash agg per fp carrying
+    * (count, min-occurrence) with map-side combine, an AQE-splittable
+    * spans⋈agg join, and two near-unique-key per-doc rollups. Only md5
+    * strings and integer positions shuffle; text is touched exactly
+    * twice (span build, final reassembly).
+    */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 50): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val base = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    // (id, pos, fp) for every window position; pos is 1-based
+    val occ = base.select(col(idCol),
+        explode(when(size(col("_toks")) >= window,
+          transform(sequence(lit(1), size(col("_toks")) - lit(window - 1)),
+            p => struct(p.as("pos"),
+              md5(concat_ws(" ", slice(col("_toks"), p, lit(window)))).as("fp"))))
+          .otherwise(array())).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.fp").as("fp"))
+    val agg = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(idCol), col("pos"))).as("_keep"))
+      .where(col("_cnt") > 1)
+    // non-keeper occurrences of duplicated fps → union of covered indices
+    val covered = occ.join(agg, Seq("fp"))
+      .where(col(idCol) =!= col(s"_keep.$idCol") || col("pos") =!= col("_keep.pos"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("ti"))
+      .groupBy(col(idCol)).agg(collect_set(col("ti")).as("_cov"))
+    base.join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        array_join(when(col("_cov").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"),
+            (t, i) => !array_contains(col("_cov"), i + 1))), " ").as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Keep-one policy over exact groups: retain min id per fingerprint. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextOps.normFingerprint(col(textCol)))

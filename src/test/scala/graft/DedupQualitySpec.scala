@@ -124,6 +124,39 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(!again.queryExecution.executedPlan.toString.contains("Cartesian"))
   }
 
+  test("dropDuplicateSpans keeps the globally first occurrence, removes every other") {
+    // window = 3, case-SENSITIVE tokens:
+    //   d1 "a b c d e f"       spans abc bcd cde def
+    //   d2 "z a b c d y"       shares abc (pos 2) and bcd (pos 3) with d1;
+    //                          d1 is keeper (min doc id) → d2 loses token
+    //                          indices {2,3,4} ∪ {3,4,5} → "z y"
+    //   d3 "p q r p q r p q r" within-doc run: every cyclic 3-gram repeats;
+    //                          first occurrences (pos 1..3) win, the rest
+    //                          covers indices 4..9 → "p q r"
+    //   d4 "s t"               sub-window → untouched
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d y"),
+      (3L, "p q r p q r p q r"),
+      (4L, "s t")).toDF("doc_id", "text")
+    val out = DedupOps.dropDuplicateSpans(docs, "doc_id", "text", window = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "a b c d e f", 6L, 0L),
+      (2L, "z y", 6L, 4L),
+      (3L, "p q r", 9L, 6L),
+      (4L, "s t", 2L, 0L)))
+    // case-sensitive: "A B C" does NOT match "a b c", nothing is removed
+    val cased = Seq((1L, "a b c d"), (2L, "A B C d")).toDF("doc_id", "text")
+    val cOut = DedupOps.dropDuplicateSpans(cased, "doc_id", "text", window = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cOut.forall(_._4 == 0L), s"case-folded removal: $cOut")
+    // partitioning-invariant
+    val again = DedupOps.dropDuplicateSpans(docs.repartition(5), "doc_id",
+      "text", window = 3).as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
   test("dupClusters: transitive chains cluster together under min-label propagation") {
     import org.apache.spark.sql.functions.col
     // planted chain: A≈B, B≈C but A and C differ by 4 edits (may miss the
