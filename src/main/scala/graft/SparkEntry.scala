@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.Canon
-import graft.ops.{CurationOps, DedupOps, MultiModalOps, PiiOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, LinkOps, MultiModalOps, PiiOps, SimilarityOps, TextOps}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
@@ -595,6 +595,50 @@ object SparkEntry {
       DedupOps.dropDuplicateSpans(T(s, dir, "documents"), "doc_id", "text",
         window = 20)),
 
+    // Web text — regex-tier HTML→prose extraction over deterministically
+    // HTML-wrapped bodies: script/style blocks (content is code, not
+    // text), comments, and tags strip in that order, entities decode one
+    // level (&amp; last), whitespace collapses. Pure scan-local codegen —
+    // zero shuffle; the oracle replays the identical regexp chain with
+    // the 'g' flag.
+    "q63_html_text" -> ((s, dir) => {
+      val body = concat(
+        lit("<html><!-- nav <p>skip</p> --><head><script type=\"text/javascript\">var x = 1 < 2 && \"</div>\";</script><style>p{margin:0}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\">Home &amp; About&nbsp;&lt;b&gt;&quot;now&quot;&#39;s</div></body></html>"))
+      val plain = TextOps.htmlToText(body)
+      T(s, dir, "documents").select(col("doc_id"), plain.as("plain_text"),
+        length(plain).cast("long").as("n_chars"))
+    }),
+
+    // Web graph — fixed-iteration PageRank over the host link graph in
+    // BIGINT micros (floor division throughout, so DuckDB replays every
+    // step bit-exactly): each doc's host links its successor's host (a
+    // chain), a global hub, and a per-doc mail host; hub and mail hosts
+    // are dangling. 3 damped iterations.
+    "q64_host_rank" -> ((s, dir) => {
+      val id6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+      val id6n = substring(md5((col("doc_id") + 1).cast("string")), 1, 6)
+      val id6b = substring(md5(col("doc_id").cast("string")), 7, 6)
+      val body = concat(
+        lit("see https://d"), id6n, lit(".example.cz/next"),
+        lit(" hub https://hub.example.cz/"),
+        lit(" mail http://m"), id6b, lit(".cz/x"))
+      val edges = T(s, dir, "documents").select(
+        concat(lit("d"), id6, lit(".example.cz")).as("src"),
+        explode(LinkOps.extractedHosts(body)).as("dst"))
+      LinkOps.hostRank(edges, "src", "dst", iters = 3)
+    }),
+
+    // Vocabulary — corpus word counts thresholded at minCount and
+    // deterministically truncated (cnt desc, token asc — a total order):
+    // the first stage of tokenizer training. One map-side-combinable
+    // hash agg, then TakeOrdered (no global sort shuffle).
+    "q65_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(T(s, dir, "documents"), "text", minCount = 2L,
+        topN = 50)),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -1160,6 +1204,63 @@ object SparkEntry {
            CAST(len(t.ts) AS BIGINT) AS n_tokens,
            CAST(COALESCE(len(c.cv), 0) AS BIGINT) AS n_removed
          FROM tok t LEFT JOIN covs c USING (doc_id)""",
+
+    "q63_html_text" ->
+      """WITH b AS (SELECT doc_id,
+           concat('<html><!-- nav <p>skip</p> --><head><script type="text/javascript">var x = 1 < 2 && "</div>";</script><style>p{margin:0}</style></head><body><h1>Doc ',
+             CAST(doc_id AS VARCHAR), '</h1><p>', text,
+             '</p><div class="nav">Home &amp; About&nbsp;&lt;b&gt;&quot;now&quot;&#39;s</div></body></html>') AS body
+         FROM documents),
+         s4 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(body,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]*>', ' ', 'g') AS t FROM b),
+         s5 AS (SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS plain_text FROM s4)
+         SELECT doc_id, plain_text,
+           CAST(length(plain_text) AS BIGINT) AS n_chars FROM s5""",
+
+    "q64_host_rank" ->
+      """WITH b AS (SELECT
+           'd' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '.example.cz' AS src,
+           concat('see https://d', substr(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 6),
+             '.example.cz/next', ' hub https://hub.example.cz/',
+             ' mail http://m', substr(md5(CAST(doc_id AS VARCHAR)), 7, 6), '.cz/x') AS body
+         FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(regexp_extract_all(lower(body),
+             'https?://([a-z0-9.-]+\.[a-z]{2,})', 1)) AS dst FROM b)),
+         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         ew AS (SELECT e.src, e.dst, d.outdeg FROM e
+           JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY src) d USING (src)),
+         it0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         it1 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it0 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host),
+         it2 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it1 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host),
+         it3 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it2 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host)
+         SELECT host, r AS rank_micro FROM it3""",
+
+    "q65_vocab" ->
+      """WITH tok AS (SELECT unnest(list_filter(str_split_regex(text, '\s+'),
+             x -> x <> '')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token
+           HAVING count(*) >= 2)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
+         ORDER BY cnt DESC, token LIMIT 50""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

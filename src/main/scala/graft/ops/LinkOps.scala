@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL / hostname extraction for crawl frontier discovery and corpus link
@@ -58,5 +58,58 @@ object LinkOps {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     UrlHostRegex.findAllMatchIn(lower).foreach(m => out += m.group(1))
     out.toSeq
+  }
+
+  // ------------------------------------------------------------ host rank
+
+  /** Fixed-iteration PageRank over a host link graph, integer MICROS
+    * end-to-end so any engine replays it bit-exactly (the same
+    * derandomization discipline as the md5 sampling family): rank is a
+    * BIGINT scaled by 10^6, initialized to 1e6 per node, and each round
+    * computes
+    *
+    *   r'(v) = 150000 + (850 · Σ_u r(u) div outdeg(u)) div 1000
+    *
+    * — damping 0.85 with FLOOR division throughout. Every operand is
+    * positive, so Spark's `div` and DuckDB's `//` agree on every step.
+    * Multi-edges collapse first (`distinct`); dangling hosts (no
+    * out-links) leak their mass each round, the standard fixed-iteration
+    * simplification (a teleport-mass correction is a constant shift that
+    * does not change the ordering this operator exists to produce).
+    * `iters` is a caller-fixed constant, not convergence-tested, so the
+    * plan is a statically unrolled chain — no driver-side loop state.
+    *
+    * 100 TB shape: edge dedup and out-degree are each ONE hash aggregate
+    * with map-side combine; per iteration, contributions are an
+    * edges⋈ranks equi-join on `src` (bucket the edge table by src to
+    * co-locate every round and kill the per-round shuffle), the
+    * dst-rollup is a map-side-combinable sum (a 10^8-in-link hub arrives
+    * at its reducer as O(partitions) partials), and the node re-join is
+    * on the near-unique host key. Only (host, BIGINT) pairs ever shuffle;
+    * document text never enters the loop.
+    */
+  def hostRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // nodes and the degree-annotated edge list appear in EVERY unrolled
+    // iteration; persist them so the (possibly corpus-derived) edge
+    // subtree is computed once, not once per round. Both are small —
+    // (host) and (src, dst, outdeg) strings+long — and spill-safe.
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("host"))
+        .select(col("dst").as("host"), expr("rank_micro div outdeg").as("c"))
+        .groupBy("host").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("host"), "left_outer")
+        .select(col("host"), (lit(150000L) +
+          expr("(850 * coalesce(s, cast(0 as bigint))) div 1000")).as("rank_micro"))
+    }
+    ranks
   }
 }

@@ -340,4 +340,62 @@ object TextOps {
     val (best, score) = scores.maxBy { case (l, s) => (s, l) }
     if (score == 0) "und" else best
   }
+
+  // ------------------------------------------------- html text extraction
+
+  /** Regex-tier HTML→text extraction — the crawl→training-data bridge
+    * (the reference stores fetched HTML verbatim, `crawl/web.py`; a corpus
+    * pipeline re-extracts prose from it at read time): strip
+    * `<script>`/`<style>` blocks first (their CONTENT is code, not text,
+    * and may contain literal `</div>`-style strings), then comments, then
+    * every remaining tag, decode the six entities that dominate web text
+    * (`&amp;` LAST, so double-encoded text decodes exactly one level —
+    * the standard double-decode guard), and collapse whitespace.
+    *
+    * Entirely scan-local codegen (regexp chain + literal `replace`s) —
+    * ZERO shuffle at any corpus size; DuckDB replays every regexp with
+    * the `g` flag and identical inline `(?is)` options (both engines'
+    * regex dialects support lazy quantifiers and inline flags here).
+    *
+    * Documented caveat, inherent to regex-tier extraction: a bare
+    * unescaped `<` in prose swallows text up to the next `>`. Production
+    * fetch leaves front a tolerant parser; this operator is the
+    * deterministic relational tier for corpus-scale RE-extraction.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // ----------------------------------------------------------- vocabulary
+
+  /** Corpus word-frequency vocabulary — the first stage of tokenizer
+    * training: whitespace tokens → global counts, thresholded at
+    * `minCount`, truncated to the `topN` most frequent. Ties break by
+    * token ascending — a TOTAL order (token is unique after the groupBy),
+    * so the cut line is deterministic and engine-independent.
+    *
+    * 100 TB shape: the explode never materializes a (doc, token) pair
+    * past the scan — counting is ONE hash aggregate with map-side partial
+    * combine, so a 10^8-occurrence stopword arrives at its reducer as
+    * O(partitions) partials (skew-proof by construction); the surviving
+    * vocab is lexicon-sized, and the top-N cut compiles to TakeOrdered
+    * (per-partition heaps, no global sort shuffle).
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 2L, topN: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN > 0, s"topN must be positive, got $topN")
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{LinkOps, TextOps}
+
+/** Web-graph and web-text operators: fixed-point integer PageRank
+  * ([[LinkOps.hostRank]]), regex-tier HTML extraction
+  * ([[TextOps.htmlToText]]), and the tokenizer-training vocabulary
+  * ([[TextOps.vocabulary]]). Every expected value below is hand-computed.
+  */
+class WebGraphSpec extends AnyFunSuite {
+
+  private def spark = SparkSessionFixture.spark
+
+  test("hostRank: hand-computed 3-node cycle, two iterations") {
+    val s = spark; import s.implicits._
+    // a→b, a→c, b→c, c→a; outdeg a=2, b=1, c=1; r0 = 1e6 each.
+    // iter1: r(a)=150000+850*1000000/1000=1000000
+    //        r(b)=150000+850*(1000000 div 2)/1000=575000
+    //        r(c)=150000+850*(500000+1000000)/1000=1425000
+    // iter2: r(a)=150000+850*1425000 div 1000=1361250
+    //        r(b)=575000   r(c)=150000+850*(500000+575000) div 1000=1063750
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val out = LinkOps.hostRank(edges, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1361250L, "b" -> 575000L, "c" -> 1063750L))
+    // iters = 0 is the initial uniform mass
+    val init = LinkOps.hostRank(edges, "src", "dst", iters = 0)
+      .as[(String, Long)].collect().toMap
+    assert(init == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+  }
+
+  test("hostRank: dangling host leaks mass; floor division on odd outdeg") {
+    val s = spark; import s.implicits._
+    // a→d only: d is dangling, a gets no in-links → after one round
+    // a = 150000 (pure teleport), d = 150000 + 850*1000000/1000 = 1000000
+    val dangle = Seq(("a", "d")).toDF("src", "dst")
+    val d1 = LinkOps.hostRank(dangle, "src", "dst", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(d1 == Map("a" -> 150000L, "d" -> 1000000L))
+    // outdeg 3: each contribution is 1000000 div 3 = 333333 (floored),
+    // so r1(target) = 150000 + (850*333333) div 1000 = 433333
+    val odd = Seq(("a", "b"), ("a", "c"), ("a", "e")).toDF("src", "dst")
+    val o1 = LinkOps.hostRank(odd, "src", "dst", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(o1("b") == 433333L && o1("c") == 433333L && o1("e") == 433333L)
+    assert(o1("a") == 150000L)
+  }
+
+  test("hostRank: multi-edges collapse; partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val out = LinkOps.hostRank(edges, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    // duplicate a→b must not double a's outdeg or b's in-mass
+    assert(out == Map("a" -> 1361250L, "b" -> 575000L, "c" -> 1063750L))
+    val again = LinkOps.hostRank(edges.repartition(7), "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(again == out)
+  }
+
+  test("htmlToText: scripts/styles/comments/tags stripped, entities decoded one level") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // script content (with a literal "</div>" string inside) and style
+      // and comment (with tags inside) all vanish; tags drop; text joins
+      ("""<html><!-- nav <p>skip</p> --><head><script type="a">var a = 1 < 2 && "</div>";</script><style>p{margin:0}</style></head><body><h1>T</h1><p>hello world</p></body></html>""",
+        "T hello world"),
+      // entity decode, &amp; last: double-encoded decodes exactly one level
+      ("a &amp;amp; b &lt;b&gt;&nbsp;&quot;q&quot; it&#39;s", "a &amp; b <b> \"q\" it's"),
+      // whitespace collapse + trim
+      ("  <p>a</p>\n\t<p>b</p>  ", "a b"),
+      // documented caveat: a bare unescaped < swallows up to the next >
+      ("a < b > c", "a c"))
+    val out = cases.map(_._1).toDF("h")
+      .select(TextOps.htmlToText(org.apache.spark.sql.functions.col("h")))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("vocabulary: counts, minCount threshold, deterministic topN cut") {
+    val s = spark; import s.implicits._
+    // a:3 b:2 d:2 c:1 → minCount=2 keeps {a,b,d}; topN=2 cuts at
+    // (cnt desc, token asc) → a(3), b(2) — d(2) loses the tie to b
+    val docs = Seq((1L, "a b a"), (2L, "b  d"), (3L, "a d c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabulary(docs, "text", minCount = 2L, topN = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out.toSet == Set(("a", 3L), ("b", 2L)))
+    // the cut compiles to TakeOrdered (per-partition heaps), not a global sort
+    val plan = TextOps.vocabulary(docs, "text", minCount = 1L, topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // partitioning-invariant
+    val again = TextOps.vocabulary(docs.repartition(5), "text", 2L, 2)
+      .as[(String, Long)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+}
