@@ -639,6 +639,28 @@ object SparkEntry {
       TextOps.vocabulary(T(s, dir, "documents"), "text", minCount = 2L,
         topN = 50)),
 
+    // Data card — per-source volume / internal-dup / quality rollup, the
+    // table a mixture designer reads before setting q53/q55 weights. Two
+    // map-side-combinable hash aggs; BIGINT + integer mills only.
+    "q66_source_stats" -> ((s, dir) =>
+      CurationOps.sourceStats(T(s, dir, "documents"), "doc_id", "text",
+        "source")),
+
+    // Keyword extraction — top-2 terms per doc by RATIONAL tf-idf
+    // (score = tf · (N div df), pure BIGINT — the no-floats discipline),
+    // total-order tie-break so the oracle replays the cut exactly.
+    "q67_tfidf_terms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text",
+        topK = 2)),
+
+    // ANN serving — symmetric int8 quantization of the embedding column
+    // (scale = max|v_i|, q = floor(v·127/s), scale kept as micros);
+    // scan-local higher-order codegen, zero shuffle. floor not round:
+    // Java half-up vs DuckDB half-away diverge on exact halves.
+    "q68_quantize_int8" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(T(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -1261,6 +1283,59 @@ object SparkEntry {
            HAVING count(*) >= 2)
          SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
          ORDER BY cnt DESC, token LIMIT 50""",
+
+    "q66_source_stats" ->
+      s"""WITH f AS (
+           SELECT source,
+             CAST(len(list_filter(str_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok,
+             CAST(len(list_filter(str_split(lower(text), ' '),
+               t -> t <> '' AND t IN $stopSqlList)) AS BIGINT) AS nstop,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         f2 AS (SELECT source, ntok,
+             COALESCE(CASE WHEN ntok = 0 THEN NULL
+               ELSE CAST(FLOOR(1000.0 * nstop / ntok) AS BIGINT) END, 0) AS mill,
+             fp FROM f),
+         card AS (SELECT source, count(*) AS n_docs, SUM(ntok) AS n_tokens,
+             SUM(mill) AS millsum FROM f2 GROUP BY source),
+         dups AS (SELECT source,
+             SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_dup_docs
+           FROM (SELECT source, fp, count(*) AS c FROM f2 GROUP BY source, fp) g
+           GROUP BY source)
+         SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(d.n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(c.millsum // c.n_docs AS BIGINT) AS mean_stop_mill
+         FROM card c JOIN dups d USING (source)""",
+
+    "q67_tfidf_terms" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(
+             str_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+           GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+             CAST(t.tf * (n.n // d.df) AS BIGINT) AS score
+           FROM tf t JOIN df d USING (token) CROSS JOIN n),
+         rk AS (SELECT doc_id, token, tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tf DESC, token) AS BIGINT) AS rank FROM sc)
+         SELECT doc_id, token, tf, score, rank FROM rk WHERE rank <= 2""",
+
+    "q68_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+         FROM embeddings)
+         SELECT vec_id,
+           CAST(floor(sc * 1000000) AS BIGINT) AS scale_micro,
+           CASE WHEN sc = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127 / sc) AS BIGINT))
+           END AS qvec
+         FROM s""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

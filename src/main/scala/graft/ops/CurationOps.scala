@@ -423,4 +423,40 @@ object CurationOps {
         size(kept).cast("long").as("n_kept"),
         (size(paras) - size(kept)).cast("long").as("n_dropped"))
   }
+
+  /** Per-source "data card" — the aggregate table a mixture designer
+    * reads before setting sampling weights ([[upsampleMixture]] /
+    * [[stratifiedSampleRated]]): document and token volume, internal
+    * exact-duplicate redundancy (`n_dup_docs` = removable copies,
+    * Σ(group−1) over within-source fingerprint groups), and mean
+    * stopword-quality. Everything is BIGINT counts and integer mills
+    * (mean = floor division of two BIGINTs) — no floats, so any engine
+    * replays the card exactly.
+    *
+    * 100 TB shape: two hash aggregates, both map-side combinable — the
+    * facet rollup keys on source (tiny key space, partials collapse per
+    * partition), the dup tally keys on (source, fingerprint) so
+    * boilerplate mega-groups arrive at their reducer as O(partitions)
+    * partials; only (source, md5, longs) shuffle, text never leaves the
+    * scan. The final source⋈source join is on the tiny card key.
+    */
+  def sourceStats(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val facets = docs.select(col(sourceCol).as("source"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("_ntok"),
+      coalesce(TextOps.stopwordRatioMill(col(textCol)).cast("long"), lit(0L))
+        .as("_mill"),
+      TextOps.normFingerprint(col(textCol)).as("_fp"))
+    val card = facets.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      sum(col("_mill")).as("_millsum"))
+    val dups = facets.groupBy(col("source"), col("_fp"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("source")
+      .agg(sum(when(col("_c") > 1, col("_c") - 1).otherwise(0L)).as("n_dup_docs"))
+    card.join(dups, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        expr("_millsum div n_docs").as("mean_stop_mill"))
+  }
 }

@@ -398,4 +398,41 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topN)
   }
+
+  // --------------------------------------------------------------- tf-idf
+
+  /** Top-K most distinctive terms per document by a RATIONAL tf-idf —
+    * `score = tf · (N div df)` in pure BIGINT arithmetic (the floor of
+    * the inverse document frequency ratio replaces the classic log,
+    * preserving the ranking monotonicity a keyword extractor needs while
+    * staying bit-replayable on any engine — the same no-floats discipline
+    * as the mill-scaled quality facets). Ties break (score desc, tf desc,
+    * token asc) — a total order per document, so the cut is
+    * deterministic. Output: (id, token, tf, score, rank), rank 1..topK.
+    *
+    * 100 TB shape: term frequencies are ONE hash agg on near-unique
+    * (doc, token) keys with map-side combine; document frequencies
+    * aggregate that (already deduplicated) pair stream on the token key
+    * — a 10^8-doc stopword arrives as O(partitions) partials; the
+    * df⋈tf join is on the lexicon-sized token key (broadcastable); the
+    * corpus size joins in as a 1-row broadcast (no driver collect); the
+    * final window partitions by doc (per-doc cardinality = distinct
+    * tokens, never corpus-sized).
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token")
+      .join(broadcast(n))
+      .withColumn("score", expr("tf * (n div df)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CurationOps, SimilarityOps, TextOps}
+
+/** Pipeline statistics operators: the per-source data card
+  * ([[CurationOps.sourceStats]]), rational-tf-idf keyword extraction
+  * ([[TextOps.tfidfTopTerms]]), and int8 embedding quantization
+  * ([[SimilarityOps.quantizeInt8]]). Expected values are hand-computed.
+  */
+class PipelineStatsSpec extends AnyFunSuite {
+
+  private def spark = SparkSessionFixture.spark
+
+  test("sourceStats: hand-computed card (volume, dup copies, mean mill)") {
+    val s = spark; import s.implicits._
+    // source a: docs 1,2 are exact dups ("the cat", mill 500 each),
+    //           doc 3 "dog" mill 0 → n_docs 3, n_tokens 5, n_dup 1,
+    //           mean = (500+500+0) div 3 = 333
+    // source b: "the the" mill 1000, "x" mill 0 → mean 500, no dups
+    val docs = Seq(
+      (1L, "the cat", "a"), (2L, "the cat", "a"), (3L, "dog", "a"),
+      (4L, "the the", "b"), (5L, "x", "b")).toDF("doc_id", "text", "source")
+    val out = CurationOps.sourceStats(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 3L, 5L, 1L, 333L), ("b", 2L, 3L, 0L, 500L)))
+    // dup detection is whitespace/case-normalized (normFingerprint)
+    val norm = Seq((1L, "The  Cat", "a"), (2L, "the cat", "a"))
+      .toDF("doc_id", "text", "source")
+    val n = CurationOps.sourceStats(norm, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(n._4 == 1L, s"normalized dup not counted: $n")
+  }
+
+  test("tfidfTopTerms: rational idf ranks distinctive terms above stopwords") {
+    val s = spark; import s.implicits._
+    // N=3; df(the)=3, df(apple)=df(banana)=df(cherry)=1
+    // d1: apple tf2 score 2*(3 div 1)=6 > the score 1*(3 div 3)=1
+    val docs = Seq(
+      (1L, "apple apple the"), (2L, "banana the"), (3L, "the cherry"))
+      .toDF("doc_id", "text")
+    val top1 = TextOps.tfidfTopTerms(docs, "doc_id", "text", topK = 1)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(top1 == Seq((1L, "apple", 2L, 6L, 1L), (2L, "banana", 1L, 3L, 1L),
+      (3L, "cherry", 1L, 3L, 1L)))
+    // topK=2 exposes the stopword at rank 2
+    val top2 = TextOps.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .filter(_._1 == 1L).sortBy(_._5).toSeq
+    assert(top2 == Seq((1L, "apple", 2L, 6L, 1L), (1L, "the", 1L, 1L, 2L)))
+    // total tie (same score, same tf) breaks on token asc
+    val tie = Seq((1L, "kiwi lime")).toDF("doc_id", "text")
+    val t = TextOps.tfidfTopTerms(tie, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._5).toSeq
+    assert(t.map(r => (r._2, r._5)) == Seq(("kiwi", 1L), ("lime", 2L)))
+  }
+
+  test("quantizeInt8: hand-computed bytes, zero-vector guard, error bound") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(embs, "vec_id", "embedding")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1000000L, Seq(127L, -64L, 31L)),   // floor(-63.5) = -64
+      (2L, 0L, Seq(0L, 0L)),
+      (3L, 2000000L, Seq(-127L, 63L))))       // floor(63.5) = 63
+    // dequantization error ≤ s/127 per component
+    for ((id, sm, q) <- out if sm > 0) {
+      val sc = sm / 1e6
+      val orig = embs.where(org.apache.spark.sql.functions.col("vec_id") === id)
+        .as[(Long, Seq[Float])].collect().head._2
+      orig.zip(q).foreach { case (v, qi) =>
+        assert(math.abs(v - qi * sc / 127.0) <= sc / 127.0 + 1e-9,
+          s"vec $id component $v → $qi exceeds error bound")
+      }
+    }
+  }
+}
