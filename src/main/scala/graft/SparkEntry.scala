@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.Canon
-import graft.ops.{CurationOps, DedupOps, LinkOps, MultiModalOps, PiiOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, LinkOps, MultiModalOps, PiiOps, SimilarityOps, TextOps, TrainPrepOps}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
@@ -660,6 +660,33 @@ object SparkEntry {
     "q68_quantize_int8" -> ((s, dir) =>
       SimilarityOps.quantizeInt8(T(s, dir, "embeddings"), "vec_id",
         "embedding")),
+
+    // Vocabulary — INCREMENTAL ledger: count each half-corpus separately,
+    // merge the ledgers (counts are a commutative monoid), cut at read
+    // time. Bit-identical to the one-shot q65 cut by construction; the
+    // oracle counts the whole corpus in one pass.
+    "q69_incr_vocab" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TrainPrepOps.cutVocab(TrainPrepOps.mergeVocabCounts(
+        TrainPrepOps.vocabularyCounts(docs.where(col("doc_id") % 2 === 0), "text"),
+        TrainPrepOps.vocabularyCounts(docs.where(col("doc_id") % 2 === 1), "text")),
+        minCount = 2L, topN = 50)
+    }),
+
+    // Tokenizer training — BPE merge-pair candidates: adjacent-token pair
+    // counts, thresholded + total-order cut. Pairs build row-locally (no
+    // self-join); one map-side-combined hash agg + TakeOrdered.
+    "q70_merge_pairs" -> ((s, dir) =>
+      TrainPrepOps.mergePairCandidates(T(s, dir, "documents"), "text",
+        minCount = 2L, topN = 100)),
+
+    // Embedding analytics — per-source centroid in fixed-point (floor
+    // (x·2^20) BIGINT sums — associative, partitioning-independent,
+    // engine-replayable; mean divides in IEEE double, identically on
+    // both engines).
+    "q71_source_centroids" -> ((s, dir) =>
+      TrainPrepOps.labelCentroids(T(s, dir, "embeddings"), "vec_id",
+        "embedding", T(s, dir, "documents"), "doc_id", "source")),
 
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
@@ -1336,6 +1363,40 @@ object SparkEntry {
                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / sc) AS BIGINT))
            END AS qvec
          FROM s""",
+
+    // q69's oracle is the ONE-PASS count over the whole corpus — the
+    // merged two-ledger Spark plan must land on identical bytes.
+    "q69_incr_vocab" ->
+      """WITH tok AS (SELECT unnest(list_filter(str_split_regex(text, '\s+'),
+             x -> x <> '')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token
+           HAVING count(*) >= 2)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
+         ORDER BY cnt DESC, token LIMIT 50""",
+
+    "q70_merge_pairs" ->
+      """WITH tok AS (SELECT list_filter(str_split_regex(text, '\s+'),
+             x -> x <> '') AS ts FROM documents),
+         p0 AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok),
+         p AS (SELECT ts[i] AS lhs, ts[i + 1] AS rhs FROM p0),
+         c AS (SELECT lhs, rhs, count(*) AS cnt FROM p GROUP BY lhs, rhs
+           HAVING count(*) >= 2)
+         SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM c
+         ORDER BY cnt DESC, lhs, rhs LIMIT 100""",
+
+    "q71_source_centroids" ->
+      """WITH l AS (SELECT d.source AS label, e.embedding AS emb
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         el AS (SELECT label, emb,
+             unnest(generate_series(1, len(emb))) AS p FROM l),
+         q AS (SELECT label, p - 1 AS pos,
+             CAST(floor(CAST(emb[p] AS DOUBLE) * 1048576) AS BIGINT) AS q FROM el),
+         sums AS (SELECT label, pos, SUM(q) AS s, count(*) AS n
+           FROM q GROUP BY label, pos)
+         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos)
+             AS centroid_q
+         FROM sums GROUP BY label""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

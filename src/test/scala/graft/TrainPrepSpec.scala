@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{TextOps, TrainPrepOps}
+
+/** Tokenizer-training prep: incremental vocabulary ledgers
+  * ([[TrainPrepOps.vocabularyCounts]]/[[TrainPrepOps.mergeVocabCounts]]),
+  * BPE merge-pair candidates, and fixed-point label centroids. Expected
+  * values are hand-computed.
+  */
+class TrainPrepSpec extends AnyFunSuite {
+
+  private def spark = SparkSessionFixture.spark
+
+  test("vocab ledger: merge of batch counts ≡ one-pass counts; cut only at read") {
+    val s = spark; import s.implicits._
+    val h1 = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val h2 = Seq((3L, "a d")).toDF("doc_id", "text")
+    val full = h1.union(h2)
+    val merged = TrainPrepOps.mergeVocabCounts(
+      TrainPrepOps.vocabularyCounts(h1, "text"),
+      TrainPrepOps.vocabularyCounts(h2, "text"))
+      .as[(String, Long)].collect().toMap
+    val onePass = TrainPrepOps.vocabularyCounts(full, "text")
+      .as[(String, Long)].collect().toMap
+    assert(merged == onePass && merged == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    // the cut ledger matches the one-shot vocabulary operator
+    val cut = TrainPrepOps.cutVocab(
+      TrainPrepOps.mergeVocabCounts(
+        TrainPrepOps.vocabularyCounts(h1, "text"),
+        TrainPrepOps.vocabularyCounts(h2, "text")), minCount = 2L, topN = 10)
+      .as[(String, Long)].collect().toSet
+    val oneShot = TextOps.vocabulary(full, "text", minCount = 2L, topN = 10)
+      .as[(String, Long)].collect().toSet
+    assert(cut == oneShot && cut == Set(("a", 3L), ("b", 2L)))
+    // PIN: cutting BEFORE merging loses counts forever — a-count drops to
+    // 2 and the h2-only tokens vanish if the ledger is stored cut
+    val wrong = TrainPrepOps.mergeVocabCounts(
+      TrainPrepOps.cutVocab(TrainPrepOps.vocabularyCounts(h1, "text"), 2L, 10),
+      TrainPrepOps.cutVocab(TrainPrepOps.vocabularyCounts(h2, "text"), 2L, 10))
+      .as[(String, Long)].collect().toMap
+    assert(wrong == Map("a" -> 2L, "b" -> 2L), s"cut-then-merge must differ: $wrong")
+  }
+
+  test("mergePairCandidates: adjacent pairs, threshold, deterministic cut") {
+    val s = spark; import s.implicits._
+    // "a b a b" → (a,b)×2, (b,a)×1; "b a" → (b,a)×1; "c" → none
+    val docs = Seq((1L, "a b a b"), (2L, "c"), (3L, "b a")).toDF("doc_id", "text")
+    val out = TrainPrepOps.mergePairCandidates(docs, "text", minCount = 2L, topN = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out.toSet == Set(("a", "b", 2L), ("b", "a", 2L)))
+    // tie on cnt breaks lhs asc: topN=1 keeps (a,b)
+    val top1 = TrainPrepOps.mergePairCandidates(docs, "text", 2L, 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(top1 == Seq(("a", "b", 2L)))
+    // partitioning-invariant
+    val again = TrainPrepOps.mergePairCandidates(docs.repartition(5), "text", 2L, 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
+  test("labelCentroids: fixed-point means, negative floor, unlabeled drop") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, -0.5f)), (2L, Seq(0.5f, 0.5f)),   // label x
+      (3L, Seq(2.0f, 0.0f)),                            // label y
+      (5L, Seq(9.0f, 9.0f))                             // no label → dropped
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "source")
+    val out = TrainPrepOps.labelCentroids(embs, "vec_id", "embedding",
+      labels, "doc_id", "source")
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // x: pos0 (1048576 + 524288)/2 = 786432; pos1 (-524288 + 524288)/2 = 0
+    assert(out == Seq(("x", 2L, Seq(786432L, 0L)), ("y", 1L, Seq(2097152L, 0L))))
+    // negative component floors toward -inf at quantization time:
+    // -0.3f promotes to -0.30000001192092896 → floor(·2^20) = -314573
+    val neg = Seq((7L, Seq(-0.3f))).toDF("vec_id", "embedding")
+    val nl = Seq((7L, "z")).toDF("doc_id", "source")
+    val nOut = TrainPrepOps.labelCentroids(neg, "vec_id", "embedding",
+      nl, "doc_id", "source").as[(String, Long, Seq[Long])].collect().head
+    assert(nOut == (("z", 1L, Seq(-314573L))))
+    // partitioning-invariant (associative fixed-point sums)
+    val again = TrainPrepOps.labelCentroids(embs.repartition(7), "vec_id",
+      "embedding", labels, "doc_id", "source")
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+}
