@@ -122,4 +122,41 @@ object StreamingCuration {
       out.mergeCommit(graft.ops.CurationOps.compactAccepted(
         acc, rawCorpus, idCol, textCol, benchMod, shingleK))
     }
+
+  /** Streaming vocabulary ledger — [[graft.ops.TrainPrepOps]]'s additive
+    * count monoid wired to the stream: from `foreachBatch`, fold each
+    * micro-batch's token counts into a [[graft.tables.SnapTable]] ledger
+    * keyed by token (schema `(token, cnt, batch_id)`).
+    *
+    * Replay-safe AND atomic in one table: every commit stamps all rows
+    * with its `batchId`, so the ledger's `max(batch_id)` is the
+    * high-water mark — a re-delivered micro-batch (Structured Streaming
+    * re-executes a failed batch under the SAME id) compares ≤ hwm and is
+    * skipped, returning None. Counts being additive-not-idempotent is
+    * exactly why the guard exists; the hwm lives in the same MERGE
+    * commit as the counts, so there is no two-table crash window.
+    *
+    * Scale shape: the delta count is one map-side-combinable hash agg;
+    * the ledger merge is a union + hash agg on the lexicon-sized token
+    * key (bucket the ledger by token at scale); the hwm read is an O(1)
+    * max aggregate. Read the vocabulary with
+    * [[graft.ops.TrainPrepOps.cutVocab]] over `read().select(token,cnt)`.
+    */
+  def vocabLedgerCommit(ledger: graft.tables.SnapTable, batch: DataFrame,
+      textCol: String, batchId: Long): Option[Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cur = ledger.read()
+    val hwm = cur.map(_.agg(max(col("batch_id"))).as[Long].head()).getOrElse(-1L)
+    if (batchId <= hwm) None
+    else {
+      val delta = graft.ops.TrainPrepOps.vocabularyCounts(batch, textCol)
+      val merged = cur match {
+        case Some(c) => graft.ops.TrainPrepOps.mergeVocabCounts(
+          c.select(col("token"), col("cnt")), delta)
+        case None => delta
+      }
+      Some(ledger.mergeCommit(merged.withColumn("batch_id", lit(batchId))))
+    }
+  }
 }

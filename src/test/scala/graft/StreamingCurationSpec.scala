@@ -180,4 +180,42 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(outTable.read().get.select("doc_id", "stop_mill")
       .as[(Long, Long)].collect().toSet == compacted)
   }
+
+  test("streaming vocab ledger: micro-batch merges ≡ one-pass vocabulary; replays skipped") {
+    import graft.ops.{TextOps, TrainPrepOps}
+    import graft.tables.SnapTable
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d")).toDF("doc_id", "text")
+    val ledger = new SnapTable(spark,
+      graft.TmpDirs.create("vocab-ledger").toString, Seq("token"))
+    val input = MemoryStream[CurationDoc]
+    val q = input.toDS().writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CurationDoc], id: Long) =>
+        if (!batch.isEmpty) {
+          StreamingCuration.vocabLedgerCommit(ledger, batch.toDF(), "text", id); ()
+        }
+      }
+      .start()
+    try {
+      input.addData(CurationDoc(1L, "a b a"), CurationDoc(2L, "b c"))
+      q.processAllAvailable()
+      input.addData(CurationDoc(3L, "a d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the cut ledger is bit-identical to one-pass vocabulary over the corpus
+    val cut = TrainPrepOps.cutVocab(
+      ledger.read().get.select(col("token"), col("cnt")), minCount = 1L, topN = 10)
+      .as[(String, Long)].collect().toSet
+    val oneShot = TextOps.vocabulary(docs, "text", minCount = 1L, topN = 10)
+      .as[(String, Long)].collect().toSet
+    assert(cut == oneShot &&
+      cut == Set(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)), s"cut: $cut")
+    // replay guard: an already-committed batch id is skipped atomically —
+    // counts are additive, so re-applying would double-count without it
+    val before = ledger.currentVersion
+    assert(StreamingCuration.vocabLedgerCommit(ledger, docs, "text", batchId = 0L).isEmpty)
+    assert(ledger.currentVersion == before)
+  }
 }
