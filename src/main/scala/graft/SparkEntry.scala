@@ -688,6 +688,17 @@ object SparkEntry {
       TrainPrepOps.labelCentroids(T(s, dir, "embeddings"), "vec_id",
         "embedding", T(s, dir, "documents"), "doc_id", "source")),
 
+    // Tokenizer training — BPE merge APPLICATION (the acting half of
+    // q70's candidate statistic; candidates → apply → recount is the
+    // training loop, a full list is BPE encoding). Three corpus-real
+    // rules exercising both plan shapes: ("order","order") is the a==b
+    // run-parity path, the other two the non-overlapping fast path; rule
+    // order matters and later rules see merged symbols. Entirely
+    // scan-local — one projection per rule, zero shuffle.
+    "q72_bpe_encode" -> ((s, dir) =>
+      TrainPrepOps.applyMerges(T(s, dir, "documents"), "doc_id", "text",
+        Seq("order" -> "order", "order" -> "fast", "data" -> "slow"))),
+
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
     // (q15) → decontamination anti-join (q41) → near-dup representative
@@ -1397,6 +1408,57 @@ object SparkEntry {
            list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos)
              AS centroid_q
          FROM sums GROUP BY label""",
+
+    // q72 replays each merge rule as a window pass over (doc, pos, tok):
+    // rule 1 (order,order) needs run parity — gaps-and-islands grp =
+    // pos - row_number within the tok='order' stripe, off = within-run
+    // index; merge starts sit at even offsets with an 'order' successor,
+    // seconds at odd offsets. Rules 2/3 (a≠b) can never overlap, so
+    // greedy = ALL matches: rewrite starts via lead, drop seconds via lag
+    // (lag COALESCEd — NULL first-row prv would three-value the NOT).
+    "q72_bpe_encode" ->
+      """WITH base AS (SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents WHERE len(list_filter(
+             str_split_regex(text, '\s+'), x -> x <> '')) > 0),
+         t0 AS (SELECT doc_id, i AS pos, ts[i] AS tok
+           FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts))) AS i FROM base)),
+         r1 AS (SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+             CASE WHEN tok = 'order' THEN pos - row_number()
+               OVER (PARTITION BY doc_id, tok = 'order' ORDER BY pos) END AS grp
+           FROM t0),
+         r1o AS (SELECT doc_id, pos, tok, nxt,
+             CASE WHEN grp IS NOT NULL THEN row_number()
+               OVER (PARTITION BY doc_id, grp ORDER BY pos) - 1 END AS off
+           FROM r1),
+         t1 AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN tok = 'order' AND off % 2 = 0 AND nxt = 'order'
+                  THEN 'orderorder' ELSE tok END AS tok
+           FROM r1o WHERE NOT (tok = 'order' AND off % 2 = 1)),
+         r2 AS (SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+           FROM t1),
+         t2 AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN tok = 'order' AND nxt = 'fast'
+                  THEN 'orderfast' ELSE tok END AS tok
+           FROM r2 WHERE NOT (tok = 'fast' AND coalesce(prv, '') = 'order')),
+         r3 AS (SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+           FROM t2),
+         t3 AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN tok = 'data' AND nxt = 'slow'
+                  THEN 'dataslow' ELSE tok END AS tok
+           FROM r3 WHERE NOT (tok = 'slow' AND coalesce(prv, '') = 'data'))
+         SELECT doc_id, list(tok ORDER BY pos) AS toks,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM t3 GROUP BY doc_id""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

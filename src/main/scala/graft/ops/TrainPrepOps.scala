@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training preparation operators: incremental vocabulary
@@ -115,5 +115,95 @@ object TrainPrepOps {
         transform(col("_ps"), e =>
           floor(e.getField("s").cast("double") / col("n_vecs")).cast("long"))
           .as("centroid_q"))
+  }
+
+  /** Apply a ranked BPE merge list to each document's token stream — the
+    * ACTING half of [[mergePairCandidates]] (candidates → pick top pairs →
+    * apply → recount is the byte-pair training loop, and this operator
+    * with a full learned list is BPE *encoding*). Each rule `(a, b)`
+    * rewrites every greedy left-to-right non-overlapping adjacent
+    * occurrence of `a, b` into the single symbol `a+b`; rules apply in
+    * list order, so later rules see earlier rules' merged symbols
+    * (standard BPE semantics — symbols are strings, matching is string
+    * equality). One pass per rule reaches that rule's fixed point: a
+    * merged symbol `a+b` can never re-match `(a, b)` (it is strictly
+    * longer than both sides), so no rescan loop is needed.
+    *
+    * Determinism: greedy left-to-right is a total tie-break. The only
+    * overlap case is `a == b`, where a run of k consecutive `a`s merges at
+    * even offsets (⌊k/2⌋ pairs) — resolved positionally, no RNG, so any
+    * engine replays the bytes.
+    *
+    * Docs with zero tokens are dropped (no token stream to encode).
+    * Returns (idCol, toks: array<string>, n_tokens).
+    *
+    * 100 TB shape: entirely scan-local — one projection per rule, ZERO
+    * shuffle at any corpus size; the statically-unrolled rule chain
+    * composes with whatever partitioning the surrounding pipeline has.
+    * Per-rule cost is O(tokens) for `a ≠ b` rules; `a == b` rules pay an
+    * extra O(run) prefix scan at each same-token run position (bounded by
+    * the longest same-token run in a document — constant-sized in natural
+    * text). The merge list itself is plan-side (Catalyst literals), which
+    * is the right encoding for the ≤ vocab-sized rule lists of real
+    * tokenizers; a corpus-derived list feeds in as `collect()`ed rows of
+    * [[mergePairCandidates]]'s bounded-topN output.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "applyMerges: empty merge list")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty, s"applyMerges: empty symbol in ($a,$b)")
+      require(!a.exists(_.isWhitespace) && !b.exists(_.isWhitespace),
+        s"applyMerges: symbols cannot contain whitespace: ($a,$b)")
+    }
+    val base = docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val out = merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("toks", mergeOnce(col("toks"), a, b))
+    }
+    out.select(col(idCol), col("toks"),
+      size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** One greedy left-to-right merge pass of rule `(a, b)` over a token
+    * array, row-local. Two plan shapes, chosen at build time:
+    *
+    *  - `a != b`: matches can never overlap (a second match at i+1 would
+    *    need t(i+1) = b = a), so greedy = ALL matches: mark each match
+    *    start with the merged symbol, null out each match second, filter.
+    *  - `a == b`: within each maximal run of k consecutive `a`s, greedy
+    *    merges pairs at even run offsets. The run offset is recovered per
+    *    position as the length of the all-`a` suffix of the preceding
+    *    prefix (reverse + first-non-`a` position) — evaluated only at
+    *    `a`-positions, O(run) each.
+    *
+    * `get` (0-based, null out-of-bounds) instead of `element_at` keeps the
+    * boundary positions ANSI-safe: a null neighbour fails the `===` match
+    * and falls through to keep, with no index guard needed.
+    */
+  private def mergeOnce(toks: Column, a: String, b: String): Column = {
+    val marked =
+      if (a != b) {
+        transform(toks, (t, i) =>
+          when(t === lit(a) && get(toks, i + 1) === lit(b), lit(a + b))
+            .when(t === lit(b) && get(toks, i - 1) === lit(a),
+              lit(null).cast("string"))
+            .otherwise(t))
+      } else {
+        transform(toks, (t, i) => {
+          // run offset: #consecutive a's immediately before position i
+          val firstNonA = array_position(
+            transform(reverse(slice(toks, lit(1), i)), x => x =!= lit(a)),
+            lit(true))
+          val off = when(firstNonA === lit(0L), i.cast("long"))
+            .otherwise(firstNonA - lit(1L))
+          when(t === lit(a) && off % 2 === 0 && get(toks, i + 1) === lit(a),
+            lit(a + a))
+            .when(t === lit(a) && off % 2 === 1, lit(null).cast("string"))
+            .otherwise(t)
+        })
+      }
+    filter(marked, _.isNotNull)
   }
 }

@@ -1,6 +1,7 @@
 package graft.probes
 
-import java.util.concurrent.{Callable, ExecutorService, Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.{Callable, ExecutorService, RejectedExecutionException, SynchronousQueue, ThreadPoolExecutor, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.AtomicLong
 
 import graft.model.Model._
 
@@ -158,7 +159,8 @@ final class DeadlineProbeService(
     inner: ProbeService,
     budgetNanos: Long,
     clock: ProbeClock = ProbeClock.system,
-    hardLeafTimeouts: Boolean = false) extends ProbeService {
+    hardLeafTimeouts: Boolean = false,
+    leafPool: Option[ExecutorService] = None) extends ProbeService {
   require(budgetNanos > 0, "DeadlineProbeService: budget must be positive")
 
   override def deterministic: Boolean = inner.deterministic
@@ -172,22 +174,35 @@ final class DeadlineProbeService(
   def remainingNanos: Long =
     math.max(0L, budgetNanos - (clock.nanos() - jobStart))
 
-  // Hard-mode leaves run on the JVM-shared daemon pool (companion): a
-  // per-instance single-thread executor would leak one never-shutdown
-  // thread per Probes instance per task in a long-lived executor JVM. A
-  // cached pool also survives a leaf that ignores its interrupt — the
-  // poisoned thread is abandoned and the pool grows one; idle threads
-  // retire after 60 s.
-  private def leafExec: ExecutorService = DeadlineProbeService.sharedLeafExec
+  // Hard-mode leaves run on the JVM-shared BOUNDED daemon pool
+  // (companion): a per-instance single-thread executor would leak one
+  // never-shutdown thread per Probes instance per task in a long-lived
+  // executor JVM. The bound matters for poisoned threads — a leaf that
+  // ignores its interrupt (a socket read stuck in native code) is
+  // abandoned and its thread stays occupied; an UNbounded cached pool
+  // would grow one thread per such leaf without limit. Idle (healthy)
+  // threads retire after 60 s. Tests can inject their own pool.
+  private def leafExec: ExecutorService =
+    leafPool.getOrElse(DeadlineProbeService.sharedLeafExec)
 
   /** Hard-mode leaf execution with a timed interrupt. Only reached when
     * `hardLeafTimeouts` — the cooperative fast path below branches without
     * allocating (a by-name `guard(shape)(leaf)` helper would box two
     * thunks per leaf call, ~100+ calls/domain of pure churn on the probe
     * stage's allocation ceiling).
+    *
+    * Pool saturation (every thread occupied — only possible when ≥bound
+    * leaves have ignored their interrupts) is treated as an immediate
+    * leaf timeout: by then the JVM is already degraded by that many hung
+    * native calls, and returning the timeout shape keeps the probe stage
+    * moving (domains complete with timeout-error fields, the reference's
+    * killed-worker shape) instead of queuing unboundedly behind dead
+    * sockets.
     */
   private def hardCall[A](timeoutShape: A, leaf: Callable[A]): A = {
-    val fut = leafExec.submit(leaf)
+    val fut =
+      try leafExec.submit(leaf)
+      catch { case _: RejectedExecutionException => return timeoutShape }
     try fut.get(remainingNanos, TimeUnit.NANOSECONDS)
     catch {
       case _: TimeoutException => fut.cancel(true); timeoutShape
@@ -280,11 +295,28 @@ object DeadlineProbeService {
   private val webTimeout: (Int, Option[String], Seq[(String, String)], Option[String], Boolean) =
     (0, None, Seq.empty, None, false)
 
-  // JVM-shared daemon pool for hard-mode leaves (see leafExec above)
+  // JVM-shared daemon pool for hard-mode leaves (see leafExec above).
+  // Bounded so interrupt-ignoring (poisoned) leaves cannot grow threads
+  // without limit: 4 threads per core floors at 64 — enough for every
+  // Spark task slot to have concurrent in-flight leaves, small enough
+  // that a poisoned-thread pile-up degrades to fast leaf timeouts long
+  // before the JVM exhausts native threads.
   private lazy val sharedLeafExec: ExecutorService =
-    Executors.newCachedThreadPool { r =>
-      val t = new Thread(r, "graft-probe-leaf")
-      t.setDaemon(true)
-      t
-    }
+    boundedLeafPool(math.max(64, Runtime.getRuntime.availableProcessors * 4))
+
+  /** Bounded leaf pool: 0 core threads, `maxThreads` cap, direct handoff
+    * (no queue — a leaf either gets a thread now or is rejected, which
+    * [[DeadlineProbeService.hardCall]] maps to the leaf's timeout shape).
+    * Queuing would be wrong here: a queued leaf's deadline keeps running
+    * while it waits, so it would burn budget doing nothing.
+    */
+  private[graft] def boundedLeafPool(maxThreads: Int): ExecutorService = {
+    val seq = new AtomicLong
+    new ThreadPoolExecutor(0, maxThreads, 60L, TimeUnit.SECONDS,
+      new SynchronousQueue[Runnable](), { (r: Runnable) =>
+        val t = new Thread(r, s"graft-probe-leaf-${seq.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      })
+  }
 }

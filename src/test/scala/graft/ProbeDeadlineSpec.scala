@@ -102,6 +102,53 @@ class ProbeDeadlineSpec extends AnyFunSuite {
     assert(steps.head.status.isEmpty)
   }
 
+  test("hard mode: a saturated (poisoned) leaf pool degrades to immediate " +
+      "timeout shapes and recovers when the hung leaves unstick") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // a leaf stuck in native code: ignores its interrupt and stays on the
+    // pool thread until the (external) condition clears
+    val hang = new ForwardingProbeService(u) {
+      override def aFor(name: String): Seq[String] = {
+        while (gate.getCount > 0) {
+          try gate.await()
+          catch { case _: InterruptedException => () }
+        }
+        inner.aFor(name)
+      }
+    }
+    val pool = DeadlineProbeService.boundedLeafPool(2)
+    try {
+      val svc = new DeadlineProbeService(hang, 500L * 1000000L,
+        ProbeClock.system, hardLeafTimeouts = true, Some(pool))
+      // poison both threads: each call burns its budget, is interrupted,
+      // and leaves an interrupt-ignoring thread occupying a pool slot
+      svc.startJob(); assert(svc.aFor("a.example") == Seq.empty)
+      svc.startJob(); assert(svc.aFor("b.example") == Seq.empty)
+      // the pool is at its bound: the next leaf is REJECTED at submit and
+      // maps to the timeout shape immediately — it must not wait out the
+      // budget queued behind dead sockets
+      svc.startJob()
+      val t0 = System.nanoTime()
+      assert(svc.aFor("c.example") == Seq.empty)
+      assert((System.nanoTime() - t0) / 1e6 < 250.0,
+        "rejected leaf must return its timeout shape without burning budget")
+      // unstick the native calls: occupied threads finish, the pool frees,
+      // and real answers flow again
+      gate.countDown()
+      val deadline = System.nanoTime() + 5000L * 1000000L
+      var got: Seq[String] = Seq.empty
+      while (got.isEmpty && System.nanoTime() < deadline) {
+        svc.startJob()
+        got = svc.aFor("nic.cz")
+        if (got.isEmpty) Thread.sleep(20)
+      }
+      assert(got.nonEmpty, "pool must recover once hung leaves finish")
+    } finally {
+      gate.countDown()
+      pool.shutdownNow()
+    }
+  }
+
   test("jobTimeoutSeconds = 0 disables the wrapper entirely") {
     val p = new Probes(u, CrawlConfig(jobTimeoutSeconds = 0))
     assert(p.u eq u) // no DeadlineProbeService in the path

@@ -86,4 +86,80 @@ class TrainPrepSpec extends AnyFunSuite {
       .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
     assert(again == out)
   }
+
+  test("applyMerges: greedy l-t-r, rule order, merged symbols feed later rules") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the cat the cat cat"), // a≠b: every match merges
+      (2L, "a b c"), // rule chain: (a,b) → ab, then (ab,c) → abc
+      (3L, "a a b b"), // merged 'ab' must NOT retro-match (a,b) in-pass
+      (4L, "   ") // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TrainPrepOps.applyMerges(docs, "doc_id", "text",
+      Seq("the" -> "cat", "a" -> "b", "ab" -> "c"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((Seq("thecat", "thecat", "cat"), 3L)),
+      2L -> ((Seq("abc"), 1L)),
+      3L -> ((Seq("a", "ab", "b"), 3L))))
+  }
+
+  test("applyMerges: a==b rule merges run pairs at even offsets") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x a a a x"), // odd run: ⌊3/2⌋=1 pair, trailing a survives
+      (2L, "a a a a"), // even run: two pairs
+      (3L, "a"), // no pair
+      (4L, "b a a") // run at end of stream
+    ).toDF("doc_id", "text")
+    val out = TrainPrepOps.applyMerges(docs, "doc_id", "text",
+      Seq("a" -> "a"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map(
+      1L -> Seq("x", "aa", "a", "x"),
+      2L -> Seq("aa", "aa"),
+      3L -> Seq("a"),
+      4L -> Seq("b", "aa")))
+  }
+
+  test("applyMerges ≡ reference greedy fold on exhaustive {a,b}^≤6 streams") {
+    val s = spark; import s.implicits._
+    // the one executable definition of greedy left-to-right non-overlap
+    def mergeRef(toks: List[String], a: String, b: String): List[String] = {
+      @annotation.tailrec
+      def go(rest: List[String], acc: List[String]): List[String] =
+        rest match {
+          case x :: y :: t if x == a && y == b => go(t, (a + b) :: acc)
+          case x :: t => go(t, x :: acc)
+          case Nil => acc.reverse
+        }
+      go(toks, Nil)
+    }
+    val rules = Seq("a" -> "a", "a" -> "b", "ab" -> "aa")
+    def all(n: Int): Seq[List[String]] =
+      if (n == 0) Seq(Nil)
+      else all(n - 1).flatMap(t => Seq("a" :: t, "b" :: t))
+    val streams = (1 to 6).flatMap(all) // 126 streams, both rule shapes
+    val expected = streams.zipWithIndex.map { case (t, i) =>
+      i.toLong -> rules.foldLeft(t) { case (cur, (a, b)) => mergeRef(cur, a, b) }
+    }.toMap
+    val docs = streams.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TrainPrepOps.applyMerges(docs, "doc_id", "text", rules)
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> r._2.toList).toMap
+    assert(got == expected)
+  }
+
+  test("applyMerges is scan-local: no Exchange at any rule count") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b a a")).toDF("doc_id", "text")
+    val plan = TrainPrepOps.applyMerges(docs, "doc_id", "text",
+      Seq("a" -> "a", "a" -> "b", "aa" -> "ab"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"applyMerges plan shuffles:\n$plan")
+  }
 }
