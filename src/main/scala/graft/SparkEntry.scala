@@ -38,6 +38,49 @@ object SparkEntry {
   private def markerSqlList(lang: String): String =
     TextOps.langMarkers(lang).map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** One greedy-BPE training round as DuckDB CTEs (for q73): count
+    * adjacent pairs over `t{k-1}`, pick the argmax rule into `b{k}` under
+    * the (cnt desc, lhs, rhs) total order, and rewrite into `t{k}` using
+    * the q72 window pass generalized to a DATA-DEPENDENT rule (scalar
+    * subqueries on `b{k}`): gaps-and-islands run parity when lhs = rhs,
+    * all-matches lead/lag otherwise. When `b{k}` is empty every condition
+    * coalesces to "keep", so an exhausted round is a no-op on both
+    * engines.
+    */
+  private def bpeLearnRoundSql(k: Int, minCount: Long): String = {
+    val prev = s"t${k - 1}"
+    s"""c$k AS (SELECT tok AS lhs, nxt AS rhs, count(*) AS cnt
+         FROM (SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM $prev)
+         WHERE nxt IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       b$k AS (SELECT lhs, rhs, cnt FROM c$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       r${k}a AS (SELECT doc_id, pos, tok,
+           tok = (SELECT lhs FROM b$k) AS is_l,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+         FROM $prev),
+       r${k}b AS (SELECT doc_id, pos, tok, nxt, prv,
+           CASE WHEN is_l THEN pos - row_number()
+             OVER (PARTITION BY doc_id, is_l ORDER BY pos) END AS grp
+         FROM r${k}a),
+       r${k}c AS (SELECT doc_id, pos, tok, nxt, prv,
+           CASE WHEN grp IS NOT NULL THEN row_number()
+             OVER (PARTITION BY doc_id, grp ORDER BY pos) - 1 END AS off
+         FROM r${k}b),
+       t$k AS (SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+           CASE WHEN tok = (SELECT lhs FROM b$k) AND nxt = (SELECT rhs FROM b$k)
+                  AND ((SELECT lhs <> rhs FROM b$k) OR off % 2 = 0)
+                THEN (SELECT lhs || rhs FROM b$k) ELSE tok END AS tok
+         FROM r${k}c
+         WHERE NOT coalesce(
+           CASE WHEN (SELECT lhs = rhs FROM b$k)
+                THEN tok = (SELECT lhs FROM b$k) AND off % 2 = 1
+                ELSE tok = (SELECT rhs FROM b$k)
+                  AND coalesce(prv, '') = (SELECT lhs FROM b$k) END,
+           false))"""
+  }
+
   /** Shared DuckDB CTE chain replicating the q35 dedup composition —
     * 3-gram shingles → 2-md5 minhash family → 4×2 band buckets →
     * candidate pairs → exact Jaccard ≥ 0.8 verify → recursive
@@ -698,6 +741,71 @@ object SparkEntry {
     "q72_bpe_encode" -> ((s, dir) =>
       TrainPrepOps.applyMerges(T(s, dir, "documents"), "doc_id", "text",
         Seq("order" -> "order", "order" -> "fast", "data" -> "slow"))),
+
+    // Tokenizer training — the full greedy BPE LOOP (q70's statistic and
+    // q72's rewrite ITERATED): 3 rounds over documents, each counting
+    // adjacent pairs over the current (merged) symbol streams, picking the
+    // argmax under the (cnt desc, lhs, rhs) total order, and applying that
+    // one rule. Each round ships exactly ONE row to the driver. The oracle
+    // replays the rounds with scalar-subquery-selected rules and the q72
+    // window rewrite generalized to a data-dependent (possibly a==b) pair.
+    "q73_bpe_learn" -> ((s, dir) =>
+      TrainPrepOps.learnMerges(T(s, dir, "documents"), "text",
+        nMerges = 3, minCount = 2L)),
+
+    // Curation — context-window chunking (the SPLITTING complement to
+    // q51's packing): overlapping 40-token windows every 25 tokens.
+    // Entirely scan-local (transform + posexplode), zero shuffle.
+    "q74_chunk_docs" -> ((s, dir) =>
+      CurationOps.chunkDocuments(T(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40, stride = 25)),
+
+    // Curation — mixture-rate calibration: sourceStats inventory ×
+    // broadcast target weights → per-source sampling rates in ppm, BIGINT
+    // floor division end-to-end. src0's 400-mill share of the 10k-token
+    // budget exceeds its inventory at sf0.001, exercising the cap +
+    // shortfall path.
+    "q75_mixture_rates" -> ((s, dir) =>
+      CurationOps.mixtureRates(
+        CurationOps.sourceStats(T(s, dir, "documents"), "doc_id", "text",
+          "source"),
+        Map("src0" -> 400, "src1" -> 300, "src7" -> 200, "src19" -> 100),
+        tokenBudget = 10000L)),
+
+    // Curation — deterministic exact-k uniform sample: global order on
+    // (md5(id), id), first 100. Compiles to TakeOrderedAndProject — no
+    // global sort shuffle; the k-sample is a prefix of every larger one.
+    "q76_uniform_sample" -> ((s, dir) =>
+      CurationOps.uniformSampleExact(T(s, dir, "documents"), "doc_id",
+        k = 100)),
+
+    // Decontamination (acting) — exact-substring removal: every 20-token
+    // span appearing verbatim in the benchmark slice (doc_id % 7 == 0) is
+    // excised from the corpus slice; no keeper — benchmark text must not
+    // survive anywhere. Bench fps broadcast; corpus never shuffles before
+    // the per-doc rollup.
+    "q78_decontam_spans" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      DedupOps.dropContaminatedSpans(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", window = 20)
+    }),
+
+    // Dedup analytics — cross-source duplication matrix over the q35
+    // near-dup clusters: which sources duplicate which (diagonal =
+    // within-source dup clusters). The mixture-design companion to q66's
+    // per-source card.
+    "q77_dup_matrix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 4, rowsPerBand = 2)
+      val verified = DedupOps.ngramJaccardForPairs(docs, cand, "doc_id", "text",
+          shingleK = 3, minShared = 1)
+        .where(col("n_inter") * 10 >= col("n_union") * 8)
+      val clusters = DedupOps.dupClusters(docs, verified, "doc_id")
+      DedupOps.crossSourceDupMatrix(clusters, docs, "doc_id", "source")
+    }),
 
     // Curation — the full funnel as ONE declarative plan: benchmark
     // holdout → language gate (q16 heuristic) → stopword-quality gate
@@ -1459,6 +1567,99 @@ object SparkEntry {
          SELECT doc_id, list(tok ORDER BY pos) AS toks,
            CAST(count(*) AS BIGINT) AS n_tokens
          FROM t3 GROUP BY doc_id""",
+
+    // q73 replays the TRAINING loop: three chained rounds, each selecting
+    // its own argmax rule (scalar subqueries on b{k}) before rewriting —
+    // see bpeLearnRoundSql for the generalized both-shapes window pass.
+    "q73_bpe_learn" ->
+      s"""WITH base AS (SELECT doc_id,
+             list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS ts
+           FROM documents WHERE len(list_filter(
+             str_split_regex(text, '\\s+'), x -> x <> '')) > 0),
+         t0 AS (SELECT doc_id, i AS pos, ts[i] AS tok
+           FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts))) AS i FROM base)),
+         ${bpeLearnRoundSql(1, 2L)},
+         ${bpeLearnRoundSql(2, 2L)},
+         ${bpeLearnRoundSql(3, 2L)}
+         SELECT CAST(round AS INT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS cnt
+         FROM (SELECT 1 AS round, lhs, rhs, cnt FROM b1
+           UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
+           UNION ALL SELECT 3, lhs, rhs, cnt FROM b3)
+         ORDER BY round""",
+
+    "q74_chunk_docs" ->
+      """WITH base AS (SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents WHERE len(list_filter(
+             str_split_regex(text, '\s+'), x -> x <> '')) > 0),
+         k AS (SELECT doc_id, ts, unnest(generate_series(0,
+             CASE WHEN len(ts) <= 40 THEN 0
+               ELSE (len(ts) - 40 + 25 - 1) // 25 END)) AS k
+           FROM base)
+         SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           array_to_string(ts[k * 25 + 1 : k * 25 + 40], ' ') AS text,
+           CAST(len(ts[k * 25 + 1 : k * 25 + 40]) AS BIGINT) AS n_tokens
+         FROM k""",
+
+    "q75_mixture_rates" ->
+      """WITH f AS (SELECT source,
+             CAST(len(list_filter(str_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS ntok
+           FROM documents),
+         card AS (SELECT source, SUM(ntok) AS n_tokens FROM f GROUP BY source),
+         w AS (SELECT * FROM (VALUES ('src0', 400), ('src1', 300),
+             ('src7', 200), ('src19', 100)) AS t(source, w_mill))
+         SELECT c.source, CAST(w.w_mill AS INT) AS w_mill,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST((10000 * w.w_mill) // 1000 AS BIGINT) AS target_tokens,
+           CAST(CASE WHEN c.n_tokens <= 0 THEN 0
+             ELSE least(1000000,
+               (CAST((10000 * w.w_mill) // 1000 AS BIGINT) * 1000000)
+                 // c.n_tokens) END
+             AS BIGINT) AS rate_ppm,
+           CAST(greatest(0, (10000 * w.w_mill) // 1000 - c.n_tokens)
+             AS BIGINT) AS shortfall_tokens
+         FROM card c JOIN w USING (source)""",
+
+    "q76_uniform_sample" ->
+      """SELECT doc_id FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
+
+    "q78_decontam_spans" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         corp AS (SELECT * FROM tok WHERE doc_id % 7 <> 0),
+         ben AS (SELECT * FROM tok WHERE doc_id % 7 = 0),
+         bfp AS (SELECT DISTINCT
+             md5(array_to_string(list_slice(ts, pos, pos + 19), ' ')) AS fp
+           FROM (SELECT ts, unnest(generate_series(1, len(ts) - 19)) AS pos
+                 FROM ben)),
+         occ AS (SELECT doc_id, pos,
+             md5(array_to_string(list_slice(ts, pos, pos + 19), ' ')) AS fp
+           FROM (SELECT doc_id, ts,
+                 unnest(generate_series(1, len(ts) - 19)) AS pos FROM corp)),
+         cov AS (SELECT doc_id, unnest(generate_series(pos, pos + 19)) AS ti
+             FROM occ WHERE fp IN (SELECT fp FROM bfp)),
+         covs AS (SELECT doc_id, list(DISTINCT ti) AS cv FROM cov GROUP BY doc_id)
+         SELECT t.doc_id,
+           COALESCE(array_to_string(CASE WHEN c.cv IS NULL THEN t.ts
+             ELSE list_filter(t.ts, (x, i) -> NOT list_contains(c.cv, i)) END,
+             ' '), '') AS clean_text,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cv), 0) AS BIGINT) AS n_removed
+         FROM corp t LEFT JOIN covs c USING (doc_id)""",
+
+    "q77_dup_matrix" ->
+      s"""$dupClustersCteSql,
+         lab AS (SELECT c.cluster, d.source AS src, count(*) AS n
+           FROM cl c JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         SELECT a.src AS src_a, b.src AS src_b,
+           CAST(count(*) AS BIGINT) AS n_clusters
+         FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.src <= b.src
+         WHERE a.src < b.src OR a.n >= 2
+         GROUP BY 1, 2""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

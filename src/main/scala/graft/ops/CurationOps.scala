@@ -459,4 +459,106 @@ object CurationOps {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
         expr("_millsum div n_docs").as("mean_stop_mill"))
   }
+
+  /** Context-window chunking — the SPLITTING complement to
+    * [[packSequences]]' concatenation: documents longer than `maxTokens`
+    * become overlapping windows that start every `stride` tokens (overlap
+    * = maxTokens − stride), the standard long-document treatment when a
+    * trainer's context is shorter than the text. Chunk count is
+    * `1 + ⌈(n − maxTokens)/stride⌉` for n > maxTokens else 1 — the final
+    * window may be short, but no window ever starts past the text, and a
+    * doc is never silently truncated. Zero-token docs drop (nothing to
+    * chunk). Returns `(idCol, chunk_id, text, n_tokens)` with `chunk_id`
+    * the 0-based window index and `text` the window re-joined with single
+    * spaces.
+    *
+    * Determinism: window boundaries are pure integer arithmetic on the
+    * token count — no RNG, any engine replays the chunks byte-for-byte.
+    *
+    * 100 TB shape: entirely scan-local — tokenize, an indexed `transform`
+    * over the window starts, one `posexplode` — ZERO shuffle at any
+    * corpus size; output row count is Σ chunks, bounded by
+    * Σ tokens/stride. Composes with [[packSequences]] downstream (chunk
+    * long docs first, then pack the chunks).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens], got $stride")
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+              sequence(0, CASE WHEN size(_toks) <= $maxTokens THEN 0
+                ELSE (size(_toks) - $maxTokens + $stride - 1) div $stride END),
+              k -> slice(_toks, k * $stride + 1, $maxTokens))"""))
+        .as(Seq("chunk_id", "_c")))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        array_join(col("_c"), " ").as("text"),
+        size(col("_c")).cast("long").as("n_tokens"))
+  }
+
+  /** Mixture-rate calibration — the arithmetic between [[sourceStats]]
+    * (what each source HAS) and [[stratifiedSampleRated]] (what to KEEP):
+    * given per-source token inventories, target mixture weights in mills,
+    * and a total token budget, compute each source's target token count
+    * `budget · w_mill div 1000` and the sampling rate (in ppm, BIGINT
+    * floor division end-to-end — bit-replayable on any engine) that
+    * realizes it, capped at 10^6 (a source can't supply more than it
+    * has — the shortfall is reported so the designer can re-weight
+    * instead of silently under-delivering). Returns
+    * `(source, w_mill, n_tokens, target_tokens, rate_ppm, shortfall_tokens)`.
+    *
+    * 100 TB shape: `cards` is one row per source (already aggregated by
+    * [[sourceStats]]); the weight table broadcasts. Driver never sees
+    * data — the output feeds [[stratifiedSampleRated]] as a broadcast
+    * rate table.
+    */
+  def mixtureRates(cards: DataFrame, weights: Map[String, Int],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    weights.foreach { case (s, w) =>
+      require(w >= 0 && w <= 1000, s"weight mills must be in [0,1000]: ($s,$w)")
+    }
+    val spark = cards.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("source", "w_mill"))
+    cards.select(col("source"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(wdf, Seq("source"))
+      .withColumn("target_tokens",
+        expr(s"($tokenBudget * cast(w_mill AS BIGINT)) div 1000"))
+      .withColumn("rate_ppm",
+        when(col("n_tokens") <= 0, lit(0L)).otherwise(
+          least(lit(1000000L),
+            expr("(target_tokens * 1000000) div n_tokens"))))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("target_tokens") - col("n_tokens")))
+      .select(col("source"), col("w_mill").cast("int").as("w_mill"),
+        col("n_tokens"), col("target_tokens"), col("rate_ppm"),
+        col("shortfall_tokens"))
+  }
+
+  /** Deterministic uniform sample of EXACTLY k documents — the "give me a
+    * 100k-doc eval slice" primitive: global order by `(md5(id), id)` (the
+    * id tie-break makes the order total even under hash collisions), keep
+    * the first k. Rerun-stable, engine-independent, and GROWS
+    * MONOTONICALLY: the k-sample is a prefix of the (k+n)-sample, so
+    * enlarging a slice never invalidates previously-drawn members
+    * (the [[stratifiedSampleRated]] monotonicity property, exact-count
+    * form). Returns `(idCol)`.
+    *
+    * 100 TB shape: compiles to TakeOrderedAndProject — per-partition
+    * top-k heaps, one O(k·partitions) driver-side merge, NO global sort
+    * shuffle. Use the rate-based samplers when k approaches corpus scale;
+    * this primitive is for k ≪ |corpus| slices.
+    */
+  def uniformSampleExact(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(col(idCol),
+        md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .select(col(idCol))
+  }
 }

@@ -328,6 +328,40 @@ object DedupOps {
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster"))
   }
 
+  /** Cross-source duplication matrix — which sources duplicate WHICH, the
+    * inter-source overlap accounting a mixture designer reads next to
+    * [[CurationOps.sourceStats]] (a source that mostly mirrors another
+    * should not get independent mixture weight): over near-dup `clusters`
+    * (the [[dupClusters]] output), count for every unordered source pair
+    * `src_a <= src_b` the clusters containing documents from BOTH sources;
+    * the diagonal (`src_a == src_b`) counts clusters with ≥ 2 documents of
+    * the same source, i.e. within-source duplication. Singleton clusters
+    * contribute nothing by construction. Returns
+    * `(src_a, src_b, n_clusters)`.
+    *
+    * 100 TB shape: the per-(cluster, source) rollup is one map-side-
+    * combinable hash agg; the pair build self-joins THAT rollup on the
+    * short cluster key (cluster sizes are near-dup-group sized, so the
+    * join fans out per-cluster, AQE-splittable if one mega-cluster
+    * appears); the output is ≤ |sources|² rows. Document text never
+    * enters.
+    */
+  def crossSourceDupMatrix(clusters: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = clusters
+      .join(labels.select(col(idCol), col(labelCol).as("_src")), idCol)
+      .groupBy(col("cluster"), col("_src"))
+      .agg(count(lit(1)).as("_n"))
+    val a = lab.select(col("cluster"), col("_src").as("src_a"),
+      col("_n").as("_na"))
+    val b = lab.select(col("cluster"), col("_src").as("src_b"))
+    a.join(b, Seq("cluster"))
+      .where(col("src_a") < col("src_b") ||
+        (col("src_a") === col("src_b") && col("_na") >= 2))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
     * check every LLM training pipeline runs before an eval): flag corpus
     * documents sharing ≥ `minShared` distinct `shingleK`-gram shingles
@@ -437,6 +471,64 @@ object DedupOps {
     val covered = occ.join(agg, Seq("fp"))
       .where(col(idCol) =!= col(s"_keep.$idCol") || col("pos") =!= col("_keep.pos"))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("ti"))
+      .groupBy(col(idCol)).agg(collect_set(col("ti")).as("_cov"))
+    base.join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        array_join(when(col("_cov").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"),
+            (t, i) => !array_contains(col("_cov"), i + 1))), " ").as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** Exact-substring DECONTAMINATION — the span-granularity counterpart
+    * of [[contaminatedDocs]] (Lee et al. 2022 applied to eval leakage):
+    * delete from every corpus document ALL tokens covered by a
+    * `window`-token span that appears verbatim in the benchmark set. No
+    * keeper exists here — benchmark text must not survive anywhere, which
+    * is exactly where this differs from [[dropDuplicateSpans]] (whose
+    * first occurrence legitimately stays). Longer shared runs dissolve as
+    * the union of their sliding windows; matching is case-SENSITIVE
+    * verbatim ([[dropDuplicateSpans]]' destructive-rewrite discipline).
+    * Returns (idCol, clean_text, n_tokens, n_removed); sub-window docs
+    * pass through untouched, `clean_text` joins surviving tokens with
+    * single spaces (uniform whitespace canonicalization, as in
+    * [[dropDuplicateSpans]]).
+    *
+    * Versus [[contaminatedDocs]]: that op FLAGS documents by case-folded
+    * shingle overlap (recall-oriented detection, doc granularity); this
+    * op REWRITES them, excising only the leaked spans — the right tool
+    * when a document is fine except for an embedded benchmark quote.
+    *
+    * 100 TB shape: benchmark sets are tiny, so their distinct span-fp set
+    * BROADCASTS and the corpus-side check is a broadcast left-semi join —
+    * no corpus shuffle at all before the per-doc covered-index rollup and
+    * reassembly, both keyed on near-unique ids. Only md5 strings and
+    * integer positions move; corpus text is touched exactly twice (span
+    * build, reassembly).
+    */
+  def dropContaminatedSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, window: Int = 50): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val base = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    val benchFps = bench
+      .select(TextOps.tokens(col(textCol)).as("_toks"))
+      .select(explode(when(size(col("_toks")) >= window,
+        transform(sequence(lit(1), size(col("_toks")) - lit(window - 1)),
+          p => md5(concat_ws(" ", slice(col("_toks"), p, lit(window))))))
+        .otherwise(array())).as("fp"))
+      .distinct()
+    val occ = base.select(col(idCol),
+        explode(when(size(col("_toks")) >= window,
+          transform(sequence(lit(1), size(col("_toks")) - lit(window - 1)),
+            p => struct(p.as("pos"),
+              md5(concat_ws(" ", slice(col("_toks"), p, lit(window)))).as("fp"))))
+          .otherwise(array())).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.fp").as("fp"))
+    val covered = occ.join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("ti"))
       .groupBy(col(idCol)).agg(collect_set(col("ti")).as("_cov"))
     base.join(covered, Seq(idCol), "left_outer")
       .select(col(idCol),

@@ -66,19 +66,26 @@ object TrainPrepOps {
       minCount: Long = 2L, topN: Int = 10000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topN > 0, s"topN must be positive, got $topN")
-    val pairs = docs
-      .select(TextOps.tokens(col(textCol)).as("_toks"))
-      .select(explode(expr(
-        """transform(
-             slice(_toks, 1, greatest(cast(size(_toks) AS INT) - 1, 0)),
-             (t, i) -> struct(t AS lhs, element_at(_toks, i + 2) AS rhs))"""))
-        .as("p"))
-      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-    pairs.groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("cnt"))
+    adjacentPairCounts(
+      docs.select(TextOps.tokens(col(textCol)).as("_toks")), "_toks")
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
       .limit(topN)
   }
+
+  /** Corpus counts of adjacent token pairs over a token-array column:
+    * pairs build ROW-LOCALLY (indexed `transform`, no self-join), then one
+    * map-side-combinable hash agg on the bigram-lexicon-sized (lhs, rhs)
+    * key. Shared by [[mergePairCandidates]] and [[learnMerges]].
+    */
+  private def adjacentPairCounts(df: DataFrame, toksCol: String): DataFrame =
+    df.select(explode(expr(
+      s"""transform(
+            slice($toksCol, 1, greatest(cast(size($toksCol) AS INT) - 1, 0)),
+            (t, i) -> struct(t AS lhs, element_at($toksCol, i + 2) AS rhs))"""))
+      .as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("cnt"))
 
   /** Per-label embedding centroid in FIXED-POINT arithmetic (the
     * [[SimilarityOps.ivfFitRefined]] determinism discipline, relational
@@ -164,6 +171,76 @@ object TrainPrepOps {
     }
     out.select(col(idCol), col("toks"),
       size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Learn a BPE merge list from the corpus — the TRAINING LOOP that
+    * [[mergePairCandidates]] (the statistic) and [[applyMerges]] (the
+    * rewrite) are the halves of: each round counts adjacent pairs over the
+    * CURRENT symbol streams, picks the argmax under the total order
+    * (cnt desc, lhs asc, rhs asc), applies that one merge greedily
+    * left-to-right, and recounts. Stops early when no pair reaches
+    * `minCount`. Returns the learned list as (round, lhs, rhs, cnt) with
+    * `cnt` the pair's corpus count AT SELECTION TIME (counts are over
+    * merged symbols from round 2 on — the defining property of BPE
+    * training, and why the loop cannot be expressed as one pass).
+    *
+    * Determinism: the argmax order is total and the pair counts are exact,
+    * so the learned list is unique — any engine that replays the rounds
+    * lands on the same rules byte-for-byte (the q73 oracle does exactly
+    * that with chained window passes). Feeding the list to [[applyMerges]]
+    * reproduces the loop's final token streams (spec-pinned), which is how
+    * a trained tokenizer ENCODES unseen text.
+    *
+    * 100 TB shape: each round is one corpus pass — a row-local rewrite
+    * projection plus one map-side-combinable pair-count agg bounded by the
+    * bigram lexicon — and ships exactly ONE row to the driver (the
+    * argmax, via TakeOrdered). Rounds checkpoint eagerly so the plan stays
+    * O(1) deep at any merge count ([[DedupOps.dupClusters]] discipline):
+    * `checkpointDir = Some(path)` writes round files to shared storage
+    * (preemptible-executor-safe); the default `localCheckpoint` trades
+    * that for zero storage on stable fleets. Training cost is
+    * O(nMerges · corpus) by definition of greedy BPE — real trainers run
+    * this on a SAMPLE of the corpus (compose with
+    * [[CurationOps.stratifiedSampleRated]]), then [[applyMerges]] encodes
+    * the full corpus in one statically-unrolled scan-local pass.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, checkpointDir: Option[String] = None): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"learnMerges: nMerges must be in [1, 10000], got $nMerges")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
+    var cur = snap(docs.select(TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      // One row reaches the driver: the argmax pair under the total order.
+      val best = adjacentPairCounts(cur, "toks")
+        .where(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        learned += ((round, a, b, best(0).getLong(2)))
+        val prev = cur
+        cur = snap(cur.select(mergeOnce(col("toks"), a, b).as("toks")))
+        prev.unpersist()
+        round += 1
+      }
+    }
+    cur.unpersist()
+    import spark.implicits._
+    spark.createDataset(learned.toSeq)
+      .toDF("round", "lhs", "rhs", "cnt")
   }
 
   /** One greedy left-to-right merge pass of rule `(a, b)` over a token

@@ -302,4 +302,67 @@ class CurationOpsSpec extends AnyFunSuite {
       minStopMill = 120).as[(Long, Long)].collect().toMap
     assert(stricter.keySet.subsetOf(out.keySet))
   }
+
+  test("chunkDocuments: window starts, short tail, short doc, zero shuffle") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 toks, max 3 stride 2 → 3 chunks
+      (2L, "a b"),                  // ≤ max → one whole-doc chunk
+      (3L, " ")                     // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 3, stride = 2)
+      .as[(Long, Int, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3", 3L), (1L, 1, "t3 t4 t5", 3L), (1L, 2, "t5 t6 t7", 3L),
+      (2L, 0, "a b", 2L)))
+    // stride == maxTokens partitions the stream: chunks concatenate back
+    // to the original token sequence (no overlap, full coverage)
+    val disjoint = CurationOps.chunkDocuments(docs, "doc_id", "text", 3, 3)
+      .where(col("doc_id") === 1L)
+      .orderBy("chunk_id").as[(Long, Int, String, Long)].collect()
+      .flatMap(_._3.split(' ')).toSeq
+    assert(disjoint == (1 to 7).map(i => s"t$i"))
+    // scan-local: no Exchange at any corpus size
+    val plan = CurationOps.chunkDocuments(docs, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocuments shuffles:\n$plan")
+  }
+
+  test("mixtureRates: targets, ppm rates, cap + shortfall, zero-inventory guard") {
+    val cards = Seq(("a", 1000L), ("b", 100L), ("c", 5000L), ("z", 0L),
+      ("unweighted", 99L)).toDF("source", "n_tokens")
+    val out = CurationOps.mixtureRates(cards,
+      Map("a" -> 500, "b" -> 300, "c" -> 0, "z" -> 100, "ghost" -> 100),
+      tokenBudget = 2000L)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out == Map(
+      "a" -> ((500, 1000L, 1000L, 1000000L, 0L)), // exactly consumable
+      "b" -> ((300, 100L, 600L, 1000000L, 500L)), // capped, shortfall reported
+      "c" -> ((0, 5000L, 0L, 0L, 0L)),            // zero weight → zero rate
+      "z" -> ((100, 0L, 200L, 0L, 200L))))        // empty source → rate 0
+    // weight table broadcasts; sources without weights drop (explicit mixture)
+    assert(!out.contains("unweighted") && !out.contains("ghost"))
+    val plan = CurationOps.mixtureRates(cards, Map("a" -> 500), 2000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$plan")
+  }
+
+  test("uniformSampleExact: exact k, prefix-monotone, partitioning-invariant, TakeOrdered") {
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s10 = CurationOps.uniformSampleExact(docs, "doc_id", 10)
+      .as[Long].collect().toSet
+    val s50 = CurationOps.uniformSampleExact(docs, "doc_id", 50)
+      .as[Long].collect().toSet
+    assert(s10.size == 10 && s50.size == 50)
+    assert(s10.subsetOf(s50), "k-sample must be a prefix of the larger sample")
+    val again = CurationOps.uniformSampleExact(docs.repartition(7), "doc_id", 10)
+      .as[Long].collect().toSet
+    assert(again == s10)
+    // per-partition heaps + driver merge, never a global sort shuffle
+    val plan = CurationOps.uniformSampleExact(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
 }

@@ -190,6 +190,52 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dropContaminatedSpans: excises ALL bench-span occurrences, case-sensitive, run dissolution") {
+    val bench = Seq((100L, "x y z q r")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b x y z c d"),  // embedded bench span → excised, rest kept
+      (2L, "x y z q r s"),    // shared 5-run dissolves via its windows
+      (3L, "a b"),            // sub-window → untouched
+      (4L, "X y z c c c")     // case differs → NOT contaminated
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dropContaminatedSpans(corpus, bench, "doc_id", "text",
+      window = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> (("a b c d", 7L, 3L)),
+      2L -> (("s", 6L, 5L)),  // no keeper: every occurrence goes
+      3L -> (("a b", 2L, 0L)),
+      4L -> (("X y z c c c", 6L, 0L))))
+    // partitioning-invariant; bench fp set rides a broadcast join
+    val again = DedupOps.dropContaminatedSpans(corpus.repartition(5),
+      bench.repartition(2), "doc_id", "text", 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == out)
+    val plan = DedupOps.dropContaminatedSpans(corpus, bench, "doc_id",
+      "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bench side not broadcast:\n$plan")
+  }
+
+  test("crossSourceDupMatrix: cross pairs, within-source diagonal, singletons inert") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), // A,B,A share cluster 1
+      (4L, 4L),                                      // singleton → inert
+      (5L, 5L), (6L, 5L)                             // B,B → diagonal
+    ).toDF("doc_id", "cluster")
+    val labels = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "A"),
+      (5L, "B"), (6L, "B")).toDF("doc_id", "source")
+    val out = DedupOps.crossSourceDupMatrix(clusters, labels, "doc_id", "source")
+      .as[(String, String, Long)].collect().toSet
+    // cluster 1: A appears twice → (A,A); A+B → (A,B); cluster 5: (B,B)
+    assert(out == Set(("A", "A", 1L), ("A", "B", 1L), ("B", "B", 1L)))
+    // partitioning-invariant (exact aggregates + equi-joins only)
+    val again = DedupOps.crossSourceDupMatrix(clusters.repartition(7),
+      labels.repartition(3), "doc_id", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(again == out)
+  }
+
   test("dupClusters: reliable checkpointDir produces the same labels as localCheckpoint") {
     val base = mkDoc(99L, words = 80)
     val b = edit(base, 2, 991L)

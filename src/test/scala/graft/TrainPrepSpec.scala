@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{array_join, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{TextOps, TrainPrepOps}
@@ -152,6 +153,76 @@ class TrainPrepSpec extends AnyFunSuite {
       .as[(Long, Seq[String], Long)].collect()
       .map(r => r._1 -> r._2.toList).toMap
     assert(got == expected)
+  }
+
+  test("learnMerges: hand-computed rounds, early stop below minCount") {
+    val s = spark; import s.implicits._
+    // round 1: (a,b)×3 beats (a,a)×2; after merging, every remaining pair
+    // is unique, so minCount=2 stops the loop after one rule.
+    val docs = Seq((1L, "a a a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val learned = TrainPrepOps.learnMerges(docs, "text", nMerges = 3,
+      minCount = 2L).as[(Int, String, String, Long)].collect().toSeq
+    assert(learned == Seq((1, "a", "b", 3L)))
+  }
+
+  test("learnMerges: ties break (lhs, rhs) asc; a==b rules learnable in-loop") {
+    val s = spark; import s.implicits._
+    // minCount=1 continues past the hand-verified round 1: round-2
+    // candidates all count 1 — (a,a) wins the tie on lhs asc (the a==b
+    // shape, selected by the LOOP not pinned by the caller); round 3 then
+    // sees the merged 'aa' symbol.
+    val docs = Seq((1L, "a a a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val learned = TrainPrepOps.learnMerges(docs, "text", nMerges = 3,
+      minCount = 1L).as[(Int, String, String, Long)].collect().toSeq
+    assert(learned == Seq((1, "a", "b", 3L), (2, "a", "a", 1L),
+      (3, "aa", "ab", 1L)))
+    // prefix consistency: a shorter run is a prefix of a longer one
+    for (k <- 1 to 2) {
+      val pre = TrainPrepOps.learnMerges(docs, "text", nMerges = k,
+        minCount = 1L).as[(Int, String, String, Long)].collect().toSeq
+      assert(pre == learned.take(k), s"nMerges=$k not a prefix: $pre")
+    }
+    // partitioning invariance: exact counts + total-order argmax
+    val again = TrainPrepOps.learnMerges(docs.repartition(7), "text",
+      nMerges = 3, minCount = 1L)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(again == learned)
+  }
+
+  test("learnMerges ∘ applyMerges agree: encoding k rules, the next " +
+      "candidate argmax IS the (k+1)-th learned rule") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val learned = TrainPrepOps.learnMerges(docs, "text", nMerges = 3,
+      minCount = 1L).as[(Int, String, String, Long)].collect().toSeq
+    for (k <- 0 to 2) {
+      val enc =
+        if (k == 0) docs.select(col("doc_id"), col("text"))
+        else TrainPrepOps.applyMerges(docs, "doc_id", "text",
+          learned.take(k).map(r => r._2 -> r._3))
+          .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+      val next = TrainPrepOps.mergePairCandidates(enc, "text",
+        minCount = 1L, topN = 1)
+        .as[(String, String, Long)].collect().head
+      assert((learned(k)._2, learned(k)._3, learned(k)._4) == next,
+        s"after $k rules, argmax $next != learned round ${k + 1}")
+    }
+  }
+
+  test("learnMerges: reliable checkpointDir ≡ localCheckpoint default, " +
+      "round files land in the dir") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("learn-ckpt").toString
+    val viaDir = TrainPrepOps.learnMerges(docs, "text", nMerges = 3,
+      minCount = 1L, checkpointDir = Some(dir))
+      .as[(Int, String, String, Long)].collect().toSeq
+    val viaLocal = TrainPrepOps.learnMerges(docs, "text", nMerges = 3,
+      minCount = 1L).as[(Int, String, String, Long)].collect().toSeq
+    assert(viaDir == viaLocal)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "no checkpoint files written")
   }
 
   test("applyMerges is scan-local: no Exchange at any rule count") {
