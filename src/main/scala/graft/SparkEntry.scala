@@ -89,6 +89,34 @@ object SparkEntry {
     * representative/funnel logic on top, so all three oracles share one
     * verified definition.
     */
+  /** MinHash band-bucket CTEs over a filtered slice of `documents`,
+    * name-prefixed so two slices (ledger + batch, for q80) coexist in one
+    * WITH chain. Same family as [[dupClustersCteSql]]: two md5s per
+    * 3-shingle, eight 8-hex chunk minima, 4 bands × 2 rows.
+    */
+  private def bandsCte(prefix: String, pred: String): String = {
+    val minCols = (0 until 8).map { i =>
+      val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
+      s"min(substring($h, $off, 8)) AS c$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, c${2 * b} || c${2 * b + 1} AS bucket FROM ${prefix}mins"
+    }.mkString("\nUNION ALL\n")
+    s"""${prefix}toks AS (
+         SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+         FROM documents WHERE $pred),
+       ${prefix}sh AS (
+         SELECT doc_id, list_transform(range(len(tk) - 2),
+           i -> array_to_string(tk[i+1:i+3], ' ')) AS shl
+         FROM ${prefix}toks WHERE len(tk) >= 3),
+       ${prefix}shx AS (SELECT doc_id, unnest(shl) AS s FROM ${prefix}sh),
+       ${prefix}hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2
+         FROM ${prefix}shx),
+       ${prefix}mins AS (SELECT doc_id, $minCols FROM ${prefix}hx GROUP BY doc_id),
+       ${prefix}bands AS (
+         $bandSelects)"""
+  }
+
   private lazy val dupClustersCteSql: String = {
     val minCols = (0 until 8).map { i =>
       val (h, off) = if (i < 4) ("h1", 1 + 8 * i) else ("h2", 1 + 8 * (i - 4))
@@ -805,6 +833,41 @@ object SparkEntry {
         .where(col("n_inter") * 10 >= col("n_union") * 8)
       val clusters = DedupOps.dupClusters(docs, verified, "doc_id")
       DedupOps.crossSourceDupMatrix(clusters, docs, "doc_id", "source")
+    }),
+
+    // Similarity — feature-hashed ("hashing trick") document embeddings:
+    // each token lands in bucket md5[0:4] mod 64 with a parity sign;
+    // the doc vector is the signed count per bucket (dense array<bigint>).
+    // The text→vector bridge into the ANN stack when no trained encoder
+    // exists; md5-derandomized so the oracle replays the bytes.
+    "q79_hash_embed" -> ((s, dir) =>
+      SimilarityOps.hashEmbed(T(s, dir, "documents"), "doc_id", "text",
+        dims = 64)),
+
+    // Dedup — snapshot-incremental NEAR-dup screening: docs with
+    // doc_id % 3 == 0 are the accumulated corpus (present only as their
+    // band-bucket LEDGER — ids and text never rescanned); the rest arrive
+    // as the new batch, each scored by how many of its band buckets the
+    // ledger already holds, plus the min earlier batch id sharing any
+    // bucket (within-batch keeper evidence).
+    "q80_incr_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ledger = DedupOps.bandLedger(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      DedupOps.incrementalNearDup(docs.where(col("doc_id") % 3 =!= 0),
+        ledger, "doc_id", "text")
+    }),
+
+    // Decontamination (audit) — per-BENCHMARK-doc leak report over the
+    // same %7 split and span identity as q78's acting rewrite: how many of
+    // each benchmark doc's 20-token spans exist verbatim in the corpus,
+    // and how many distinct corpus docs carry them.
+    "q81_contam_report" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      DedupOps.contaminationReport(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", window = 20)
     }),
 
     // Curation — the full funnel as ONE declarative plan: benchmark
@@ -1660,6 +1723,74 @@ object SparkEntry {
          FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.src <= b.src
          WHERE a.src < b.src OR a.n >= 2
          GROUP BY 1, 2""",
+
+    // bucket = first 4 md5 hex chars mod 64; sign = parity of the 5th.
+    // Densify via generate_series LEFT JOIN; zero-token docs drop (no
+    // tokens ever enter e).
+    "q79_hash_embed" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS t
+           FROM documents),
+         e AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 64 AS bucket,
+             CASE WHEN CAST(('0x' || substring(md5(t), 5, 1)) AS INTEGER) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+           FROM tok),
+         s AS (SELECT doc_id, bucket, SUM(sgn) AS v FROM e GROUP BY 1, 2),
+         ids AS (SELECT DISTINCT doc_id FROM e),
+         g AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bucket FROM ids),
+         j AS (SELECT g.doc_id, g.bucket, COALESCE(s.v, 0) AS v
+           FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.bucket)
+         SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY bucket) AS embedding_h
+         FROM j GROUP BY doc_id""",
+
+    // ledger = band buckets of the %3==0 slice; batch = the rest. One
+    // count of ledger-held bands per batch doc + the min earlier batch id
+    // sharing any bucket.
+    "q80_incr_neardup" ->
+      s"""WITH ${bandsCte("l", "doc_id % 3 = 0")},
+         ${bandsCte("n", "doc_id % 3 <> 0")},
+         lset AS (SELECT DISTINCT band, bucket FROM lbands),
+         hits AS (SELECT n.doc_id, count(*) AS nl
+           FROM nbands n JOIN lset USING (band, bucket) GROUP BY 1),
+         prior AS (SELECT a.doc_id, min(b.doc_id) AS prior_id
+           FROM nbands a JOIN nbands b
+             ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id < a.doc_id
+           GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(h.nl, 0) AS BIGINT) AS n_ledger_bands,
+           p.prior_id
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+         LEFT JOIN hits h USING (doc_id)
+         LEFT JOIN prior p USING (doc_id)""",
+
+    // same %7 split and 20-token span identity as q78; per-bench-doc
+    // distinct leaked fps + distinct touched corpus docs
+    "q81_contam_report" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         ben AS (SELECT * FROM tok WHERE doc_id % 7 = 0),
+         corp AS (SELECT * FROM tok WHERE doc_id % 7 <> 0),
+         bsp AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(ts, pos, pos + 19), ' ')) AS fp
+           FROM (SELECT doc_id, ts,
+                 unnest(generate_series(1, len(ts) - 19)) AS pos FROM ben)),
+         csp AS (SELECT DISTINCT doc_id AS cid,
+             md5(array_to_string(list_slice(ts, pos, pos + 19), ' ')) AS fp
+           FROM (SELECT doc_id, ts,
+                 unnest(generate_series(1, len(ts) - 19)) AS pos FROM corp)),
+         j AS (SELECT b.doc_id, b.fp, c.cid FROM bsp b JOIN csp c USING (fp)),
+         leak AS (SELECT doc_id, count(DISTINCT fp) AS nl FROM j GROUP BY 1),
+         td AS (SELECT doc_id, count(DISTINCT cid) AS nd FROM j GROUP BY 1),
+         nsp AS (SELECT doc_id, count(*) AS ns FROM bsp GROUP BY 1)
+         SELECT b.doc_id, CAST(COALESCE(n.ns, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(l.nl, 0) AS BIGINT) AS n_leaked_spans,
+           CAST(COALESCE(t.nd, 0) AS BIGINT) AS n_corpus_docs
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) b
+         LEFT JOIN nsp n USING (doc_id)
+         LEFT JOIN leak l USING (doc_id)
+         LEFT JOIN td t USING (doc_id)""",
 
     "q45_curation_funnel" ->
       s"""$dupClustersCteSql,

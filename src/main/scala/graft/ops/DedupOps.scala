@@ -569,4 +569,120 @@ object DedupOps {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .join(ledger.select(col("fp")), Seq("fp"), "left_anti")
   }
+
+  /** Distinct MinHash band-bucket set of a corpus — the NEAR-DUP ledger
+    * state, the LSH analog of [[incrementalDedup]]'s fingerprint ledger.
+    * One `(band, bucket)` row per occupied bucket; ids and text never
+    * enter, so the ledger stays a small fraction of the corpus and is
+    * MERGE-maintainable: the ledger of A∪B is the distinct union of the
+    * two ledgers (set union is the idempotent-commutative monoid here,
+    * exactly as counts were for [[graft.ops.TrainPrepOps
+    * .mergeVocabCounts]]).
+    *
+    * 100 TB shape: [[minhashBands]]'s map-side-combined minima agg plus
+    * one distinct on the short (band, bucket) key; at scale the stored
+    * ledger table is bucketed by (band, bucket) so batch lookups
+    * ([[incrementalNearDup]]) shuffle only the (much smaller) batch side.
+    */
+  def bandLedger(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select(col("band"), col("bucket")).distinct()
+
+  /** Snapshot-incremental NEAR-dup screening — the daily-ingest pattern at
+    * LSH granularity: a new batch arrives and each document is scored
+    * against the accumulated corpus WITHOUT rescanning it, via the
+    * [[bandLedger]] bucket set. Returns one row per incoming document:
+    * `n_ledger_bands` = how many of its `bands` band buckets already exist
+    * in the ledger (0 = no near-dup evidence; = `bands` = almost certainly
+    * a near-dup of something already ingested), and `prior_id` = the
+    * smallest EARLIER id in the same batch sharing any bucket (null if
+    * none) — so a caller can both screen against history and dedup the
+    * batch against itself with the usual min-id keeper, then append the
+    * batch's [[bandLedger]] to the stored ledger (the operator is its own
+    * successor, like [[incrementalDedup]]). Collision semantics are
+    * EXACTLY [[minhashCandidatePairs]]'s: same shingle family, same band
+    * buckets — this is that operator split across a snapshot boundary.
+    * Documents with fewer than `shingleK` tokens have no shingles and
+    * report (0, null).
+    *
+    * 100 TB shape: the batch side is a day's ingest — small — so its band
+    * table builds with one map-side-combined agg; the ledger probe is an
+    * equi-join on the short (band, bucket) key against the bucketed ledger
+    * (only the batch side shuffles); the within-batch self-join is
+    * batch-sized. Only band buckets travel — never text, never corpus
+    * rows.
+    */
+  def incrementalNearDup(incoming: DataFrame, ledger: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val bb = cacheUntilConsumed(
+      minhashBands(incoming, idCol, textCol, shingleK, bands, rowsPerBand))
+    val hits = bb
+      .join(ledger.select(col("band"), col("bucket")), Seq("band", "bucket"),
+        "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nl"))
+    val prior = bb.select(col(idCol).as("_ida"), col("band"), col("bucket"))
+      .join(bb.select(col(idCol).as("_idb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("_idb") < col("_ida"))
+      .groupBy(col("_ida")).agg(min(col("_idb")).as("prior_id"))
+      .withColumnRenamed("_ida", idCol)
+    incoming.select(col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .join(prior, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_nl"), lit(0L)).as("n_ledger_bands"), col("prior_id"))
+  }
+
+  /** Per-BENCHMARK-doc contamination audit — the report a pipeline owner
+    * reads before trusting an eval number: for each benchmark document,
+    * how many of its `window`-token spans exist verbatim anywhere in the
+    * corpus (`n_leaked_spans` of `n_spans`) and how many distinct corpus
+    * documents carry at least one of them (`n_corpus_docs`). The
+    * per-benchmark-doc view of what [[contaminatedDocs]] (per-corpus-doc
+    * flags) and [[dropContaminatedSpans]] (the acting rewrite) see; span
+    * identity is the SAME case-sensitive window fingerprint as the acting
+    * op, so "report says clean" and "rewrite removes nothing" agree
+    * exactly. Benchmark docs shorter than `window` tokens report
+    * (0, 0, 0), not a dropped row.
+    *
+    * 100 TB shape: benchmark span fps (tiny) BROADCAST; the corpus streams
+    * its spans through one broadcast hash join — no corpus shuffle. The
+    * two rollups (leaked spans, touched corpus docs) aggregate the
+    * hit stream — corpus-span hits on benchmark text, a vanishing
+    * fraction of the corpus — on near-unique pair keys with map-side
+    * partial distinct, then join back to the benchmark-sized span counts.
+    */
+  def contaminationReport(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, window: Int = 50): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    // distinct window-span fps per doc, id aliased so the two sides of the
+    // fp join never collide
+    def spansOf(df: DataFrame, idAlias: String): DataFrame = {
+      val fps = when(size(col("_toks")) >= window,
+        transform(sequence(lit(1), size(col("_toks")) - lit(window - 1)),
+          p => md5(concat_ws(" ", slice(col("_toks"), p, lit(window))))))
+        .otherwise(array())
+      df.select(col(idCol).as(idAlias), TextOps.tokens(col(textCol)).as("_toks"))
+        .select(col(idAlias), explode(array_distinct(fps)).as("fp"))
+    }
+    val bSpans = cacheUntilConsumed(spansOf(bench, "_bid"))
+    val cOcc = spansOf(docs, "_cid")
+    val joined = cOcc.join(broadcast(bSpans), Seq("fp"))
+    val leaked = joined.select(col("_bid"), col("fp")).distinct()
+      .groupBy(col("_bid")).agg(count(lit(1)).as("_nleak"))
+    val touched = joined.select(col("_bid"), col("_cid")).distinct()
+      .groupBy(col("_bid")).agg(count(lit(1)).as("_ndocs"))
+    val counts = bSpans.groupBy(col("_bid")).agg(count(lit(1)).as("_nsp"))
+      .withColumnRenamed("_bid", idCol)
+    bench.select(col(idCol))
+      .join(counts, Seq(idCol), "left_outer")
+      .join(leaked.withColumnRenamed("_bid", idCol), Seq(idCol), "left_outer")
+      .join(touched.withColumnRenamed("_bid", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_nsp"), lit(0L)).as("n_spans"),
+        coalesce(col("_nleak"), lit(0L)).as("n_leaked_spans"),
+        coalesce(col("_ndocs"), lit(0L)).as("n_corpus_docs"))
+  }
 }

@@ -428,4 +428,45 @@ object SimilarityOps {
         .otherwise(transform(col(vecCol),
           x => floor(x.cast("double") * lit(127.0) / s).cast("long"))).as("qvec"))
   }
+
+  /** Feature-hashed ("hashing trick") document embeddings — the
+    * text→vector bridge when no trained encoder is available: each token
+    * lands in bucket `md5(token)[0:4] mod dims` with sign from the parity
+    * of the next md5 nibble, and the document's vector is the signed count
+    * per bucket (Weinberger et al. 2009 semantics, md5-derandomized so any
+    * engine replays the bytes). Signed counts keep the estimator unbiased
+    * under collisions; the output (`embedding_h: array<bigint>`, dense,
+    * length `dims`) feeds the dedup/ANN stack ([[cosine]] and the
+    * int-preserving paths) without a model dependency. Docs with zero
+    * tokens are dropped (no signal to hash — the [[graft.ops.TrainPrepOps
+    * .applyMerges]] convention).
+    *
+    * 100 TB shape: tokenize+hash are scan-local; the only shuffles are one
+    * hash agg on the NEAR-UNIQUE (id, bucket) key (map-side combine folds
+    * each doc's repeated tokens before anything travels — a 10^5-token doc
+    * leaves the mapper as ≤ dims rows) and the per-doc reassembly agg on
+    * the unique id. `map_from_entries` + a `sequence` transform densify
+    * row-locally; no position explode ever reaches a shuffle.
+    */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims >= 2 && dims <= 65536,
+      s"dims must be in [2, 65536] (bucket slice is 4 hex chars), got $dims")
+    val h = md5(col("t").cast("binary"))
+    val toks = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col(idCol),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+          lit(dims.toLong)).as("bucket"),
+        when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    toks.groupBy(col(idCol), col("bucket")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dims.toLong - 1)),
+          i => coalesce(try_element_at(col("_m"), i), lit(0L)))
+          .as("embedding_h"))
+  }
 }

@@ -525,4 +525,79 @@ class DedupQualitySpec extends AnyFunSuite {
       assert(own >= 4, s"query $q: only $own/5 neighbors in-cluster")
     }
   }
+
+  test("incrementalNearDup: ledger screening, within-batch keeper, successor ledger") {
+    import spark.implicits._
+    // accumulated corpus = the 12 base docs; batch = their exact copies +
+    // near-dups + one fresh doc with unrelated text
+    val baseDocs = (0 until 12).map(i => (i * 10L, mkDoc(i.toLong))).toDF("doc_id", "text")
+    val fresh = (900L, "totally novel words appearing nowhere else in any fixture " * 3)
+    val batch = ((0 until 12).flatMap { i =>
+      val base = mkDoc(i.toLong)
+      Seq((i * 10L + 1, base), (i * 10L + 2, edit(base, 2, i.toLong)))
+    } :+ fresh).toDF("doc_id", "text")
+    val ledger = DedupOps.bandLedger(baseDocs, "doc_id", "text")
+    val out = DedupOps.incrementalNearDup(batch, ledger, "doc_id", "text")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (0 until 12).foreach { i =>
+      // exact copy: identical text → identical minima → ALL 4 bands hit
+      assert(out(i * 10L + 1)._1 == 4L, s"copy of $i: ${out(i * 10L + 1)}")
+      // 2-edit near-dup: LSH recall (the candidate-pairs spec above) → ≥1
+      assert(out(i * 10L + 2)._1 >= 1L, s"near-dup of $i: ${out(i * 10L + 2)}")
+      // near-dup shares a bucket with the earlier in-batch copy
+      assert(out(i * 10L + 2)._2.contains(i * 10L + 1))
+      // the copy has no EARLIER in-batch collision (it is each group's min)
+      assert(out(i * 10L + 1)._2.isEmpty)
+    }
+    assert(out(900L) == ((0L, None)), s"fresh doc flagged: ${out(900L)}")
+    // successor property: ledger ∪ batch bands == ledger of the full corpus
+    val grown = ledger.unionByName(DedupOps.bandLedger(batch, "doc_id", "text"))
+      .distinct().as[(Int, String)].collect().toSet
+    val full = DedupOps.bandLedger(baseDocs.unionByName(batch), "doc_id", "text")
+      .as[(Int, String)].collect().toSet
+    assert(grown == full)
+    // partitioning-invariant
+    val again = DedupOps.incrementalNearDup(batch.repartition(7),
+      ledger.repartition(3), "doc_id", "text")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
+  test("contaminationReport: hand-computed leak counts; agreement with the acting rewrite") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "a b c d e"), // spans: "a b c", "b c d", "c d e"
+      (101L, "k l"),       // sub-window → (0, 0, 0)
+      (102L, "p q r s")    // spans: "p q r", "q r s" — no corpus overlap
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x b c d y"),   // carries "b c d"
+      (2L, "a b c d z"),   // carries "a b c" AND "b c d"
+      (3L, "a b C d e")    // case differs → carries nothing
+    ).toDF("doc_id", "text")
+    val out = DedupOps.contaminationReport(corpus, bench, "doc_id", "text",
+      window = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      100L -> ((3L, 2L, 2L)), // "a b c" (doc 2), "b c d" (docs 1+2)
+      101L -> ((0L, 0L, 0L)),
+      102L -> ((2L, 0L, 0L))))
+    // the acting op rewrites exactly the corpus docs the report counts
+    val acted = DedupOps.dropContaminatedSpans(corpus, bench, "doc_id",
+      "text", window = 3)
+      .where($"n_removed" > 0).select("doc_id").as[Long].collect().toSet
+    assert(acted == Set(1L, 2L))
+    // partitioning-invariant; bench span set rides broadcast joins
+    val again = DedupOps.contaminationReport(corpus.repartition(5),
+      bench.repartition(2), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == out)
+    val plan = DedupOps.contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bench side not broadcast:\n$plan")
+  }
 }

@@ -180,6 +180,49 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     docs.unpersist(); enc.unpersist()
   }
 
+  test("crawl -> htmlToText -> hashEmbed -> cosine top-1: edited queries find their source page") {
+    import graft.ops.SimilarityOps
+    // the model-free text→vector bridge over the crawl's own prose: embed
+    // every extracted page, then query with lightly-edited copies — the
+    // nearest corpus neighbor of each edit must be its source page
+    val u = new graft.universe.Universe(42L)
+    val eng = new graft.engine.Engine(spark, u,
+      cfg = graft.probes.CrawlConfig(saveContent = true),
+      workDir = graft.TmpDirs.create("pipe-embed").toString)
+    val seeds = spark.createDataset((0L until 100L).map(u.seedDomain))
+    // several content spans per domain (one per web step) → one prose doc
+    // per domain, span order canonicalized
+    val docs = eng.crawlDomains(seeds)
+      .map(graft.spans.SpanCodec.encode)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.text").isNotNull && col("s.kind").endsWith(".content")
+        && col("s.text").contains("<html"))
+      .select(col("doc_id"), TextOps.htmlToText(col("s.text")).as("plain"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(array_sort(collect_list(col("plain"))), " ").as("text"))
+      .cache()
+    val nDocs = docs.count()
+    assert(nDocs >= 90, s"only $nDocs domains produced HTML prose")
+    val corpus = SimilarityOps.hashEmbed(docs, "doc_id", "text", dims = 64)
+      .withColumnRenamed("embedding_h", "vec").cache()
+    assert(corpus.count() == nDocs, "a domain's prose embedded empty")
+    val sample = docs.orderBy(col("doc_id")).limit(5)
+      .as[(String, String)].collect()
+    val queries = sample.map { case (id, text) =>
+      ("edit-" + id, text + " novel marker tokens appended")
+    }.toSeq.toDF("doc_id", "text")
+    val qvecs = SimilarityOps.hashEmbed(queries, "doc_id", "text", dims = 64)
+      .withColumnRenamed("embedding_h", "vec")
+    val top1 = SimilarityOps.bruteForceTopK(corpus, qvecs, "doc_id", "vec",
+      k = 1).as[(String, String, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    sample.foreach { case (id, _) =>
+      assert(top1("edit-" + id) == id,
+        s"edited $id retrieved ${top1("edit-" + id)}")
+    }
+    docs.unpersist(); corpus.unpersist()
+  }
+
   private def md5Of(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString

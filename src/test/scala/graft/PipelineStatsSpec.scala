@@ -79,4 +79,48 @@ class PipelineStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hashEmbed: bucket/sign plumbing vs an independent md5, additivity, invariance") {
+    val s = spark; import s.implicits._
+    // independent implementation of the bucket/sign rule (java.security
+    // directly, not Spark expressions) — validates the expression tree
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketSign(t: String, dims: Int): (Int, Long) = {
+      val h = md5hex(t)
+      (Integer.parseInt(h.substring(0, 4), 16) % dims,
+        if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L)
+    }
+    val dims = 16
+    val docs = Seq(
+      (1L, "alpha"),                  // single token → one ±1 component
+      (2L, "alpha alpha"),            // doubled → ±2 at the same bucket
+      (3L, "alpha beta gamma delta"),
+      (4L, "beta gamma"),
+      (5L, "   ")                     // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = SimilarityOps.hashEmbed(docs, "doc_id", "text", dims = dims)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(!out.contains(5L) && out.size == 4)
+    assert(out.values.forall(_.length == dims))
+    def expected(toks: Seq[String]): Seq[Long] = {
+      val v = Array.fill(dims)(0L)
+      toks.foreach { t => val (b, sg) = bucketSign(t, dims); v(b) += sg }
+      v.toSeq
+    }
+    assert(out(1L) == expected(Seq("alpha")))
+    assert(out(1L).map(math.abs).sum == 1L)
+    assert(out(2L) == expected(Seq("alpha", "alpha")))
+    assert(out(3L) == expected(Seq("alpha", "beta", "gamma", "delta")))
+    // additivity: signed counts of a concatenation are the component sums
+    val concat = Seq((6L, "alpha beta gamma delta beta gamma")).toDF("doc_id", "text")
+    val c = SimilarityOps.hashEmbed(concat, "doc_id", "text", dims = dims)
+      .as[(Long, Seq[Long])].collect().head._2
+    assert(c == out(3L).zip(out(4L)).map { case (a, b) => a + b })
+    // partitioning-invariant
+    val again = SimilarityOps.hashEmbed(docs.repartition(7), "doc_id", "text",
+      dims = dims).as[(Long, Seq[Long])].collect().toMap
+    assert(again == out)
+  }
 }
