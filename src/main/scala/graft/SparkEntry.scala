@@ -858,6 +858,14 @@ object SparkEntry {
         ledger, "doc_id", "text")
     }),
 
+    // Similarity — SemDeDup-style ACTING semantic dedup: q57's embed-space
+    // near-dup pairs → connected components → keep min id per component
+    // with the component size. Pins centroids = "first" so DuckDB replays
+    // the cells (the library default stays "spread").
+    "q82_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(T(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.35, nlist = 16, centroids = "first")),
+
     // Decontamination (audit) — per-BENCHMARK-doc leak report over the
     // same %7 split and span identity as q78's acting rewrite: how many of
     // each benchmark doc's 20-token spans exist verbatim in the corpus,
@@ -1763,6 +1771,35 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
          LEFT JOIN hits h USING (doc_id)
          LEFT JOIN prior p USING (doc_id)""",
+
+    // q57's cells + pair threshold, then the recursive-CTE component
+    // closure and a min-id/size rollup per component
+    "q82_semantic_dedup" ->
+      """WITH RECURSIVE cent AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c) t
+           WHERE rn = 1),
+         e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM und) t
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         clus AS (SELECT src, min(dst) AS cluster FROM reach GROUP BY src),
+         cl AS (SELECT ee.vec_id, COALESCE(c.cluster, ee.vec_id) AS cluster
+           FROM embeddings ee LEFT JOIN clus c ON c.src = ee.vec_id)
+         SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+           CAST(count(*) AS BIGINT) AS n_members
+         FROM cl GROUP BY cluster""",
 
     // same %7 split and 20-token span identity as q78; per-bench-doc
     // distinct leaked fps + distinct touched corpus docs

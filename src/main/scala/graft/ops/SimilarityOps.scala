@@ -164,6 +164,33 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023), the ACTING
+    * composition over [[ivfNearDupPairs]]: embed-space near-dup pairs →
+    * connected components ([[DedupOps.dupClusters]]' min-label
+    * propagation) → keep ONE representative per component. Returns the
+    * kept ids with their component size (`n_members` = 1 for vectors with
+    * no near-dup, so output ids are exactly the deduplicated corpus). The
+    * keeper is the component's min id — deterministic and engine-free
+    * (the published heuristic keeps the vector farthest from the cluster
+    * centroid; a float argmin is not bit-replayable across engines, and
+    * keeper CHOICE does not affect which duplicates exist — documented
+    * delta).
+    *
+    * 100 TB shape: inherits [[ivfNearDupPairs]]'s per-cell (n/nlist)²
+    * bound (never corpus²) and [[DedupOps.dupClusters]]' active-set
+    * propagation (rounds shrink to paired vectors only); the final rollup
+    * is one hash agg on the short cluster key.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16,
+      centroids: String = "spread"): DataFrame = {
+    val pairs = ivfNearDupPairs(emb, idCol, vecCol, threshold, nlist, centroids)
+    DedupOps.dupClusters(emb.select(col(idCol)), pairs, idCol)
+      .groupBy(col("cluster"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_members"))
+      .select(col(idCol), col("n_members"))
+  }
+
   /** Scala-side double cosine (same accumulation order as [[cosine]]). */
   private def vecCosine(a: Array[Float], b: Array[Float]): Double = {
     var dot, na, nb = 0.0

@@ -159,4 +159,36 @@ object StreamingCuration {
       Some(ledger.mergeCommit(merged.withColumn("batch_id", lit(batchId))))
     }
   }
+
+  /** Streaming NEAR-dup band ledger — [[graft.ops.DedupOps.bandLedger]]'s
+    * set monoid wired to the stream: from `foreachBatch`, screen the
+    * micro-batch against the accumulated corpus with
+    * [[graft.ops.DedupOps.incrementalNearDup]] over `ledger.read()`, then
+    * commit the batch's own band buckets here (SnapTable keyed by
+    * `(band, bucket)`; schema `(band, bucket, batch_id)`).
+    *
+    * Unlike the vocab ledger's additive counts, a bucket SET is
+    * idempotent — so only the DELTA is written (the SnapTable key
+    * resolves re-asserted buckets at read time; the ledger never rewrites
+    * itself), and the `max(batch_id)` high-water mark exists for
+    * commit-count hygiene rather than correctness: a re-delivered batch
+    * (same id after a failure) is skipped with None instead of stacking a
+    * redundant delta per retry.
+    *
+    * Scale shape: the delta is one map-side-combined minima agg over the
+    * day-sized batch + a distinct on the short (band, bucket) key; the
+    * stored ledger is bucketed by the same key, so the read-time MERGE
+    * and the screening probe co-locate; the hwm read is an O(1) max.
+    */
+  def bandLedgerCommit(ledger: graft.tables.SnapTable, batch: DataFrame,
+      idCol: String, textCol: String, batchId: Long): Option[Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val hwm = ledger.read()
+      .map(_.agg(max(col("batch_id"))).as[Long].head()).getOrElse(-1L)
+    if (batchId <= hwm) None
+    else Some(ledger.mergeCommit(
+      graft.ops.DedupOps.bandLedger(batch, idCol, textCol)
+        .withColumn("batch_id", lit(batchId))))
+  }
 }

@@ -526,6 +526,42 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: component partition, singleton inertness, min-id keepers") {
+    import spark.implicits._
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    // 8 tight clusters of 16 + one isolated far-away vector
+    val rows = (for (cl <- 0 until 8; p <- 0 until 16)
+      yield ((cl * 16 + p).toLong, vec(cl, p))) :+ ((999L, vec(99, 0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.8, nlist = 8).as[(Long, Long)].collect()
+    // components PARTITION the corpus: sizes sum to |corpus|, reps unique
+    assert(kept.map(_._2).sum == 129L)
+    assert(kept.map(_._1).distinct.length == kept.length)
+    // real dedup happened, and the isolated vector survives as a singleton
+    assert(kept.length < 129 && kept.length >= 9)
+    assert(kept.toMap.get(999L).contains(1L), s"isolated vector lost: ${kept.toSeq}")
+    // keepers are the min id of each propagated component (the rollup glue
+    // over the operator's own published parts)
+    val pairs = SimilarityOps.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8, nlist = 8)
+    val expect = DedupOps.dupClusters(emb.select($"vec_id"), pairs, "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._2)
+      .map { case (_, ms) => (ms.map(_._1).min, ms.size.toLong) }.toSet
+    assert(kept.toSet == expect)
+    // partitioning-invariant
+    val again = SimilarityOps.semanticDedup(emb.repartition(7), "vec_id",
+      "embedding", threshold = 0.8, nlist = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(again == kept.toSet)
+  }
+
   test("incrementalNearDup: ledger screening, within-batch keeper, successor ledger") {
     import spark.implicits._
     // accumulated corpus = the 12 base docs; batch = their exact copies +

@@ -218,4 +218,40 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(StreamingCuration.vocabLedgerCommit(ledger, docs, "text", batchId = 0L).isEmpty)
     assert(ledger.currentVersion == before)
   }
+
+  test("streaming band ledger: screen-then-commit per micro-batch ≡ one-shot bandLedger; replays skipped") {
+    import graft.tables.SnapTable
+    val ledger = new SnapTable(spark,
+      graft.TmpDirs.create("band-ledger").toString, Seq("band", "bucket"))
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val b0 = Seq((10L, base), (11L, "an entirely different first document body here"))
+      .toDF("doc_id", "text")
+    // batch 0 seeds the ledger
+    assert(StreamingCuration.bandLedgerCommit(ledger, b0, "doc_id", "text",
+      batchId = 0L).isDefined)
+    // batch 1 screens BEFORE committing: the exact copy of doc 10 hits all
+    // 4 band buckets; the novel doc hits none
+    val b1 = Seq((20L, base), (21L, "novel prose sharing no shingles with anything prior"))
+      .toDF("doc_id", "text")
+    val flags = DedupOps.incrementalNearDup(b1, ledger.read().get,
+      "doc_id", "text").as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flags(20L) == ((4L, None)), s"copy not flagged: $flags")
+    assert(flags(21L) == ((0L, None)), s"novel doc flagged: $flags")
+    assert(StreamingCuration.bandLedgerCommit(ledger, b1, "doc_id", "text",
+      batchId = 1L).isDefined)
+    // the accumulated ledger is SET-equal to one-shot bandLedger over all
+    // docs (delta-only commits + key resolution = the distinct union)
+    val streamed = ledger.read().get.select(col("band"), col("bucket"))
+      .as[(Int, String)].collect().toSet
+    val oneShot = DedupOps.bandLedger(b0.unionByName(b1), "doc_id", "text")
+      .as[(Int, String)].collect().toSet
+    assert(streamed == oneShot)
+    // replay guard: a re-delivered batch id is a no-op (sets are
+    // idempotent, but skipping keeps commit counts honest)
+    val before = ledger.currentVersion
+    assert(StreamingCuration.bandLedgerCommit(ledger, b0, "doc_id", "text",
+      batchId = 1L).isEmpty)
+    assert(ledger.currentVersion == before)
+  }
 }
