@@ -89,6 +89,30 @@ object SparkEntry {
     * representative/funnel logic on top, so all three oracles share one
     * verified definition.
     */
+  /** q79's hashing-trick document vectors as CTEs ending in
+    * `vecs (doc_id, vec: list<bigint>)` — shared by q79 (the embeddings
+    * themselves) and q83 (IVF ANN served over them). Bucket = first 4 md5
+    * hex chars mod 64, sign = parity of the 5th, densified via a
+    * generate_series left join; zero-token docs never enter.
+    */
+  private val hashEmbedVecsCte: String =
+    """tok AS (SELECT doc_id,
+           unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+             AS t
+         FROM documents),
+       e AS (SELECT doc_id,
+           CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 64 AS bucket,
+           CASE WHEN CAST(('0x' || substring(md5(t), 5, 1)) AS INTEGER) % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+         FROM tok),
+       s AS (SELECT doc_id, bucket, SUM(sgn) AS v FROM e GROUP BY 1, 2),
+       ids AS (SELECT DISTINCT doc_id FROM e),
+       g AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bucket FROM ids),
+       j AS (SELECT g.doc_id, g.bucket, COALESCE(s.v, 0) AS v
+         FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.bucket),
+       vecs AS (SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY bucket) AS vec
+         FROM j GROUP BY doc_id)"""
+
   /** MinHash band-bucket CTEs over a filtered slice of `documents`,
     * name-prefixed so two slices (ledger + batch, for q80) coexist in one
     * WITH chain. Same family as [[dupClustersCteSql]]: two md5s per
@@ -865,6 +889,22 @@ object SparkEntry {
     "q82_semantic_dedup" -> ((s, dir) =>
       SimilarityOps.semanticDedup(T(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.35, nlist = 16, centroids = "first")),
+
+    // Similarity — the text→ANN loop closed END TO END in one oracle
+    // query: documents → hashEmbed (q79) → IVF top-k (q36's serve path)
+    // with no embeddings table anywhere. Counts are small ints, so the
+    // float cast is exact and both engines cosine in identical doubles.
+    // Queries = every 50th doc; centroids pinned "first" for the oracle.
+    "q83_text_ann" -> ((s, dir) => {
+      val vecs = SimilarityOps.hashEmbed(T(s, dir, "documents"), "doc_id",
+          "text", dims = 64)
+        .select(col("doc_id"),
+          transform(col("embedding_h"), x => x.cast("float")).as("vec"))
+      SimilarityOps.ivfTopK(vecs, vecs.where(col("doc_id") % 50 === 0),
+          "doc_id", "vec", k = 3, nlist = 16, nprobe = 4,
+          centroids = "first")
+        .withColumn("rank", col("rank").cast("long"))
+    }),
 
     // Decontamination (audit) — per-BENCHMARK-doc leak report over the
     // same %7 split and span identity as q78's acting rewrite: how many of
@@ -1736,22 +1776,8 @@ object SparkEntry {
     // Densify via generate_series LEFT JOIN; zero-token docs drop (no
     // tokens ever enter e).
     "q79_hash_embed" ->
-      """WITH tok AS (SELECT doc_id,
-             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
-               AS t
-           FROM documents),
-         e AS (SELECT doc_id,
-             CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 64 AS bucket,
-             CASE WHEN CAST(('0x' || substring(md5(t), 5, 1)) AS INTEGER) % 2 = 0
-                  THEN 1 ELSE -1 END AS sgn
-           FROM tok),
-         s AS (SELECT doc_id, bucket, SUM(sgn) AS v FROM e GROUP BY 1, 2),
-         ids AS (SELECT DISTINCT doc_id FROM e),
-         g AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bucket FROM ids),
-         j AS (SELECT g.doc_id, g.bucket, COALESCE(s.v, 0) AS v
-           FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.bucket)
-         SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY bucket) AS embedding_h
-         FROM j GROUP BY doc_id""",
+      s"""WITH $hashEmbedVecsCte
+         SELECT doc_id, vec AS embedding_h FROM vecs""",
 
     // ledger = band buckets of the %3==0 slice; batch = the rest. One
     // count of ledger-held bands per batch doc + the min earlier batch id
@@ -1800,6 +1826,42 @@ object SparkEntry {
          SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
            CAST(count(*) AS BIGINT) AS n_members
          FROM cl GROUP BY cluster""",
+
+    // q79's vector CTE feeding q36's IVF replay — cells from the 16
+    // lowest-id vectors, 4 probes per query, exact re-rank inside probes
+    "q83_text_ann" ->
+      s"""WITH $hashEmbedVecsCte,
+         cent AS (
+           SELECT doc_id AS cid, vec AS cvec FROM vecs
+           ORDER BY doc_id LIMIT 16),
+         assign AS (
+           SELECT doc_id AS neighbor_id, cid AS cell FROM (
+             SELECT v.doc_id, c.cid,
+               row_number() OVER (PARTITION BY v.doc_id
+                 ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+             FROM vecs v CROSS JOIN cent c) t
+           WHERE rn = 1),
+         qprobe AS (
+           SELECT doc_id AS query_id, cid AS cell FROM (
+             SELECT v.doc_id, c.cid,
+               row_number() OVER (PARTITION BY v.doc_id
+                 ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+             FROM vecs v CROSS JOIN cent c
+             WHERE v.doc_id % 50 = 0) t
+           WHERE rn <= 4),
+         cand AS (
+           SELECT q.query_id, a.neighbor_id
+           FROM qprobe q JOIN assign a ON a.cell = q.cell
+           WHERE a.neighbor_id <> q.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qv.vec, nv.vec) DESC,
+                        cand.neighbor_id) AS rank
+           FROM cand
+           JOIN vecs qv ON qv.doc_id = cand.query_id
+           JOIN vecs nv ON nv.doc_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 3""",
 
     // same %7 split and 20-token span identity as q78; per-bench-doc
     // distinct leaked fps + distinct touched corpus docs
