@@ -80,18 +80,29 @@ class PipelineStatsSpec extends AnyFunSuite {
     }
   }
 
+  // independent implementation of hashEmbed's bucket/sign rule
+  // (java.security directly, not Spark expressions) — validates the
+  // expression tree in the tests below
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def bucketSign(t: String, dims: Int): (Int, Long) = {
+    val h = md5hex(t)
+    (Integer.parseInt(h.substring(0, 4), 16) % dims,
+      if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L)
+  }
+  private def refEmbed(text: String, dims: Int): Option[Seq[Long]] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else {
+      val v = Array.fill(dims)(0L)
+      toks.foreach { t => val (b, sg) = bucketSign(t, dims); v(b) += sg }
+      Some(v.toSeq)
+    }
+  }
+
   test("hashEmbed: bucket/sign plumbing vs an independent md5, additivity, invariance") {
     val s = spark; import s.implicits._
-    // independent implementation of the bucket/sign rule (java.security
-    // directly, not Spark expressions) — validates the expression tree
-    def md5hex(t: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def bucketSign(t: String, dims: Int): (Int, Long) = {
-      val h = md5hex(t)
-      (Integer.parseInt(h.substring(0, 4), 16) % dims,
-        if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L)
-    }
     val dims = 16
     val docs = Seq(
       (1L, "alpha"),                  // single token → one ±1 component
@@ -122,5 +133,28 @@ class PipelineStatsSpec extends AnyFunSuite {
     val again = SimilarityOps.hashEmbed(docs.repartition(7), "doc_id", "text",
       dims = dims).as[(Long, Seq[Long])].collect().toMap
     assert(again == out)
+  }
+
+  test("hashEmbed property: 300 random docs (incl. non-ASCII tokens) match the reference") {
+    val s = spark; import s.implicits._
+    // seeded random corpus, one Spark pass, every row checked against the
+    // java.security reference (the CurationPropertySpec discipline);
+    // non-ASCII words pin the UTF-8-bytes hashing contract
+    val rnd = new scala.util.Random(20260819)
+    val dims = 32
+    val words = (0 until 50).map(i => s"w$i") ++
+      Seq("é", "žluťoučký", "naïve", "文字", "кирилица")
+    val docs = (1L to 300L).map { id =>
+      val n = rnd.nextInt(40) // 0 → zero-token doc → dropped
+      (id, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      refEmbed(text, dims).map(id -> _)
+    }.toMap
+    assert(expected.nonEmpty && expected.size < docs.size,
+      "fixture must exercise both kept and dropped docs")
+    val out = SimilarityOps.hashEmbed(docs.toDF("doc_id", "text"),
+      "doc_id", "text", dims = dims).as[(Long, Seq[Long])].collect().toMap
+    assert(out == expected)
   }
 }
