@@ -890,6 +890,21 @@ object SparkEntry {
       SimilarityOps.semanticDedup(T(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.35, nlist = 16, centroids = "first")),
 
+    // Quality — MODEL-AS-TABLE inference: a fastText-style linear lexicon
+    // rides as a broadcast (token, weight_mill) table (the production
+    // shape of a trained quality classifier — retraining replaces a
+    // table, not a deploy); the gate keeps docs with mean weight ≥ 50
+    // mills via division-free cross-multiplication (exact on any engine,
+    // negative weights included). 169 of 500 docs survive at sf0.001.
+    "q84_lexicon_gate" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("the", 1000L), ("and", 800L), ("of", 600L),
+        ("to", 400L), ("in", 200L), ("a", 300L), ("is", 250L))
+        .toDF("token", "weight_mill")
+      TextOps.lexiconGate(T(s, dir, "documents"), "doc_id", "text",
+        weights, minMeanMill = 50L)
+    }),
+
     // Similarity — the text→ANN loop closed END TO END in one oracle
     // query: documents → hashEmbed (q79) → IVF top-k (q36's serve path)
     // with no embeddings table anywhere. Counts are small ints, so the
@@ -1826,6 +1841,24 @@ object SparkEntry {
          SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
            CAST(count(*) AS BIGINT) AS n_members
          FROM cl GROUP BY cluster""",
+
+    // the lexicon as a VALUES table; gate = division-free
+    // cross-multiplication (w_sum ≥ 50·n_tokens)
+    "q84_lexicon_gate" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS t
+           FROM documents),
+         w AS (SELECT * FROM (VALUES ('the', 1000), ('and', 800),
+             ('of', 600), ('to', 400), ('in', 200), ('a', 300),
+             ('is', 250)) v(token, weight_mill)),
+         s AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(w.weight_mill) AS BIGINT) AS n_scored,
+             CAST(COALESCE(sum(w.weight_mill), 0) AS BIGINT) AS w_sum_mill
+           FROM tok LEFT JOIN w ON w.token = tok.t GROUP BY 1)
+         SELECT doc_id, n_tokens, n_scored, w_sum_mill
+         FROM s WHERE w_sum_mill >= 50 * n_tokens""",
 
     // q79's vector CTE feeding q36's IVF replay — cells from the 16
     // lowest-id vectors, 4 probes per query, exact re-rank inside probes

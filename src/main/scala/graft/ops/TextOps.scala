@@ -435,4 +435,50 @@ object TextOps {
       .where(col("rank") <= topK)
       .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))
   }
+
+  // --------------------------------------- lexicon-weighted quality score
+
+  /** Model-as-table inference — the production shape of a trained quality
+    * classifier: the model is a `(token, weight_mill)` DataFrame (a
+    * fastText-style linear lexicon, weights in integer mills), shipped to
+    * the corpus as a broadcast dimension rather than baked into the plan.
+    * Per document: `n_tokens`, `n_scored` (tokens the lexicon knows) and
+    * `w_sum_mill` (the BIGINT weight sum; unknown tokens contribute 0).
+    * The sum is returned RAW instead of divided: a mean with a possibly
+    * negative numerator floor-divides differently on Spark (`div`
+    * truncates toward zero) vs DuckDB (`//` floors), so acting callers
+    * use [[lexiconGate]]'s division-free cross-multiplication instead.
+    * Zero-token documents are dropped (nothing to score — the
+    * [[graft.ops.TrainPrepOps.applyMerges]] convention).
+    *
+    * 100 TB shape: the lexicon is vocabulary-sized and BROADCASTS; the
+    * corpus token stream joins it with no corpus shuffle, and the per-doc
+    * rollup is one hash agg on near-unique ids with map-side combine.
+    * Retraining the classifier means replacing a table, not a deploy.
+    */
+  def scoreWithLexicon(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(weights.select(col("token"), col("weight_mill"))),
+        Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        count(col("weight_mill")).cast("long").as("n_scored"),
+        coalesce(sum(col("weight_mill")), lit(0L)).cast("long")
+          .as("w_sum_mill"))
+
+  /** Acting gate over [[scoreWithLexicon]]: keep documents whose mean
+    * lexicon weight is at least `minMeanMill` — evaluated as
+    * `w_sum_mill * 1000 >= minMeanMill * n_tokens * 1000` reduced to the
+    * division-free cross-multiplication `w_sum_mill >= minMeanMill *
+    * n_tokens` (n_tokens > 0, so the inequality direction is preserved
+    * and NO floor-division semantics are involved — exact on any engine,
+    * negative weights included). Returns the surviving scored rows.
+    */
+  def lexiconGate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      minMeanMill: Long): org.apache.spark.sql.DataFrame =
+    scoreWithLexicon(docs, idCol, textCol, weights)
+      .where(col("w_sum_mill") >= lit(minMeanMill) * col("n_tokens"))
 }

@@ -101,4 +101,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, Some(0L), 0L, None)))
     assert(r(4L) == ((4L, 0L, None, 0L, None)))
   }
+
+  test("scoreWithLexicon / lexiconGate: hand scores, negative weights, broadcast model table") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val weights = Seq(("good", 1000L), ("fine", 500L), ("junk", -2000L))
+      .toDF("token", "weight_mill")
+    val docs = Seq(
+      (1L, "good fine good"),       // sum 2500, n 3 → mean 833
+      (2L, "good junk junk"),       // sum -3000, n 3 → mean -1000
+      (3L, "unknown words only"),   // sum 0, n 3, n_scored 0
+      (4L, "fine"),                 // sum 500, n 1
+      (5L, "   ")                   // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val scored = TextOps.scoreWithLexicon(docs, "doc_id", "text", weights)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(scored.size == 4 && !scored.contains(5L))
+    assert(scored(1L) == ((1L, 3L, 3L, 2500L)))
+    assert(scored(2L) == ((2L, 3L, 3L, -3000L)))
+    assert(scored(3L) == ((3L, 3L, 0L, 0L)))
+    assert(scored(4L) == ((4L, 1L, 1L, 500L)))
+    // gate at mean ≥ 400 mills: cross-multiplication handles the negative
+    // sum exactly (no floor-division semantics anywhere)
+    val kept = TextOps.lexiconGate(docs, "doc_id", "text", weights,
+      minMeanMill = 400L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    // the model table rides a broadcast join; partitioning-invariant
+    val plan = TextOps.scoreWithLexicon(docs, "doc_id", "text", weights)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"lexicon not broadcast:\n$plan")
+    val again = TextOps.scoreWithLexicon(docs.repartition(5), "doc_id",
+      "text", weights.repartition(2))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == scored)
+  }
 }
