@@ -223,6 +223,45 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     docs.unpersist(); corpus.unpersist()
   }
 
+  test("crawl -> vocabulary-trained lexicon -> lexiconGate: model-as-table over crawl prose") {
+    // the q84 classifier shape trained from the corpus itself: vocabulary
+    // counts become the weight table (a corpus-frequency prior — docs of
+    // common tokens score high, hex-id-heavy docs score low), then the
+    // gate filters the same prose the weights were fit on
+    val u = new graft.universe.Universe(42L)
+    val eng = new graft.engine.Engine(spark, u,
+      cfg = graft.probes.CrawlConfig(saveContent = true),
+      workDir = graft.TmpDirs.create("pipe-lex").toString)
+    val seeds = spark.createDataset((0L until 100L).map(u.seedDomain))
+    val docs = eng.crawlDomains(seeds)
+      .map(graft.spans.SpanCodec.encode)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.text").isNotNull && col("s.kind").endsWith(".content")
+        && col("s.text").contains("<html"))
+      .select(col("doc_id"), TextOps.htmlToText(col("s.text")).as("plain"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(array_sort(collect_list(col("plain"))), " ").as("text"))
+      .cache()
+    val weights = TextOps.vocabulary(docs, "text", minCount = 1L,
+        topN = 100000)
+      .select(col("token"), col("cnt").as("weight_mill")).cache()
+    val scored = TextOps.scoreWithLexicon(docs, "doc_id", "text", weights)
+      .as[(String, Long, Long, Long)].collect()
+    // the lexicon was fit on this corpus, so it knows EVERY token
+    assert(scored.nonEmpty && scored.forall(r => r._3 == r._2),
+      "a corpus-fit lexicon missed a corpus token")
+    // gate ≡ the manual filter at the corpus's own median mean-weight
+    val means = scored.map(r => r._4.toDouble / r._2).sorted
+    val cut = math.ceil(means(means.length / 2)).toLong
+    val kept = TextOps.lexiconGate(docs, "doc_id", "text", weights, cut)
+      .select("doc_id").as[String].collect().toSet
+    val expect = scored.filter(r => r._4 >= cut * r._2).map(_._1).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < scored.length,
+      s"degenerate split: ${kept.size} of ${scored.length}")
+    docs.unpersist(); weights.unpersist()
+  }
+
   private def md5Of(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
