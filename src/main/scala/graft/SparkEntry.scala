@@ -383,6 +383,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ANN — product quantization (Jégou et al. 2011): 16 lowest-id corpus
+    // vectors sliced into 8 subspaces form the codebook; every vector
+    // encodes as 8 nearest-codeword ids (fixed-point L2 argmin); queries
+    // score candidates by asymmetric distance = Σ of 8 LONG LUT lookups.
+    // centroids pinned to "first" so the oracle replays the codebook; the
+    // production default is "spread" (id-decorrelated seeds)
+    "q85_pq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 8, nCodes = 16,
+          centroids = "first")
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Dedup — embedding near-dup pairs above cosine threshold: EXACT via a
     // block-distributed equi-join (no BroadcastNestedLoopJoin cartesian;
     // see SimilarityOps.blockedNearDupPairs for why exact-at-threshold
@@ -391,6 +405,30 @@ object SparkEntry {
     "q22_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.blockedNearDupPairs(T(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.35, blocks = 32)),
+
+    // Frontier — URL-level canonicalization (north-rule canonicalize →
+    // punycode-normalize → seen-key): RFC 3986 §6 subset — scheme/host
+    // lowercase, default ports off, fragment off, empty path → "/",
+    // query params sorted with empties dropped; non-URLs → NULL. Six
+    // deterministic mess shapes per doc_id residue; url_key = md5 for
+    // the oracle (the library's frontier key is xxhash64, q23 precedent)
+    "q87_canon_urls" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val raw = when(m === 0, concat(lit("HTTP://"), col("source"),
+          lit(".Example.CZ:80/a/b?b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://"), col("source"),
+          lit(".example.cz:443/")))
+        .when(m === 2, concat(lit("http://"), col("source"),
+          lit(".EXAMPLE.cz:8080")))
+        .when(m === 3, concat(lit("HTTPS://"), col("source"),
+          lit(".example.CZ/path/?z=1&y=&x=3#x")))
+        .when(m === 4, concat(lit("http://"), col("source"),
+          lit(".example.cz./q?a=1&a=1&b=&")))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), Canon.canonicalizeUrlCol(raw).as("url_canon"))
+        .withColumn("url_key", md5(col("url_canon")))
+    }),
 
     // Frontier — canonicalize→dedup admission (D1 + north-rule canon)
     "q23_canon_domains" -> ((s, dir) => {
@@ -726,6 +764,34 @@ object SparkEntry {
       LinkOps.hostRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Frontier feedback — quality-aware recrawl priority, the crawl →
+    // curate → crawl loop closed at the oracle level: q64's link ranks
+    // re-scored by each host's measured content quality (mean per-doc
+    // stopword mill, the q66 facet). Hub/mail hosts carry no docs →
+    // NULL quality, bare link rank. BIGINT floor arithmetic throughout.
+    "q88_recrawl_priority" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val id6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+      val id6n = substring(md5((col("doc_id") + 1).cast("string")), 1, 6)
+      val id6b = substring(md5(col("doc_id").cast("string")), 7, 6)
+      val body = concat(
+        lit("see https://d"), id6n, lit(".example.cz/next"),
+        lit(" hub https://hub.example.cz/"),
+        lit(" mail http://m"), id6b, lit(".cz/x"))
+      val edges = docs.select(
+        concat(lit("d"), id6, lit(".example.cz")).as("src"),
+        explode(LinkOps.extractedHosts(body)).as("dst"))
+      val ranks = LinkOps.hostRank(edges, "src", "dst", iters = 3)
+      val quality = docs.select(
+          concat(lit("d"), id6, lit(".example.cz")).as("host"),
+          coalesce(TextOps.stopwordRatioMill(col("text")).cast("long"),
+            lit(0L)).as("_mill"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("_n"), sum(col("_mill")).as("_ms"))
+        .select(col("host"), expr("_ms div _n").as("quality_mill"))
+      LinkOps.recrawlPriority(ranks, quality)
+    }),
+
     // Vocabulary — corpus word counts thresholded at minCount and
     // deterministically truncated (cnt desc, token asc — a total order):
     // the first stage of tokenizer training. One map-side-combinable
@@ -904,6 +970,15 @@ object SparkEntry {
       TextOps.lexiconGate(T(s, dir, "documents"), "doc_id", "text",
         weights, minMeanMill = 50L)
     }),
+
+    // Quality — integer-surprisal unigram LM (perplexity's portable
+    // sibling): surprisal(token) = bitlen(N) − bitlen(cnt) bits, integer
+    // log2 via length(bin(x)) on both engines, no float log anywhere;
+    // unknown (< minCount) tokens cost the full bitlen(N). The
+    // gibberish/OOV-density signal a CCNet-style fluency filter acts on.
+    "q86_surprisal" -> ((s, dir) =>
+      TextOps.surprisalStats(T(s, dir, "documents"), "doc_id", "text",
+        minCount = 2L)),
 
     // Similarity — the text→ANN loop closed END TO END in one oracle
     // query: documents → hashEmbed (q79) → IVF top-k (q36's serve path)
@@ -1548,6 +1623,49 @@ object SparkEntry {
              FROM ew JOIN it2 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host)
          SELECT host, r AS rank_micro FROM it3""",
 
+    // q64's 3-round rank replay + the q66 stopword-mill facet rolled up
+    // per host; NULL quality (hub/mail hosts) keeps the bare link rank
+    "q88_recrawl_priority" ->
+      s"""WITH b AS (SELECT doc_id, text,
+           'd' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '.example.cz' AS src,
+           concat('see https://d', substr(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 6),
+             '.example.cz/next', ' hub https://hub.example.cz/',
+             ' mail http://m', substr(md5(CAST(doc_id AS VARCHAR)), 7, 6), '.cz/x') AS body
+         FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, unnest(regexp_extract_all(lower(body),
+             'https?://([a-z0-9.-]+\\.[a-z]{2,})', 1)) AS dst FROM b)),
+         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         ew AS (SELECT e.src, e.dst, d.outdeg FROM e
+           JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY src) d USING (src)),
+         it0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         it1 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it0 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host),
+         it2 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it1 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host),
+         it3 AS (SELECT n.host,
+             CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (SELECT ew.dst AS host, SUM(p.r // ew.outdeg) AS c
+             FROM ew JOIN it2 p ON p.host = ew.src GROUP BY ew.dst) s ON s.host = n.host),
+         f AS (SELECT src AS host,
+             CAST(len(list_filter(str_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok,
+             CAST(len(list_filter(str_split(lower(text), ' '),
+               t -> t <> '' AND t IN $stopSqlList)) AS BIGINT) AS nstop
+           FROM b),
+         qual AS (SELECT host,
+             CAST(SUM(COALESCE(CASE WHEN ntok = 0 THEN NULL
+                 ELSE CAST(FLOOR(1000.0 * nstop / ntok) AS BIGINT) END, 0))
+               // count(*) AS BIGINT) AS quality_mill
+           FROM f GROUP BY host)
+         SELECT r.host, r.r AS rank_micro, q.quality_mill,
+           CAST(r.r + (500000 * COALESCE(q.quality_mill, 0)) // 1000 AS BIGINT)
+             AS priority_micro
+         FROM it3 r LEFT JOIN qual q USING (host)""",
+
     "q65_vocab" ->
       """WITH tok AS (SELECT unnest(list_filter(str_split_regex(text, '\s+'),
              x -> x <> '')) AS token FROM documents),
@@ -1859,6 +1977,25 @@ object SparkEntry {
            FROM tok LEFT JOIN w ON w.token = tok.t GROUP BY 1)
          SELECT doc_id, n_tokens, n_scored, w_sum_mill
          FROM s WHERE w_sum_mill >= 50 * n_tokens""",
+
+    // integer log2 via length(bin(x)); unknown tokens cost bitlen(N) bits
+    "q86_surprisal" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS token
+           FROM documents),
+         model AS (SELECT token,
+             CAST(length(bin(count(*))) AS BIGINT) AS cnt_bits
+           FROM tok GROUP BY 1 HAVING count(*) >= 2),
+         tot AS (SELECT CAST(length(bin(count(*))) AS BIGINT) AS cb FROM tok),
+         bits AS (SELECT doc_id, tot.cb - COALESCE(m.cnt_bits, 0) AS b
+           FROM tok LEFT JOIN model m USING (token) CROSS JOIN tot),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(b) AS BIGINT) AS total_bits
+           FROM bits GROUP BY 1)
+         SELECT doc_id, n_tokens, total_bits,
+           total_bits * 1000 // n_tokens AS mean_bits_mill
+         FROM agg""",
 
     // q79's vector CTE feeding q36's IVF replay — cells from the 16
     // lowest-id vectors, 4 probes per query, exact re-rank inside probes
@@ -2254,10 +2391,80 @@ object SparkEntry {
            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
          SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5""",
 
+    "q85_pq_ann" -> {
+      // fixed-point squared L2 between two 8-dim list slices: Σ floor((a−b)²·2^20)
+      // as BIGINT — associative, so every engine lands on identical longs
+      def fpd(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           p -> CAST(FLOOR((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * 1048576.0) AS BIGINT)))"""
+      s"""WITH cw AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+                  embedding AS cv
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         subs AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 7) AS t(j)),
+         enc AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT e.vec_id, s.j, cw.c,
+               row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+                 ${fpd("e.embedding[s.j*8+1 : s.j*8+8]", "cw.cv[s.j*8+1 : s.j*8+8]")} ASC,
+                 cw.c ASC) AS rn
+             FROM embeddings e CROSS JOIN subs s CROSS JOIN cw) t
+           WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, s.j, cw.c,
+             ${fpd("q.embedding[s.j*8+1 : s.j*8+8]", "cw.cv[s.j*8+1 : s.j*8+8]")} AS d
+           FROM embeddings q CROSS JOIN subs s CROSS JOIN cw WHERE q.vec_id < 8),
+         scored AS (
+           SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist_fp
+           FROM enc JOIN lut l ON l.j = enc.j AND l.c = enc.code
+           WHERE enc.vec_id <> l.query_id GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, dist_fp, rank FROM (
+           SELECT query_id, neighbor_id, dist_fp,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist_fp, neighbor_id) AS BIGINT) AS rank
+           FROM scored) WHERE rank <= 5"""
+    },
+
     "q22_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+
+    // DuckDB regexp_extract yields NULL on no-match (Spark yields '') →
+    // COALESCE each extract; array_to_string([]) is NULL → COALESCE too
+    "q87_canon_urls" ->
+      """WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'HTTP://' || source || '.Example.CZ:80/a/b?b=2&a=1#frag'
+             WHEN 1 THEN 'https://' || source || '.example.cz:443/'
+             WHEN 2 THEN 'http://' || source || '.EXAMPLE.cz:8080'
+             WHEN 3 THEN 'HTTPS://' || source || '.example.CZ/path/?z=1&y=&x=3#x'
+             WHEN 4 THEN 'http://' || source || '.example.cz./q?a=1&a=1&b=&'
+             ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+           FROM documents),
+         b AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS base FROM raw),
+         p AS (SELECT doc_id,
+             lower(COALESCE(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+             COALESCE(regexp_extract(base, '^[^:]+://([^/?#]*)', 1), '') AS auth,
+             COALESCE(regexp_extract(base, '^[^:]+://[^/?#]*([^?#]*)', 1), '') AS pth,
+             COALESCE(regexp_extract(base, '\?(.*)$', 1), '') AS q
+           FROM b),
+         h AS (SELECT *,
+             regexp_replace(lower(trim(COALESCE(regexp_extract(auth, '^([^:]*)', 1), ''))), '\.$', '') AS host,
+             COALESCE(regexp_extract(auth, ':([0-9]+)$', 1), '') AS port FROM p),
+         c AS (SELECT doc_id, CASE WHEN scheme = '' THEN NULL ELSE
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END ||
+             CASE WHEN pth = '' THEN '/' ELSE pth END ||
+             CASE WHEN COALESCE(array_to_string(list_sort(list_filter(
+                      string_split(q, '&'), x -> x <> '')), '&'), '') = ''
+                  THEN '' ELSE '?' || array_to_string(list_sort(list_filter(
+                      string_split(q, '&'), x -> x <> '')), '&') END
+           END AS url_canon FROM h)
+         SELECT doc_id, url_canon, md5(url_canon) AS url_key FROM c""",
 
     "q23_canon_domains" ->
       """SELECT canonical, md5(canonical) AS dom_key FROM (

@@ -53,6 +53,55 @@ object Canon {
 
   /** Frontier key: canonicalize → punycode → xxHash64 (built-in). */
   def domainKey(c: Column): Column = xxhash64(canonicalizeDomainCol(c))
+
+  /** URL canonicalization for the URL-seen frontier — the RFC 3986 §6
+    * normalization subset that collapses crawl-equivalent URLs to one
+    * seen-set key without changing what the fetcher would retrieve:
+    *
+    *   - scheme and host lowercase; host additionally IDNA/punycode'd and
+    *     root-dot-stripped via [[canonicalizeDomainCol]];
+    *   - default ports dropped (`:80` for http, `:443` for https);
+    *   - fragment dropped FIRST (a `?` inside a fragment is not a query —
+    *     the ordering discipline of `TextOps.htmlToText`);
+    *   - empty path → `/` (RFC 3986 §6.2.3);
+    *   - query parameters sorted bytewise and empty params dropped
+    *     (duplicate params kept — order-insensitive but multiplicity-
+    *     preserving, so `?a=1&a=1` stays distinct from `?a=1`).
+    *
+    * Out of scope, documented: dot-segment removal and percent-encoding
+    * normalization (both change bytes the origin may be sensitive to);
+    * userinfo (crawl frontiers don't carry credentials). Input without a
+    * `scheme://` is not a URL and maps to NULL rather than a junk key —
+    * the frontier's null-skip filter drops it.
+    *
+    * Pure Column tree (regexp + array ops) — scan-local inside
+    * whole-stage codegen except the one [[CanonicalizeDomain]] host hop;
+    * oracle-replayable for ASCII hosts (DuckDB regexp/list functions).
+    */
+  def canonicalizeUrlCol(u: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val base = regexp_replace(trim(u), "#.*$", "")
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val auth = regexp_extract(base, "^[^:]+://([^/?#]*)", 1)
+    val host = canonicalizeDomainCol(regexp_extract(auth, "^([^:]*)", 1))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val path = regexp_extract(base, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(base, "\\?(.*)$", 1)
+    val defaultPort = port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val qSorted = array_join(
+      array_sort(filter(split(query, "&"), p => length(p) > lit(0))), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(defaultPort, lit("")).otherwise(concat(lit(":"), port)),
+        when(path === "", lit("/")).otherwise(path),
+        when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted))))
+  }
+
+  /** URL-seen frontier key: canonicalize → punycode host → xxHash64. */
+  def urlKey(c: Column): Column = xxhash64(canonicalizeUrlCol(c))
 }
 
 /** Codegen'd canonicalize(trim, lowercase, strip-root-dot, IDNA) expression. */

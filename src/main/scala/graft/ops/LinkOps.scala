@@ -112,4 +112,40 @@ object LinkOps {
     }
     ranks
   }
+
+  // ----------------------------------------------- quality-aware recrawl
+
+  /** Quality-aware recrawl priority — the feedback edge that closes the
+    * crawl → curate → crawl loop: the frontier's per-host priority is
+    * re-scored from what the CORPUS later learned about each host's
+    * content. Inputs are two host-cardinality tables — [[hostRank]]'s
+    * `(host, rank_micro)` link authority and a content-quality table
+    * `(host, quality_mill ∈ [0, 1000])` (e.g. the stopword-density facet
+    * of the per-source data card, `CurationOps.sourceStats`) — and
+    *
+    *   priority_micro = rank_micro + (qualityWeightMicro · quality_mill) div 1000
+    *
+    * in BIGINT floor arithmetic with every operand non-negative, so
+    * Spark `div` ≡ DuckDB `//` on each step and the frontier's
+    * binary-heap ordering is bit-replayable. Hosts the corpus holds no
+    * quality signal for (never fetched, or media-only) keep their bare
+    * link rank — new discoveries are never starved, junk-heavy hosts are
+    * simply out-bid by quality-proven ones at the same link authority.
+    *
+    * 100 TB shape: both inputs are host-cardinality (tiny next to the
+    * corpus that produced them); ONE left-outer equi-join on the
+    * near-unique host key, scan-local arithmetic after it. The output
+    * feeds the frontier pop order exactly where the engine's
+    * TTL-priority sits today.
+    */
+  def recrawlPriority(ranks: DataFrame, quality: DataFrame,
+      qualityWeightMicro: Long = 500000L): DataFrame = {
+    require(qualityWeightMicro >= 0,
+      s"qualityWeightMicro must be non-negative, got $qualityWeightMicro")
+    ranks.join(quality, Seq("host"), "left_outer")
+      .select(col("host"), col("rank_micro"), col("quality_mill"),
+        (col("rank_micro") + expr(
+          s"($qualityWeightMicro * coalesce(quality_mill, cast(0 as bigint))) div 1000"))
+          .as("priority_micro"))
+  }
 }

@@ -496,4 +496,173 @@ object SimilarityOps {
           i => coalesce(try_element_at(col("_m"), i), lit(0L)))
           .as("embedding_h"))
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** Product-quantization codebook: `m` subspaces of `subDim` dims each,
+    * `codewords(j)(c)` = codeword `c` of subspace `j`. The serving-side
+    * memory path beyond [[quantizeInt8]]: a vector stores as `m` small
+    * codes (here 1 byte each at k ≤ 256) instead of `m·subDim` float32s —
+    * 32× smaller at (m=8, subDim=8, k=16) — and asymmetric-distance
+    * (ADC) scoring reads ONLY the codes (Jégou et al. 2011). Composes
+    * with [[IvfIndex]] cells (IVF-PQ): restrict candidates by cell, score
+    * the survivors by ADC, exact-rerank the short list.
+    */
+  final case class PqCodebook(m: Int, subDim: Int,
+      codewords: Array[Array[Array[Float]]]) {
+    def dims: Int = m * subDim
+    def k: Int = codewords.head.length
+  }
+
+  /** Fixed-point squared L2 between codeword `b` and the slice of `a`
+    * starting at `off`: Σ floor((aᵢ−bᵢ)²·2^20) as a LONG. Same
+    * [[LloydScale]] discipline as the Lloyd reduction — float→double
+    * promotion is exact, subtraction/square/2^20-scale are correctly
+    * rounded IEEE ops identical on every engine, and the LONG sum is
+    * associative, so encode argmins and ADC totals are bit-replayable by
+    * an integer-arithmetic oracle under any partitioning.
+    */
+  private def sqDistFp(a: Array[Float], off: Int, b: Array[Float]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < b.length) {
+      val d = a(off + i).toDouble - b(i).toDouble
+      s += math.floor(d * d * LloydScale).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Fit a PQ codebook: the `k` corpus vectors that sort first under the
+    * quantizer order (the [[ivfFit]] seed discipline — `"spread"` =
+    * hash-decorrelated, `"first"` = lowest id, trivially oracle-replayable)
+    * are sliced into `m` sub-vectors each; subspace `j`'s codewords are
+    * the seeds' `j`-th slices. One TakeOrdered over the corpus — the
+    * codebook is `m·k·subDim` floats, driver-tiny at any corpus size.
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, centroids: String = "spread"): PqCodebook = {
+    val seeds = seedCents(corpus, idCol, vecCol, k, centroids)
+    require(seeds.nonEmpty, "pqFit: empty corpus")
+    val dims = seeds.head._2.length
+    require(dims % m == 0, s"pqFit: dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val codewords = Array.tabulate(m, seeds.length) { (j, c) =>
+      java.util.Arrays.copyOfRange(seeds(c)._2, j * sub, (j + 1) * sub)
+    }
+    PqCodebook(m, sub, codewords)
+  }
+
+  /** Encode every corpus vector as its per-subspace nearest-codeword ids
+    * (fixed-point L2 argmin, ties to the lowest codeword id): one corpus
+    * scan with the broadcast codebook (the [[assignCells]] pattern),
+    * emitting `(neighbor_id, codes: array<int>)` — the compressed index
+    * you persist and serve from. Scan-local; composes with any
+    * partitioning/bucketing of the corpus.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, vec) =>
+        val b = bc.value
+        require(vec.length == b.dims,
+          s"pqEncode: vector dims ${vec.length} != codebook dims ${b.dims}")
+        val codes = Array.tabulate(b.m) { j =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < b.codewords(j).length) {
+            val d = sqDistFp(vec, j * b.subDim, b.codewords(j)(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, codes)
+      })
+      .toDF("neighbor_id", "codes")
+  }
+
+  /** Serve a query batch from PQ codes by asymmetric distance (ADC):
+    * each query precomputes an `m × k` LONG lookup table (fixed-point
+    * sub-distance to every codeword), and a candidate's distance is the
+    * sum of `m` table lookups over its codes — the full float vector is
+    * never read at serve time.
+    *
+    * 100 TB shape: LUTs are (queries × m·k) longs — the query batch
+    * BROADCASTS and the codes table (m ints/vector, the 32×-compressed
+    * side) streams once with a row-local codegen'd `zip_with`+`aggregate`
+    * score; the only shuffle is the per-query top-k window on (query_id),
+    * carrying one row per scored candidate. Exact-at-codes: ranks are
+    * LONG comparisons, no float-sum order sensitivity anywhere.
+    */
+  def pqQuery(cb: PqCodebook, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val luts = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, vec) =>
+        val b = bc.value
+        require(vec.length == b.dims,
+          s"pqQuery: vector dims ${vec.length} != codebook dims ${b.dims}")
+        val lut = Array.tabulate(b.m) { j =>
+          b.codewords(j).map(cw => sqDistFp(vec, j * b.subDim, cw))
+        }
+        (id, lut)
+      })
+      .toDF("query_id", "lut")
+    val scored = codes.join(broadcast(luts),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist_fp", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, tbl) => element_at(tbl, c + lit(1))),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_fp").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist_fp"), col("rank"))
+  }
+
+  /** One-shot PQ ANN: fit → encode → ADC. Production fits/encodes once
+    * and serves many batches ([[pqSave]]/[[pqLoad]] persist the pair);
+    * this composition exists for the oracle-checked query surface.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
+      centroids: String = "spread"): DataFrame = {
+    val cb = pqFit(corpus, idCol, vecCol, m, nCodes, centroids)
+    pqQuery(cb, pqEncode(corpus, idCol, vecCol, cb), queries, idCol, vecCol, k)
+  }
+
+  /** Persist a PQ index: codes parquet (bucket-worthy at scale) + the
+    * codebook as (j, c, cv) rows. */
+  def pqSave(cb: PqCodebook, codes: DataFrame, dir: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val rows = for {
+      j <- 0 until cb.m
+      c <- cb.codewords(j).indices
+    } yield (j, c, cb.codewords(j)(c))
+    rows.toDF("j", "c", "cv").write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (PqCodebook, DataFrame) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/codebook")
+      .as[(Int, Int, Array[Float])].collect().sortBy(r => (r._1, r._2))
+    val m = rows.map(_._1).max + 1
+    val codewords = Array.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    (PqCodebook(m, codewords.head.head.length, codewords),
+      spark.read.parquet(s"$dir/codes"))
+  }
 }

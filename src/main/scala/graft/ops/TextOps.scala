@@ -481,4 +481,45 @@ object TextOps {
       minMeanMill: Long): org.apache.spark.sql.DataFrame =
     scoreWithLexicon(docs, idCol, textCol, weights)
       .where(col("w_sum_mill") >= lit(minMeanMill) * col("n_tokens"))
+
+  /** Integer-surprisal unigram LM scoring — perplexity's engine-portable
+    * sibling: the corpus's own token frequencies are the model (the q65
+    * vocabulary as a model-as-table), and a token's surprisal is the
+    * INTEGER log2 gap `bitlen(N) − bitlen(cnt)` bits, where `bitlen(x)`
+    * is the binary-digit count ⌊log2 x⌋+1 — exact on any engine as
+    * `length(bin(x))`, no float log anywhere (the [[lmCoverage]] /
+    * fixed-point discipline applied to language-model scoring). Tokens
+    * unknown to the model (count < `minCount`) cost the full `bitlen(N)`
+    * bits — one more than a count-1 token would. Output per doc:
+    * `n_tokens`, `total_bits`, and `mean_bits_mill` by BIGINT floor
+    * division — the gibberish/OOV-density signal a CCNet-style fluency
+    * filter thresholds on (compose with [[graft.ops.CurationOps
+    * .qualityGateByQuantile]] to act per stratum). Zero-token docs are
+    * dropped (no signal — the [[graft.ops.SimilarityOps.hashEmbed]]
+    * convention).
+    *
+    * 100 TB shape: the model agg keys on the lexicon-sized token with
+    * map-side combine (a 10^8-occurrence stopword arrives as partials),
+    * then BROADCASTS back; the corpus total joins as a 1-row broadcast
+    * (documented benign BNLJ — the [[tfidfTopTerms]] pattern, no driver
+    * collect); the only other shuffle is the near-unique per-doc rollup.
+    */
+  def surprisalStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("token"), length(bin(col("cnt"))).cast("long").as("cnt_bits"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+      .select(length(bin(col("n_total"))).cast("long").as("corpus_bits"))
+    toks.join(broadcast(model), Seq("token"), "left_outer")
+      .join(broadcast(total))
+      .select(col(idCol),
+        (col("corpus_bits") - coalesce(col("cnt_bits"), lit(0L))).as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("bits")).cast("long").as("total_bits"))
+      .select(col(idCol), col("n_tokens"), col("total_bits"),
+        expr("total_bits * 1000 div n_tokens").as("mean_bits_mill"))
+  }
 }

@@ -74,4 +74,50 @@ class CanonSpec extends AnyFunSuite {
     assert(rows.take(3).map(_.getLong(1)).toSet.size == 1)
     assert(df.select("c").distinct().count() == 2)
   }
+
+  test("canonicalizeUrl: RFC 3986 normalization subset, crawl-equivalents collapse") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def canon(urls: String*): Seq[Option[String]] =
+      urls.toDF("u").select(Canon.canonicalizeUrlCol(col("u")).as("c"))
+        .collect().map(r => Option(r.getString(0))).toSeq
+
+    // scheme/host case, default port, fragment, param sort — all collapse
+    assert(canon(
+      "HTTP://Example.CZ:80/a/b?b=2&a=1#frag",
+      "http://example.cz/a/b?a=1&b=2",
+      "http://example.cz./a/b#x?not-a-query",
+      "https://example.cz:443/",
+      "https://EXAMPLE.cz",
+      "http://example.cz:8080/a",       // NON-default port survives
+      "http://example.cz/a?a=1&a=1&b=&" // dup params kept, empties dropped
+    ) == Seq(
+      Some("http://example.cz/a/b?a=1&b=2"),
+      Some("http://example.cz/a/b?a=1&b=2"),
+      Some("http://example.cz/a/b"),    // '?' inside fragment is NOT a query
+      Some("https://example.cz/"),
+      Some("https://example.cz/"),      // empty path → "/"
+      Some("http://example.cz:8080/a"),
+      Some("http://example.cz/a?a=1&a=1&b=")))
+
+    // IDN host rides the punycode expression
+    assert(canon("http://HÁČKYČÁRKY.cz/x")
+      == Seq(Some("http://xn--hkyrky-ptac70bc.cz/x")))
+    // non-URLs are NULL, not junk keys
+    assert(canon("not a url", "", "  ") == Seq(None, None, None))
+    // path stays case-sensitive and dot-segments are NOT rewritten
+    assert(canon("http://example.cz/A/../B")
+      == Seq(Some("http://example.cz/A/../B")))
+
+    // idempotent: canon(canon(u)) == canon(u)
+    val once = "http://example.cz/a/b?a=1&b=2"
+    assert(canon(once) == Seq(Some(once)))
+
+    // urlKey: crawl-equivalent variants share one xxhash64 seen-key
+    val keys = Seq("HTTP://Example.CZ:80/a?b=2&a=1#f", "http://example.cz/a?a=1&b=2")
+      .toDF("u").select(Canon.urlKey(col("u")).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.size == 1)
+  }
 }

@@ -494,6 +494,111 @@ class DedupQualitySpec extends AnyFunSuite {
       nprobe = 3)) == served2)
   }
 
+  test("PQ ANN: exact copy attains the minimal ADC distance; recall on clusters") {
+    // 8 clusters x 16 points (the IVF fixture), PLUS an exact copy of each
+    // query vector: identical vectors encode to identical codes, so the
+    // copy's ADC distance is Σ_j min_c lut[j][c] — the global minimum.
+    // Other cluster members can TIE it (codes are lossy — sharing all 8
+    // codes with the query is common inside a tight cluster) and ties
+    // break by neighbor_id asc, so the copies get the LOWEST ids to make
+    // "copy is rank 1" deterministic rather than tie-luck
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val base = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val copies = (0 until 8).map(c => (-1000L - c, vec(c, 0)))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 16 === 0 && $"vec_id" >= 0)
+
+    val got = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = 8, nCodes = 16)
+      .select($"query_id", $"neighbor_id", $"dist_fp", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0 until 8).map(c => c * 16L).toSet)
+    byQ.foreach { case (q, rows) =>
+      val copy = rows.find(_._2 == -1000L - q / 16)
+        .getOrElse(fail(s"query $q: exact copy not in top-5"))
+      assert(copy._4 == 1, s"query $q: exact copy at rank ${copy._4}")
+      assert(copy._3 == rows.map(_._3).min,
+        s"query $q: copy dist ${copy._3} above the top distance")
+    }
+
+    // recall vs brute force on the same corpus (codes are lossy — bound,
+    // not equality; threshold has margin under the measured value)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = byQ.view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"PQ mean recall@5 = $mean")
+
+    // partitioning-invariant (fixed-point longs everywhere)
+    val again = SimilarityOps.pqTopK(emb.repartition(7), queries, "vec_id",
+        "embedding", k = 5, m = 8, nCodes = 16)
+      .select($"query_id", $"neighbor_id", $"dist_fp", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
+  test("PQ index: seeds encode losslessly; fit/encode once, serve many; save/load") {
+    val dims = 16
+    def vec(i: Long): Array[Float] = Array.tabulate(dims)(d =>
+      (Math.floorMod(TextOps.mix64(i * 37L + d), 2000L) - 1000L) / 1000f)
+    val emb = (0L until 96L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q1 = emb.where($"vec_id" % 12 === 0)
+    val q2 = emb.where($"vec_id" % 12 === 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().toSet
+
+    val cb = SimilarityOps.pqFit(emb, "vec_id", "embedding", m = 4, k = 8,
+      centroids = "first")
+    assert(cb.m == 4 && cb.subDim == 4 && cb.k == 8)
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+    val codeMap = codes.as[(Long, Array[Int])].collect().toMap
+    assert(codeMap.values.forall(_.forall(c => c >= 0 && c < 8)))
+    // "first" codebook = slices of vectors 0..7: each seed's own sub-slice
+    // is IN the codebook, so its chosen codeword must be at fp distance 0
+    (0L until 8L).foreach { id =>
+      val v = vec(id)
+      codeMap(id).zipWithIndex.foreach { case (c, j) =>
+        val cw = cb.codewords(j)(c)
+        val d = (0 until 4).map { i =>
+          val dd = v(j * 4 + i).toDouble - cw(i).toDouble
+          math.floor(dd * dd * (1L << 20)).toLong
+        }.sum
+        assert(d == 0L, s"seed $id subspace $j encodes at distance $d")
+      }
+    }
+
+    // one-shot == fit-then-encode-then-query
+    val oneShot = rows(SimilarityOps.pqTopK(emb, q1, "vec_id", "embedding",
+      k = 3, m = 4, nCodes = 8, centroids = "first"))
+    assert(rows(SimilarityOps.pqQuery(cb, codes, q1, "vec_id", "embedding", 3))
+      == oneShot)
+    // the SAME codes serve a different query batch (no re-encode)
+    val served2 = rows(SimilarityOps.pqQuery(cb, codes, q2, "vec_id", "embedding", 3))
+    assert(served2 == rows(SimilarityOps.pqTopK(emb, q2, "vec_id", "embedding",
+      k = 3, m = 4, nCodes = 8, centroids = "first")))
+
+    // persist + reload: identical answers from the on-disk index
+    val dir = graft.TmpDirs.create("pq-idx").toString
+    SimilarityOps.pqSave(cb, codes, dir)
+    val (cb2, codes2) = SimilarityOps.pqLoad(spark, dir)
+    assert(rows(SimilarityOps.pqQuery(cb2, codes2, q1, "vec_id", "embedding", 3))
+      == oneShot)
+    assert(rows(SimilarityOps.pqQuery(cb2, codes2, q2, "vec_id", "embedding", 3))
+      == served2)
+  }
+
   test("SRP-LSH ANN recalls clustered neighbors (recall@5 >= 0.6 vs brute force)") {
     // 8 clusters x 16 points: unit-ish center + small deterministic noise
     val dims = 32

@@ -135,4 +135,36 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == scored)
   }
+
+  test("surprisalStats: hand-computed integer-log2 bits; minCount boundary") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // corpus tokens: a×3, b×1, c×1 → N = 5, bitlen(5) = 3
+    // model (minCount 2): a only, bitlen(3) = 2 → a costs 1 bit,
+    // unknown b/c cost the full 3 bits
+    val docs = Seq(
+      (1L, "a a b"),   // bits 1+1+3 = 5, mean 5000 div 3 = 1666
+      (2L, "a c"),     // bits 1+3 = 4, mean 2000
+      (3L, "  ")       // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.surprisalStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 2 && !got.contains(3L))
+    assert(got(1L) == ((1L, 3L, 5L, 1666L)))
+    assert(got(2L) == ((2L, 2L, 4L, 2000L)))
+
+    // minCount = 1 admits every token: b/c now cost bitlen(5)−bitlen(1)=2
+    val all = TextOps.surprisalStats(docs, "doc_id", "text", minCount = 1L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(all(1L) == ((1L, 3L, 4L, 1333L)))  // 1+1+2
+    assert(all(2L) == ((2L, 2L, 3L, 1500L)))  // 1+2
+
+    // model and corpus-total ride broadcasts; partitioning-invariant
+    val plan = TextOps.surprisalStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"model not broadcast:\n$plan")
+    val again = TextOps.surprisalStats(docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }

@@ -99,4 +99,30 @@ class WebGraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(again.toSet == out.toSet)
   }
+
+  test("recrawlPriority: quality bonus in floor micros; signal-less hosts keep bare rank") {
+    val s = spark; import s.implicits._
+    val ranks = Seq(("a", 1000000L), ("b", 2000000L), ("c", 500000L))
+      .toDF("host", "rank_micro")
+    val quality = Seq(("a", 801L), ("c", 0L)).toDF("host", "quality_mill")
+    val got = LinkOps.recrawlPriority(ranks, quality)
+      .as[(String, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: 1000000 + (500000·801) div 1000 = 1000000 + 400500
+    assert(got("a") == (("a", 1000000L, Some(801L), 1400500L)))
+    // b has no quality signal → NULL quality, bare link rank
+    assert(got("b") == (("b", 2000000L, None, 2000000L)))
+    // zero quality is a real (bad) signal, distinct from no signal
+    assert(got("c") == (("c", 500000L, Some(0L), 500000L)))
+    // weight 0 disables the feedback entirely
+    val flat = LinkOps.recrawlPriority(ranks, quality, qualityWeightMicro = 0L)
+      .as[(String, Long, Option[Long], Long)].collect()
+    assert(flat.forall(r => r._4 == r._2))
+    // host-cardinality inputs: partitioning-invariant
+    val again = LinkOps.recrawlPriority(ranks.repartition(5),
+        quality.repartition(3))
+      .as[(String, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }
