@@ -397,6 +397,27 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ANN — IVF-PQ, the production billion-vector composition (FAISS's
+    // default shape): q36's cell restriction bounds WHICH candidates are
+    // scored, q85's codes bound WHAT is read per candidate. centroids
+    // pinned "first" for the oracle; the library default is "spread".
+    "q89_ivfpq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+          m = 8, nCodes = 16, centroids = "first")
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Embedding hygiene — per-source centroid outliers: the 3 vectors
+    // farthest (fixed-point squared L2) from their own source's q71
+    // centroid. The mislabel/junk-encoder audit before label-conditioned
+    // sampling; pure BIGINT ranks, ties id-asc.
+    "q90_centroid_outliers" -> ((s, dir) =>
+      TrainPrepOps.centroidOutliers(T(s, dir, "embeddings"), "vec_id",
+        "embedding", T(s, dir, "documents"), "doc_id", "source",
+        topK = 3)),
+
     // Dedup — embedding near-dup pairs above cosine threshold: EXACT via a
     // block-distributed equi-join (no BroadcastNestedLoopJoin cartesian;
     // see SimilarityOps.blockedNearDupPairs for why exact-at-threshold
@@ -2426,6 +2447,89 @@ object SparkEntry {
                ORDER BY dist_fp, neighbor_id) AS BIGINT) AS rank
            FROM scored) WHERE rank <= 5"""
     },
+
+    // q36's cent/assign/qprobe (cell restriction) composed with q85's
+    // cw/enc/lut (ADC scoring): candidates = probed-cell members, scored
+    // by the summed LONG lookup tables
+    "q89_ivfpq_ann" -> {
+      def fpd(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           p -> CAST(FLOOR((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * 1048576.0) AS BIGINT)))"""
+      s"""WITH cent AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id AS neighbor_id, cid AS cell FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c) t
+           WHERE rn = 1),
+         qprobe AS (
+           SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c
+             WHERE e.vec_id < 8) t
+           WHERE rn <= 4),
+         cw AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+                  embedding AS cv
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         subs AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 7) AS t(j)),
+         enc AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT e.vec_id, s.j, cw.c,
+               row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+                 ${fpd("e.embedding[s.j*8+1 : s.j*8+8]", "cw.cv[s.j*8+1 : s.j*8+8]")} ASC,
+                 cw.c ASC) AS rn
+             FROM embeddings e CROSS JOIN subs s CROSS JOIN cw) t
+           WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, s.j, cw.c,
+             ${fpd("q.embedding[s.j*8+1 : s.j*8+8]", "cw.cv[s.j*8+1 : s.j*8+8]")} AS d
+           FROM embeddings q CROSS JOIN subs s CROSS JOIN cw WHERE q.vec_id < 8),
+         cand AS (
+           SELECT q.query_id, a.neighbor_id
+           FROM qprobe q JOIN assign a ON a.cell = q.cell
+           WHERE a.neighbor_id <> q.query_id),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id, SUM(l.d) AS dist_fp
+           FROM cand c JOIN enc e ON e.vec_id = c.neighbor_id
+           JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.c = e.code
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, dist_fp, rank FROM (
+           SELECT query_id, neighbor_id, dist_fp,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist_fp, neighbor_id) AS BIGINT) AS rank
+           FROM scored) WHERE rank <= 5"""
+    },
+
+    // q71's fixed-point centroid replay + per-vector BIGINT squared
+    // distance, top-3 per label by (dist desc, id asc)
+    "q90_centroid_outliers" ->
+      """WITH l AS (SELECT d.source AS label, e.vec_id, e.embedding AS emb
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         el AS (SELECT label, vec_id, emb,
+             unnest(generate_series(1, len(emb))) AS p FROM l),
+         q AS (SELECT label, vec_id, p - 1 AS pos,
+             CAST(floor(CAST(emb[p] AS DOUBLE) * 1048576) AS BIGINT) AS q FROM el),
+         sums AS (SELECT label, pos, SUM(q) AS s, count(*) AS n
+           FROM q GROUP BY label, pos),
+         cent AS (SELECT label, pos,
+             CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM sums),
+         dist AS (SELECT q.label, q.vec_id,
+             CAST(SUM((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS dist_q2
+           FROM q JOIN cent c ON c.label = q.label AND c.pos = q.pos
+           GROUP BY 1, 2)
+         SELECT label, vec_id, dist_q2, rank FROM (
+           SELECT label, vec_id, dist_q2,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY dist_q2 DESC, vec_id) AS BIGINT) AS rank
+           FROM dist) WHERE rank <= 3""",
 
     "q22_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

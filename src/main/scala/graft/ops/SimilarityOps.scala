@@ -641,6 +641,57 @@ object SimilarityOps {
     pqQuery(cb, pqEncode(corpus, idCol, vecCol, cb), queries, idCol, vecCol, k)
   }
 
+  /** IVF-PQ — the production composition for billion-vector serving
+    * (FAISS's default index shape): the IVF coarse quantizer bounds WHICH
+    * candidates each query scores (|corpus|·nprobe/nlist, the [[ivfQuery]]
+    * cell restriction) and PQ codes bound WHAT is read per candidate
+    * (m LONG LUT lookups — the full float vector is never touched at
+    * serve time). Every corpus vector sits in exactly one cell, so probed
+    * candidates never duplicate and no dedup pass is needed.
+    *
+    * 100 TB shape: the serving table is `(neighbor_id, cell, codes)` —
+    * the 32×-compressed side, bucketable by `cell` for a shuffle-free
+    * probe join; queries broadcast as (query_id, cell, lut) rows (nprobe
+    * rows × m·k longs each); scoring is a row-local codegen'd
+    * `zip_with`+`aggregate`; the only shuffle is the per-query top-k
+    * window. Fully fixed-point: ranks are LONG comparisons, replayable
+    * by an integer-arithmetic oracle. With `nprobe = nlist` this
+    * degenerates to [[pqTopK]] exactly (spec-pinned).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, centroids: String = "spread"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idx = ivfFit(corpus, idCol, vecCol, nlist, centroids)
+    val cb = pqFit(corpus, idCol, vecCol, m, nCodes, centroids)
+    val pqCells = idx.cells.select(col("neighbor_id"), col("cell"))
+      .join(pqEncode(corpus, idCol, vecCol, cb), "neighbor_id")
+    val cbc = spark.sparkContext.broadcast(cb)
+    val centsB = spark.sparkContext.broadcast(idx.cents.toArray)
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        val b = cbc.value
+        val lut = Array.tabulate(b.m) { j =>
+          b.codewords(j).map(cw => sqDistFp(vec, j * b.subDim, cw))
+        }
+        nearestCells(centsB.value, vec, nprobe).map(c => (id, c, lut))
+      })
+      .toDF("query_id", "cell", "lut")
+    val scored = pqCells.join(broadcast(probes), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist_fp", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, tbl) => element_at(tbl, c + lit(1))),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_fp").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist_fp"), col("rank"))
+  }
+
   /** Persist a PQ index: codes parquet (bucket-worthy at scale) + the
     * codebook as (j, c, cv) rows. */
   def pqSave(cb: PqCodebook, codes: DataFrame, dir: String): Unit = {

@@ -124,6 +124,47 @@ object TrainPrepOps {
           .as("centroid_q"))
   }
 
+  /** Per-label embedding outliers — the vectors FARTHEST from their own
+    * label's centroid, the mislabel/junk-encoder audit a training
+    * pipeline runs before trusting label-conditioned sampling (q71's
+    * centroids acting as a screen): top-`topK` per label by squared L2
+    * in the centroid's own fixed-point units (`dist_q2 =
+    * Σ (floor(x·2^20) − centroid_q)²` — pure BIGINT, so ranks are
+    * integer comparisons any engine replays; ties break id-asc). A
+    * report, not a rewrite: compose with an anti-join to act, or with
+    * [[graft.ops.CurationOps.qualityGateByQuantile]] for a rate-based
+    * cut instead of a count-based one.
+    *
+    * 100 TB shape: centroids are label-cardinality and BROADCAST back;
+    * the distance is a row-local codegen'd `zip_with`+`aggregate` over
+    * the already-joined row (the embeddings⋈labels join is on the unique
+    * vector id); the only added shuffle is the per-label top-k window,
+    * carrying one (id, label, long) row per vector.
+    */
+  def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      labels: DataFrame, labelIdCol: String, labelCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val cents = labelCentroids(embs, idCol, vecCol, labels, labelIdCol, labelCol)
+    val labeled = embs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .join(labels.select(col(labelIdCol).as("_id"), col(labelCol).as("label")),
+        "_id")
+      .join(broadcast(cents.select(col("label"), col("centroid_q"))),
+        Seq("label"))
+    val dist = aggregate(zip_with(col("_v"), col("centroid_q"),
+        (x, c) => {
+          val q = floor(x.cast("double") * lit(1048576.0)).cast("long") - c
+          q * q
+        }),
+      lit(0L), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(col("dist_q2").desc, col("_id"))
+    labeled.withColumn("dist_q2", dist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("label"), col("_id").as(idCol), col("dist_q2"), col("rank"))
+  }
+
   /** Apply a ranked BPE merge list to each document's token stream — the
     * ACTING half of [[mergePairCandidates]] (candidates → pick top pairs →
     * apply → recount is the byte-pair training loop, and this operator

@@ -549,6 +549,48 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(again.toSet == got.toSet)
   }
 
+  test("IVF-PQ: degenerates to pure PQ at nprobe = nlist; copy wins rank 1 in its cell") {
+    val dims = 32
+    def vec(cluster: Int, point: Int): Array[Float] = {
+      val center = Array.tabulate(dims)(d =>
+        (Math.floorMod(TextOps.mix64(cluster * 131L + d), 2000L) - 1000L) / 1000f)
+      Array.tabulate(dims)(d =>
+        center(d) + (Math.floorMod(TextOps.mix64(cluster * 7919L + point * 271L + d), 200L) - 100L) / 2000f)
+    }
+    val base = for (c <- 0 until 8; p <- 0 until 16)
+      yield ((c * 16 + p).toLong, vec(c, p))
+    val copies = (0 until 8).map(c => (-1000L - c, vec(c, 0)))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 16 === 0 && $"vec_id" >= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().toSet
+
+    // probing EVERY cell makes the cell restriction vacuous: candidates =
+    // the whole corpus exactly once (each vector lives in ONE cell), so
+    // IVF-PQ must equal pure PQ bit-for-bit
+    val all = rows(SimilarityOps.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", k = 5, nlist = 8, nprobe = 8, m = 8, nCodes = 16))
+    assert(all == rows(SimilarityOps.pqTopK(emb, queries, "vec_id",
+      "embedding", k = 5, m = 8, nCodes = 16)))
+
+    // restricted probing: an exact copy assigns to the query's own nearest
+    // cell (identical vector → identical cell), attains the minimal ADC
+    // distance there, and holds the lowest id → always rank 1
+    val got = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, m = 8, nCodes = 16)
+      .select($"query_id", $"neighbor_id", $"dist_fp", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val copy = rs.find(_._2 == -1000L - q / 16)
+        .getOrElse(fail(s"query $q: exact copy not retrieved"))
+      assert(copy._4 == 1, s"query $q: exact copy at rank ${copy._4}")
+    }
+    // partitioning-invariant (fixed-point longs end to end)
+    val again = rows(SimilarityOps.ivfPqTopK(emb.repartition(7), queries,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, m = 8, nCodes = 16))
+    assert(again == got.toSet)
+  }
+
   test("PQ index: seeds encode losslessly; fit/encode once, serve many; save/load") {
     val dims = 16
     def vec(i: Long): Array[Float] = Array.tabulate(dims)(d =>

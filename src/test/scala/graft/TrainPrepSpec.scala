@@ -88,6 +88,38 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("centroidOutliers: BIGINT distances, desc rank with id-asc ties, singleton zero") {
+    val s = spark; import s.implicits._
+    // label a: (0,0), (1,0), (0.5,0) → centroid_q = (524288, 0); the two
+    // extremes are EQUIDISTANT ((524288)^2) and tie-break id-asc; the
+    // midpoint is at distance 0. label b: singleton sits ON its centroid.
+    val embs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.5f, 0.0f)),
+      (4L, Seq(7.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "source")
+    val d = 524288L * 524288L
+    val got = TrainPrepOps.centroidOutliers(embs, "vec_id", "embedding",
+        labels, "doc_id", "source", topK = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == Seq(
+      ("a", 1L, d, 1L), ("a", 2L, d, 2L), ("b", 4L, 0L, 1L)))
+    // topK = 1 keeps only the id-asc tie winner per label
+    val top1 = TrainPrepOps.centroidOutliers(embs, "vec_id", "embedding",
+        labels, "doc_id", "source", topK = 1)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(top1 == Seq(("a", 1L, d, 1L), ("b", 4L, 0L, 1L)))
+    // centroids ride a broadcast; partitioning-invariant
+    val plan = TrainPrepOps.centroidOutliers(embs, "vec_id", "embedding",
+      labels, "doc_id", "source").queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"centroids not broadcast:\n$plan")
+    val again = TrainPrepOps.centroidOutliers(embs.repartition(5), "vec_id",
+        "embedding", labels.repartition(3), "doc_id", "source", topK = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(again == got)
+  }
+
   test("applyMerges: greedy l-t-r, rule order, merged symbols feed later rules") {
     val s = spark; import s.implicits._
     val docs = Seq(
