@@ -687,6 +687,19 @@ object SparkEntry {
       CurationOps.splitAndShard(T(s, dir, "documents"), "doc_id",
         holdoutRate = 0.10, nShards = 8)),
 
+    // Export validation — the shard manifest over q56's assignment:
+    // per (split, shard) doc/token counts and an order-independent
+    // bit-XOR content checksum (60-bit md5 prefix over id:text) a loader
+    // recomputes before trusting a downloaded shard.
+    "q91_shard_manifest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val shards = CurationOps.splitAndShard(docs, "doc_id",
+        holdoutRate = 0.10, nShards = 8)
+      CurationOps.shardManifest(
+        docs.join(shards.select("doc_id", "split", "shard"), "doc_id"),
+        "doc_id", "text")
+    }),
+
     // Similarity — SemDeDup-style near-dup pairs via the IVF coarse
     // quantizer: compare only within each cell (per-cell work
     // (|corpus|/nlist)², never corpus²). centroids pinned to "first" so
@@ -1471,6 +1484,24 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY split, shard
              ORDER BY ord, doc_id) AS BIGINT) AS shard_seq
          FROM k""",
+
+    // q56's split/shard derivation + one rollup; checksum = bit_xor of
+    // 60-bit md5 prefixes over id:text (order-independent on any engine)
+    "q91_shard_manifest" ->
+      """WITH k AS (
+           SELECT doc_id, text,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS INTEGER) % 8 AS BIGINT) AS shard
+           FROM documents),
+         h AS (SELECT split, shard,
+             CAST(len(list_filter(str_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS hh
+           FROM k)
+         SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(hh) AS BIGINT) AS checksum
+         FROM h GROUP BY 1, 2""",
 
     "q57_ivf_neardup" ->
       """WITH cent AS (

@@ -347,6 +347,36 @@ object CurationOps {
       .select(col(idCol), col("split"), col("shard"), col("shard_seq"))
   }
 
+  /** Shard manifest — the loader-side validation card for a sharded
+    * training export ([[splitAndShard]]'s companion): per (split, shard),
+    * `n_docs`, `n_tokens`, and an ORDER-INDEPENDENT content checksum —
+    * the bit-XOR of each doc's 60-bit md5 prefix over `id ‖ ':' ‖ text`.
+    * XOR is associative and commutative, so the checksum is partitioning-
+    * and order-independent and any engine replays it bit-exactly; a
+    * loader recomputes the card after download and refuses a shard that
+    * lost, gained, corrupted, or misfiled a document (the id inside the
+    * hash catches content filed under the wrong id). Documented caveat
+    * inherent to XOR checksums: a row duplicated an EVEN number of times
+    * cancels out of the checksum — `n_docs` still catches the count
+    * drift, and the funnel's exact dedup runs upstream anyway
+    * (spec-pinned).
+    *
+    * 100 TB shape: text is hashed AT THE SCAN and never travels; the
+    * manifest is ONE hash agg on the (split, shard) key with map-side
+    * combine — output rows = nSplits · nShards, driver-tiny.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String = "split", shardCol: String = "shard"): DataFrame =
+    docs.select(col(splitCol).as("split"), col(shardCol).as("shard"),
+        graft.ops.TextOps.tokenCount(col(textCol)).cast("long").as("_ntok"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+            col(textCol)).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("_h"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        expr("bit_xor(_h)").as("checksum"))
+
   /** Per-stratum quantile quality gate — "drop the worst `dropBelow`
     * fraction of each language/source by score" (the FineWeb/CCNet-style
     * calibration that replaces a hand-picked global threshold): a document

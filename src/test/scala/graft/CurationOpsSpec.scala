@@ -365,4 +365,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject:\n$plan")
   }
+
+  test("shardManifest: counts + order-independent checksum vs an independent md5; caveats pinned") {
+    // independent reference: java.security MD5 over "id:text", first 15
+    // hex chars (60 bits) parsed as a long — the hashEmbed discipline
+    def h(id: Long, text: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$text".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rows = Seq(
+      (1L, "train", 0L, "a b"), (2L, "train", 0L, "c"),
+      (3L, "train", 1L, "d e f"), (4L, "holdout", 0L, "g"))
+    val docs = rows.toDF("doc_id", "split", "shard", "text")
+    val got = CurationOps.shardManifest(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("train", 0L)) ==
+      (("train", 0L, 2L, 3L, h(1L, "a b") ^ h(2L, "c"))))
+    assert(got(("train", 1L)) == (("train", 1L, 1L, 3L, h(3L, "d e f"))))
+    assert(got(("holdout", 0L)) == (("holdout", 0L, 1L, 1L, h(4L, "g"))))
+
+    // XOR is order/partitioning-independent
+    val again = CurationOps.shardManifest(docs.repartition(7), "doc_id", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(again == got)
+
+    // one corrupted byte flips the shard's checksum (and only that shard's)
+    val corrupted = (rows.take(1) ++ Seq((2L, "train", 0L, "C")) ++ rows.drop(2))
+      .toDF("doc_id", "split", "shard", "text")
+    val cGot = CurationOps.shardManifest(corrupted, "doc_id", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(cGot(("train", 0L))._5 != got(("train", 0L))._5)
+    assert(cGot(("train", 1L)) == got(("train", 1L)))
+
+    // the documented XOR caveat: an EVEN duplicate cancels out of the
+    // checksum — but n_docs/n_tokens still catch the drift
+    val dup = (rows ++ Seq((1L, "train", 0L, "a b"), (1L, "train", 0L, "a b")))
+      .toDF("doc_id", "split", "shard", "text")
+    val dGot = CurationOps.shardManifest(dup, "doc_id", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(dGot(("train", 0L))._5 == got(("train", 0L))._5)
+    assert(dGot(("train", 0L))._3 == 4L && dGot(("train", 0L))._4 == 7L)
+  }
 }
