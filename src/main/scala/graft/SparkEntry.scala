@@ -409,6 +409,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ANN serving — L2 normalization (cosine → bare dot at serve time):
+    // fixed-point squared norm (engine/partitioning-independent LONG),
+    // then two correctly-rounded IEEE ops per component, so the DOUBLE
+    // outputs replay bit-exactly. Zero vectors → all-zero, not NaN.
+    "q92_l2_normalize" -> ((s, dir) =>
+      SimilarityOps.l2Normalize(T(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
     // Embedding hygiene — per-source centroid outliers: the 3 vectors
     // farthest (fixed-point squared L2) from their own source's q71
     // centroid. The mislabel/junk-encoder audit before label-conditioned
@@ -2538,6 +2546,21 @@ object SparkEntry {
                ORDER BY dist_fp, neighbor_id) AS BIGINT) AS rank
            FROM scored) WHERE rank <= 5"""
     },
+
+    // fixed-point squared norm, then double division by a correctly-
+    // rounded sqrt — bit-replayable doubles on any engine
+    "q92_l2_normalize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1048576.0) AS BIGINT))) AS norm2_fp
+           FROM embeddings)
+         SELECT vec_id, CAST(norm2_fp AS BIGINT) AS norm2_fp,
+           CASE WHEN norm2_fp = 0 THEN list_transform(embedding, x -> 0.0)
+                ELSE list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) / sqrt(norm2_fp / 1048576.0)) END
+             AS unit
+         FROM n""",
 
     // q71's fixed-point centroid replay + per-vector BIGINT squared
     // distance, top-3 per label by (dist desc, id asc)

@@ -431,6 +431,34 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** L2-normalize an embedding column — the serve-time preconditioning
+    * that turns every cosine into a bare dot product (no per-pair norms)
+    * and conditions vectors for [[quantizeInt8]] (a unit ball has no
+    * per-vector scale outliers). The squared norm accumulates as
+    * `Σ floor(xᵢ²·2^20)` LONGS — the [[ivfFitRefined]] fixed-point
+    * discipline, so the norm is identical on any engine and any
+    * partitioning — and the division `xᵢ / sqrt(norm2_fp / 2^20)` is two
+    * correctly-rounded IEEE ops, so the output DOUBLES replay bit-exactly
+    * (sqrt is correctly rounded by spec — the one float function that
+    * is). Zero vectors normalize to all-zero rather than NaN.
+    *
+    * 100 TB shape: pure scan-local higher-order codegen — ZERO shuffle,
+    * composes with any partitioning. Returns (idCol, norm2_fp, unit).
+    */
+  def l2Normalize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val n2 = aggregate(
+      transform(col(vecCol),
+        x => floor(x.cast("double") * x.cast("double") * lit(1048576.0))
+          .cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    embs.select(col(idCol), n2.as("norm2_fp"), col(vecCol))
+      .select(col(idCol), col("norm2_fp"),
+        when(col("norm2_fp") === 0L, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / sqrt(col("norm2_fp") / lit(1048576.0))))
+          .as("unit"))
+  }
+
   /** Symmetric per-vector int8 quantization — the serving-side
     * compression for a billion-vector ANN index (4× smaller than
     * float32, SIMD-friendly dot products): scale `s = max_i |v_i|`,

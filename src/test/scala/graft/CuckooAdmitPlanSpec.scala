@@ -82,4 +82,29 @@ class CuckooAdmitPlanSpec extends AnyFunSuite {
     val admitted = GraftOps.admitFirstSeen(keyed, col("key"), partitions = 2)
     assert(admitted.count() == 2) // {nic.cz, seznam.cz}
   }
+
+  test("URL-seen admission: canonicalize → urlKey → cuckoo, non-URLs filtered") {
+    // the north-rule URL-frontier chain end to end: crawl-equivalent URL
+    // variants (case, default port, fragment, param order) share one
+    // xxhash64 seen-key and admit exactly once; distinct query
+    // MULTIPLICITY stays distinct; non-URLs canonicalize to NULL and are
+    // dropped by the frontier's null-skip before keying
+    val raws = Seq(
+      "HTTP://Example.CZ:80/a?b=2&a=1#frag",
+      "http://example.cz/a?a=1&b=2",
+      "http://example.cz./a?a=1&b=2",
+      "http://example.cz/a?a=1&a=1&b=2",  // dup param → a DIFFERENT page
+      "https://example.cz/a?a=1&b=2",     // scheme matters
+      "not a url"
+    ).toDF("url")
+    val keyed = raws
+      .withColumn("canon", graft.canon.Canon.canonicalizeUrlCol(col("url")))
+      .where(col("canon").isNotNull)
+      .withColumn("key", graft.canon.Canon.urlKey(col("url")))
+    val admitted = GraftOps.admitFirstSeen(keyed, col("key"), partitions = 2)
+    assert(admitted.select("canon").as[String].collect().toSet == Set(
+      "http://example.cz/a?a=1&b=2",
+      "http://example.cz/a?a=1&a=1&b=2",
+      "https://example.cz/a?a=1&b=2"))
+  }
 }

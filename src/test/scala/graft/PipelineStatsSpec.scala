@@ -157,4 +157,32 @@ class PipelineStatsSpec extends AnyFunSuite {
       "doc_id", "text", dims = dims).as[(Long, Seq[Long])].collect().toMap
     assert(out == expected)
   }
+
+  test("l2Normalize: exact 3-4-5 case, zero-vector guard, unit norms, zero shuffle") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (1L, Seq(3.0f, 4.0f)),   // norm2_fp = 25·2^20 exactly → norm 5.0
+      (2L, Seq(0.0f, 0.0f)),   // zero vector → all-zero, not NaN
+      (3L, Seq(-1.0f, 0.0f))   // sign preserved
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.l2Normalize(embs, "vec_id", "embedding")
+      .as[(Long, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 25L * 1048576L, Seq(3.0 / 5.0, 4.0 / 5.0))))
+    assert(got(2L) == ((2L, 0L, Seq(0.0, 0.0))))
+    assert(got(3L) == ((3L, 1048576L, Seq(-1.0, 0.0))))
+    // unit norm within the 2^-20 fixed-point quantization on a non-exact case
+    val irr = Seq((9L, Seq(0.37f, -1.42f, 0.055f))).toDF("vec_id", "embedding")
+    val u = SimilarityOps.l2Normalize(irr, "vec_id", "embedding")
+      .as[(Long, Long, Seq[Double])].collect().head._3
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-5)
+    // scan-local: no Exchange anywhere in the plan
+    val plan = SimilarityOps.l2Normalize(embs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+    // partitioning-invariant (fixed-point norm, correctly-rounded IEEE ops)
+    val again = SimilarityOps.l2Normalize(embs.repartition(5), "vec_id",
+      "embedding").as[(Long, Long, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }
