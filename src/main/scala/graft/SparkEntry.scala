@@ -932,6 +932,16 @@ object SparkEntry {
         Map("src0" -> 400, "src1" -> 300, "src7" -> 200, "src19" -> 100),
         tokenBudget = 10000L)),
 
+    // Curation — the mixture pipeline END TO END in one plan: q66's
+    // inventory → q75's ppm calibration → rated sampling through the
+    // rate TABLE (no driver round-trip). Same weights/budget as q75, so
+    // the two scoreboard rows cross-check each other.
+    "q93_execute_mixture" -> ((s, dir) =>
+      CurationOps.executeMixture(T(s, dir, "documents"), "doc_id", "text",
+        "source",
+        Map("src0" -> 400, "src1" -> 300, "src7" -> 200, "src19" -> 100),
+        tokenBudget = 10000L)),
+
     // Curation — deterministic exact-k uniform sample: global order on
     // (md5(id), id), first 100. Compiles to TakeOrderedAndProject — no
     // global sort shuffle; the k-sample is a prefix of every larger one.
@@ -1929,6 +1939,27 @@ object SparkEntry {
     "q76_uniform_sample" ->
       """SELECT doc_id FROM documents
          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
+
+    // q75's rate arithmetic feeding the q55 md5-threshold mechanism at
+    // ppm granularity: keep iff 32-bit md5 slice < rate_ppm·2^32 // 10^6
+    "q93_execute_mixture" ->
+      """WITH f AS (SELECT source,
+             CAST(len(list_filter(str_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS ntok
+           FROM documents),
+         card AS (SELECT source, SUM(ntok) AS n_tokens FROM f GROUP BY source),
+         w AS (SELECT * FROM (VALUES ('src0', 400), ('src1', 300),
+             ('src7', 200), ('src19', 100)) AS t(source, w_mill)),
+         r AS (SELECT c.source,
+             CASE WHEN c.n_tokens <= 0 THEN 0
+               ELSE least(1000000,
+                 (CAST((10000 * w.w_mill) // 1000 AS BIGINT) * 1000000)
+                   // c.n_tokens) END AS rate_ppm
+           FROM card c JOIN w USING (source))
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r USING (source)
+         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < r.rate_ppm * 4294967296 // 1000000""",
 
     "q78_decontam_spans" ->
       """WITH tok AS (SELECT doc_id,

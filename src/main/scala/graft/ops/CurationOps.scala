@@ -98,6 +98,56 @@ object CurationOps {
       .select(col(idCol), col(stratumCol))
   }
 
+  /** [[stratifiedSampleRated]] with the rates as a TABLE instead of a
+    * driver-side map — the form [[mixtureRates]] feeds directly (no
+    * driver round-trip between calibration and execution): `rates` is
+    * `(stratumCol, rate_ppm)` with rate_ppm ∈ [0, 10^6] BIGINT, and a
+    * doc survives iff its 32-bit md5 slice (as a BIGINT) sorts below
+    * `rate_ppm · 2^32 div 10^6` — pure integer arithmetic, exactly the
+    * q55 mechanism at ppm granularity (rate_ppm = 10^6 keeps ALL;
+    * raising a rate strictly grows the sample). Strata absent from the
+    * rate table contribute NOTHING (inner join — a source outside the
+    * mixture is not in the mixture), unlike the map variant's
+    * defaultRate knob.
+    *
+    * 100 TB shape: identical to the map variant — scan-local md5
+    * threshold behind a broadcast rate join, zero corpus shuffle.
+    */
+  def stratifiedSampleRatedBy(docs: DataFrame, idCol: String,
+      stratumCol: String, rates: DataFrame): DataFrame =
+    docs.select(col(idCol), col(stratumCol),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("_h"))
+      .join(broadcast(rates.select(col(stratumCol), col("rate_ppm"))),
+        Seq(stratumCol))
+      .where(col("_h") < expr("rate_ppm * 4294967296 div 1000000"))
+      .select(col(idCol), col(stratumCol))
+
+  /** The mixture pipeline end to end in ONE Catalyst plan — inventory →
+    * calibration → execution ([[sourceStats]] → [[mixtureRates]] →
+    * [[stratifiedSampleRatedBy]]), the [[curationFunnel]] discipline
+    * applied to mixture design: what a designer iterates on is the
+    * `weights`/`tokenBudget` arguments, and everything downstream
+    * recomputes consistently (no stale hand-carried rate tables).
+    * Returns the sampled `(idCol, sourceCol)` rows.
+    *
+    * 100 TB shape: the cards/rates legs aggregate to source-cardinality
+    * rows and broadcast; the corpus is scanned twice (once for the
+    * inventory, once for the sample filter) with zero corpus shuffle in
+    * the sampling leg — at scale you materialize [[sourceStats]] once
+    * per snapshot and pass it in, which this composition mirrors
+    * structurally (the operator takes no shortcuts the decomposed calls
+    * would not).
+    */
+  def executeMixture(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Int],
+      tokenBudget: Long): DataFrame = {
+    val cards = sourceStats(docs, idCol, textCol, sourceCol)
+    val rates = mixtureRates(cards, weights, tokenBudget)
+    stratifiedSampleRatedBy(docs, idCol, sourceCol,
+      rates.select(col("source").as(sourceCol), col("rate_ppm")))
+  }
+
   /** C4-style duplicated-line removal (Raffel et al. 2020 §2.2 "we
     * discarded ... any line that appeared more than once"): drop every
     * line whose exact text occurs in at least `minDocFreq` distinct

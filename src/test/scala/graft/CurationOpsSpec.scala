@@ -366,6 +366,50 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("stratifiedSampleRatedBy: ppm edges + monotone growth; executeMixture ≡ decomposed chain") {
+    val docs = (0L until 10000L)
+      .map(i => (i, "tok tok tok", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    def rt(rs: (String, Long)*) = rs.toDF("source", "rate_ppm")
+
+    // rate 10^6 keeps EVERY row of the stratum; absent strata contribute
+    // nothing (inner join — outside the mixture is not in the mixture)
+    assert(ids(CurationOps.stratifiedSampleRatedBy(docs, "doc_id", "source",
+      rt("a" -> 1000000L))) == (0L until 10000L by 2).toSet)
+    // rate 0 keeps none
+    assert(ids(CurationOps.stratifiedSampleRatedBy(docs, "doc_id", "source",
+      rt("a" -> 0L))).isEmpty)
+    // realized rate tracks the requested ppm; raising a rate strictly
+    // GROWS the sample (threshold mechanism, not a re-draw)
+    val half = ids(CurationOps.stratifiedSampleRatedBy(docs, "doc_id",
+      "source", rt("a" -> 500000L)))
+    assert(math.abs(half.size / 5000.0 - 0.5) < 0.02, s"realized ${half.size}")
+    val more = ids(CurationOps.stratifiedSampleRatedBy(docs, "doc_id",
+      "source", rt("a" -> 750000L)))
+    assert(half.subsetOf(more))
+
+    // the one-plan composition equals the decomposed three calls exactly
+    val weights = Map("a" -> 700, "b" -> 300)
+    val comp = ids(CurationOps.executeMixture(docs, "doc_id", "text",
+      "source", weights, tokenBudget = 9000L))
+    val rates = CurationOps.mixtureRates(
+      CurationOps.sourceStats(docs, "doc_id", "text", "source"),
+      weights, tokenBudget = 9000L)
+    val dec = ids(CurationOps.stratifiedSampleRatedBy(docs, "doc_id",
+      "source", rates.select(col("source"), col("rate_ppm"))))
+    assert(comp == dec && comp.nonEmpty)
+    // realized tokens near target: budget 9000, w_a=700 → target 6300 of
+    // a's 15000 tokens → rate 420000 ppm → ≈ 2100 of 5000 docs
+    val aKept = comp.count(_ % 2 == 0)
+    assert(math.abs(aKept / 5000.0 - 0.42) < 0.02, s"realized a docs $aKept")
+    // rates ride a broadcast join
+    val plan = CurationOps.stratifiedSampleRatedBy(docs, "doc_id", "source",
+      rt("a" -> 500000L)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+  }
+
   test("shardManifest: counts + order-independent checksum vs an independent md5; caveats pinned") {
     // independent reference: java.security MD5 over "id:text", first 15
     // hex chars (60 bits) parsed as a long — the hashEmbed discipline
