@@ -23,7 +23,12 @@ object Bench {
     // round-5 additions: the heavy curation operators, so regressions are
     // visible where the new work lives (verdict r4 next-round #8)
     "q45_curation_funnel", "q46_line_dedup", "q48_lm_coverage",
-    "q50_stream_curation")
+    "q50_stream_curation",
+    // round-5 extension: the join/sketch operator families, so the
+    // union-window as-of, bucketized range join, and fixed-size sketch
+    // aggregations stay regression-visible
+    "q94_asof_attrib", "q95_range_join", "q96_hll_sessions",
+    "q97_cms_tokens")
 
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._

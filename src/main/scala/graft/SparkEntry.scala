@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.Canon
-import graft.ops.{CurationOps, DedupOps, LinkOps, MultiModalOps, PiiOps, SimilarityOps, TextOps, TrainPrepOps}
+import graft.ops.{CurationOps, DedupOps, LinkOps, MultiModalOps, PiiOps, RelationalOps, SimilarityOps, SketchOps, TextOps, TrainPrepOps}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data-pipeline ops), with DuckDB oracle SQL
@@ -1245,7 +1245,95 @@ object SparkEntry {
           col("DNS_LOCAL.DNSSEC.valid").as("dnssec_valid"),
           coalesce(size(col("DNS_LOCAL.NS_AUTH")), lit(0)).cast("long").as("n_ns"),
           col("HSTS").as("hsts_preloaded"))
-    })
+    }),
+
+    // As-of join — purchase→last-prior-click attribution per user: ONE
+    // shuffle on the key, ZERO Join operators (tag-union + running
+    // ignore-nulls window), instead of the equi-join + per-row max
+    // subquery that materializes every candidate pair. A click AT the
+    // purchase timestamp counts; equal-time clicks break to max id.
+    "q94_asof_attrib" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      RelationalOps.asofJoin(purchases, clicks,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        payload = Seq("click_id", "ts"), rightTieBreak = "click_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id"),
+          // cast: parquet ts is NTZ; session tz is UTC so this is exact
+          (unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("asof_ts").cast("timestamp"))).as("gap_ms"))
+    }),
+
+    // Range join — clicks inside each error's 10-minute outage window
+    // [ts, ts+10min): bucketized equi-join on the 10-min time bucket +
+    // range re-check, never the BroadcastNestedLoopJoin Spark would plan
+    // for the bare inequality predicate. Inner: windows with no clicks
+    // are absent.
+    "q95_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val outages = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("outage_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "ts")
+      RelationalOps.intervalJoin(clicks, "ts", outages, "lo", "hi",
+        bucketMillis = 600000L)
+        .groupBy("outage_id")
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
+    // HLL sketch — distinct active (user, minute) sessions per event
+    // type via 256 derandomized md5 registers: the shuffle carries ≤ m
+    // rows per group instead of every distinct key; exact countDistinct
+    // rides alongside so the oracle pins both the sketch STATE (integer
+    // sum + zero count) and the one-division estimate.
+    "q96_hll_sessions" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val key = concat(col("user_id").cast("string"), lit(":"),
+        expr("unix_millis(cast(ts as timestamp)) div 60000").cast("string"))
+      val sketch = SketchOps.hllDistinct(
+        ev.select(col("event_type"), key.as("__k")), col("__k"),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(key).as("n_exact"))
+      exact.join(sketch, "event_type")
+    }),
+
+    // Count-Min sketch — token frequencies from a fixed 4×512 counter
+    // table (d·w rows total, independent of corpus size), probed with
+    // the exact top-20 so over-estimation is visible next to truth:
+    // est = min over 4 row-salted counters, ≥ exact by construction.
+    "q97_cms_tokens" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val counters = SketchOps.cmsBuild(toks, col("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      SketchOps.cmsEstimate(counters, top, "tok")
+    }),
+
+    // Inverted index — serving-side postings: df counted BEFORE the cap
+    // (idf stays honest), postings capped at 10 by a per-token rank
+    // window (tf desc, doc_id) — a stopword's full posting list never
+    // materializes as one array anywhere; two shuffles, both on
+    // shrinking keys.
+    "q98_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(T(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 10)),
+
+    // Quantile sketch — DDSketch-shaped doc-length percentiles per
+    // source from ≤ 259 integer bins per group (octave from the binary-
+    // string length, 2-bit sub-octave, γ = 2^(1/4) ⇒ ≤ 12.5% relative
+    // error): rationals for thresholds, shifts for representatives — no
+    // doubles anywhere, so even the estimates replay bit-exactly.
+    "q99_quantile_sketch" -> ((s, dir) =>
+      SketchOps.ddQuantiles(T(s, dir, "documents"), col("n_chars"),
+        Seq("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2810,6 +2898,155 @@ object SparkEntry {
          CAST(len(list_filter(str_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents
-         WHERE NOT ((doc_id % 256) IN (0, 10, 127, 203) OR (doc_id % 256) >= 224)"""
+         WHERE NOT ((doc_id % 256) IN (0, 10, 127, 203) OR (doc_id % 256) >= 224)""",
+
+    // q94: the same tag-union + running ignore-nulls window the Spark
+    // side plans — side 0 (clicks) sorts before side 1 (purchases) at
+    // equal ts (inclusive as-of), click_id asc breaks equal-time clicks
+    // to max id. Null ordering never decides: click_id is null only on
+    // side-1 rows, which the side column already separates.
+    "q94_asof_attrib" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+             WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+         u AS (
+           SELECT user_id, ts, 0 AS side, click_id,
+                  CAST(NULL AS BIGINT) AS event_id FROM c
+           UNION ALL
+           SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id FROM p),
+         w AS (SELECT *,
+             last_value(click_id IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, side, click_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, side, click_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_ts
+           FROM u)
+         SELECT event_id, user_id, asof_click_id,
+           CAST(epoch_ms(ts) - epoch_ms(asof_ts) AS BIGINT) AS gap_ms
+         FROM w WHERE side = 1""",
+
+    // q95: the bucketized equi-join collapses back to the plain range
+    // predicate — lo inclusive, hi exclusive.
+    "q95_range_join" ->
+      """SELECT e.event_id AS outage_id, CAST(count(*) AS BIGINT) AS n_clicks
+         FROM events e JOIN events c
+           ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+         WHERE e.event_type = 'error' AND c.event_type = 'click'
+         GROUP BY 1""",
+
+    // q96: 256-register HLL replayed bit-for-bit — bucket = first 8 md5
+    // bits, rho from the NEXT 52 bits via binary-string length (exact
+    // integer/string ops, no log2), register sum as shifted LONGs, and
+    // the estimate as the single correctly-rounded double division
+    // against the Scala-interpolated numerator literal.
+    "q96_hll_sessions" -> s"""
+         WITH k AS (SELECT event_type,
+             md5(CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(epoch_ms(ts) // 60000 AS VARCHAR)) AS hex
+           FROM events),
+         b AS (SELECT event_type,
+             CAST(('0x' || substring(hex, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hex, 3, 13)) AS BIGINT) AS x
+           FROM k),
+         r AS (SELECT event_type, bucket,
+             max(CASE WHEN x = 0 THEN 52
+                      ELSE 53 - length(printf('%b', x)) END) AS r
+           FROM b GROUP BY 1, 2),
+         sk AS (SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (52 - r)) +
+               (256 - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+               AS hll_sum,
+             CAST(256 - count(*) AS BIGINT) AS hll_zeros
+           FROM r GROUP BY 1),
+         ex AS (SELECT event_type,
+             CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+               CAST(epoch_ms(ts) // 60000 AS VARCHAR)) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1)
+         SELECT ex.event_type, ex.n_exact, sk.hll_sum, sk.hll_zeros,
+           CAST(floor(${SketchOps.HllNumerator} /
+             CAST(sk.hll_sum AS DOUBLE)) AS BIGINT) AS hll_est
+         FROM ex JOIN sk USING (event_type)""",
+
+    // q97: the 4×512 Count-Min counter table rebuilt relationally —
+    // slot = 16-bit md5 slice of 'd:tok' mod 512 (unbiased: 512 | 2^16)
+    // — probed with the exact (count desc, tok) top-20; a missing
+    // counter row means nothing hashed there (0).
+    "q97_cms_tokens" ->
+      """WITH t AS (SELECT
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS tok
+           FROM documents),
+         t2 AS (SELECT tok, unnest([0, 1, 2, 3]) AS d FROM t),
+         counters AS (SELECT d,
+             CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || tok),
+               1, 4)) AS BIGINT) % 512 AS slot,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM t2 GROUP BY 1, 2),
+         top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+           FROM t GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20),
+         probe AS (SELECT tok, n_exact, unnest([0, 1, 2, 3]) AS d FROM top),
+         p2 AS (SELECT tok, n_exact, d,
+             CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || tok),
+               1, 4)) AS BIGINT) % 512 AS slot
+           FROM probe)
+         SELECT p2.tok, p2.n_exact,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+         FROM p2 LEFT JOIN counters c USING (d, slot)
+         GROUP BY 1, 2""",
+
+    // q98: df over the FULL posting set, rank window caps at 10, posting
+    // order (tf desc, doc_id) carried through the list aggregation by rn
+    "q98_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS tok
+           FROM documents),
+         tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         r AS (SELECT tok, doc_id, tf,
+             row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+           FROM tf)
+         SELECT tok, max(df) AS df,
+           list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY rn)
+             AS postings
+         FROM r WHERE rn <= 10 GROUP BY tok""",
+
+    // q99: the integer DD-sketch replayed — octave from binary-string
+    // length, sub-octave from shift+mask, midpoint representatives,
+    // rational rank thresholds; `//` everywhere (no doubles).
+    "q99_quantile_sketch" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+         b AS (SELECT source, x, length(printf('%b', x)) - 1 AS p,
+             CASE WHEN x < 4 THEN 0
+                  ELSE (x >> (length(printf('%b', x)) - 3)) & 3 END AS sub
+           FROM v),
+         c AS (SELECT source,
+             CASE WHEN x < 4 THEN CAST(x AS INTEGER)
+                  ELSE 4 * p + sub END AS bin,
+             CASE WHEN x < 4 THEN x
+                  ELSE (CAST(4 + sub AS BIGINT) << (p - 2)) +
+                       ((CAST(1 AS BIGINT) << (p - 2)) - 1) // 2
+             END AS rep
+           FROM b),
+         bins AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt,
+             max(rep) AS rep
+           FROM c GROUP BY 1, 2),
+         cum AS (SELECT source, rep,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+           FROM bins)
+         SELECT source, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN rep END) AS p50,
+           min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN rep END) AS p90,
+           min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS p99
+         FROM cum GROUP BY 1"""
   )
 }

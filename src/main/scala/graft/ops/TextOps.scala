@@ -522,4 +522,46 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("total_bits"),
         expr("total_bits * 1000 div n_tokens").as("mean_bits_mill"))
   }
+
+  // ------------------------------------------------------ inverted index
+
+  /** Search-serving inverted index: one row per token with its document
+    * frequency and a CAPPED posting list ordered by (tf desc, doc_id) —
+    * the ranking a retrieval layer reads first. `df` counts ALL matching
+    * docs (computed before the cap), so idf stays honest while hot
+    * tokens' postings stay bounded.
+    *
+    * Scale shape: two shuffles on SHRINKING keys — (token, doc) for tf,
+    * then token for the rank — and the cap is a rank-window FILTER, not
+    * a post-collect slice: a stopword's postings never materialize as
+    * one giant array anywhere; at most `maxPostings` structs per token
+    * reach collect. The rank window is partitioned per token — no global
+    * sort. Posting order inside the array is made deterministic by
+    * sorting on the rank, not by collect order (collect_list is
+    * partition-order-dependent).
+    */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(maxPostings >= 1, "invertedIndex: maxPostings >= 1")
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val byTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val rank = byTok.orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("df", count(lit(1)).over(byTok))
+      .withColumn("rn", row_number().over(rank))
+      .where(col("rn") <= maxPostings)
+      .groupBy("tok")
+      .agg(
+        max(col("df")).cast("long").as("df"),
+        transform(
+          sort_array(collect_list(struct(
+            col("rn"), col("doc_id"), col("tf")))),
+          e => struct(e.getField("doc_id").as("doc_id"),
+            e.getField("tf").as("tf"))).as("postings"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RelationalOps
+
+/** As-of join and interval join: semantics pinned on hand-built frames
+  * (inclusive boundary, tie-break, no-match nulls, pair uniqueness vs a
+  * brute-force cross join) and the plan shapes the operators exist for
+  * (as-of: zero Join operators; interval: hash equi-join, no nested
+  * loop). Exact values at scale are pinned by the q94/q95 oracles.
+  */
+class RelationalOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val clicks = Seq(
+    (10L, 1L, ts("2024-01-01 10:00:00")),
+    (11L, 1L, ts("2024-01-01 10:05:00")),
+    (12L, 1L, ts("2024-01-01 10:05:00")), // tie with 11 — max id wins
+    (13L, 2L, ts("2024-01-01 12:00:00"))
+  ).toDF("click_id", "user_id", "ts")
+
+  private val purchases = Seq(
+    (100L, 1L, ts("2024-01-01 10:03:00")), // after click 10
+    (101L, 1L, ts("2024-01-01 10:05:00")), // AT the tied clicks — inclusive, 12 wins
+    (102L, 2L, ts("2024-01-01 11:00:00")), // before any click for user 2
+    (103L, 3L, ts("2024-01-01 09:00:00"))  // user with no clicks at all
+  ).toDF("event_id", "user_id", "ts")
+
+  test("asofJoin: inclusive boundary, equal-time tie to max id, nulls when no match") {
+    val out = RelationalOps.asofJoin(purchases, clicks,
+      leftKey = "user_id", leftTime = "ts",
+      rightKey = "user_id", rightTime = "ts",
+      payload = Seq("click_id"), rightTieBreak = "click_id")
+      .select("event_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      100L -> Some(10L), 101L -> Some(12L),
+      102L -> None, 103L -> None))
+  }
+
+  test("asofJoin: every left row survives exactly once; plan has no Join operator") {
+    val joined = RelationalOps.asofJoin(purchases, clicks,
+      "user_id", "ts", "user_id", "ts", Seq("click_id"), "click_id")
+    assert(joined.count() == purchases.count())
+    assert(joined.columns.toSeq ==
+      purchases.columns.toSeq :+ "asof_click_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of plan contains a join:\n$plan")
+    // exactly one shuffle: the key hash-partitioning for the window
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected one Exchange:\n$plan")
+  }
+
+  test("asofJoin agrees with a brute-force per-row max on random data") {
+    val right = (0L until 400L)
+      .map(i => (i, i % 7, ts(f"2024-01-01 10:${(i * 13) % 60}%02d:${(i * 29) % 60}%02d")))
+      .toDF("rid", "k", "ts")
+    val left = (0L until 200L)
+      .map(i => (i + 1000L, i % 7, ts(f"2024-01-01 10:${(i * 17) % 60}%02d:${(i * 31) % 60}%02d")))
+      .toDF("lid", "k", "ts")
+    val got = RelationalOps.asofJoin(left, right,
+      "k", "ts", "k", "ts", Seq("rid"), "rid")
+      .select("lid", "asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    val rRows = right.as[(Long, Long, Timestamp)].collect()
+    val expected = left.as[(Long, Long, Timestamp)].collect().map {
+      case (lid, k, t) =>
+        val cand = rRows.filter(r => r._2 == k && !r._3.after(t))
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(r => (r._3.getTime, r._1))._1))
+    }.toMap
+    assert(got == expected)
+  }
+
+  private val outages = Seq(
+    (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+    (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:15:00")), // overlaps 1
+    (3L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"))  // empty: dropped
+  ).toDF("outage_id", "lo", "hi")
+
+  private val points = Seq(
+    (20L, ts("2024-01-01 10:00:00")), // lo inclusive → in 1
+    (21L, ts("2024-01-01 10:07:00")), // in 1 AND 2
+    (22L, ts("2024-01-01 10:10:00")), // hi exclusive for 1 → only 2
+    (23L, ts("2024-01-01 12:00:00"))  // empty interval matches nothing
+  ).toDF("event_id", "ts")
+
+  test("intervalJoin: lo inclusive, hi exclusive, overlap multiplicity, empty interval dropped") {
+    val pairs = RelationalOps.intervalJoin(points, "ts", outages,
+      "lo", "hi", bucketMillis = 600000L)
+      .select("outage_id", "pt_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 20L), (1L, 21L), (2L, 21L), (2L, 22L)))
+  }
+
+  test("intervalJoin: each pair exactly once, matches brute force, plan is a hash equi-join") {
+    // intervals longer than the bucket (span 3 buckets) — the dedup-free
+    // claim must hold when an interval explodes to many buckets
+    val ivals = (0L until 40L).map { i =>
+      (i, ts(f"2024-01-01 ${10 + (i % 5)}%02d:${(i * 7) % 50}%02d:00"),
+        ts(f"2024-01-01 ${10 + (i % 5)}%02d:${(i * 7) % 50 + 9}%02d:59"))
+    }.toDF("iid", "lo", "hi")
+    val pts = (0L until 300L).map { i =>
+      (i, ts(f"2024-01-01 ${10 + (i % 6)}%02d:${(i * 11) % 60}%02d:${(i * 3) % 60}%02d"))
+    }.toDF("pid", "t")
+
+    val joined = RelationalOps.intervalJoin(pts, "t", ivals, "lo", "hi",
+      bucketMillis = 240000L) // 4-min buckets, 10-min intervals
+    val got = joined.select("iid", "pt_pid").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate (interval, point) pair")
+
+    val brute = ivals.as[(Long, Timestamp, Timestamp)].collect().flatMap {
+      case (iid, lo, hi) =>
+        pts.as[(Long, Timestamp)].collect().collect {
+          case (pid, t) if !t.before(lo) && t.before(hi) => (iid, pid)
+        }
+    }.toSet
+    assert(got.toSet == brute)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval join fell back to a loop join:\n$plan")
+    assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
+  }
+}
