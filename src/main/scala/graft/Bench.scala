@@ -28,7 +28,10 @@ object Bench {
     // union-window as-of, bucketized range join, and fixed-size sketch
     // aggregations stay regression-visible
     "q94_asof_attrib", "q95_range_join", "q96_hll_sessions",
-    "q97_cms_tokens")
+    "q97_cms_tokens",
+    // extension session 4: retrieval scoring and the recall-1 prefix-
+    // filtered similarity join — the two corpus-heavy additions
+    "q100_bm25_rank", "q102_setsim_join")
 
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._

@@ -191,7 +191,10 @@ object SparkEntry {
          FROM documents dd LEFT JOIN clus c ON c.src = dd.doc_id)"""
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesBase ++ queriesExt
+
+  private def queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1 — scan + trim/empty filter + predicate pushdown
     "q01_scan_filter" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -1336,7 +1339,133 @@ object SparkEntry {
         Seq("source")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Extension-session-4 contract entries (q100+), split out so neither
+    * map body trips scalac's method-size limits.
+    */
+  private def queriesExt
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 retrieval — fixed-point RSJ-odds idf (monotone in df ⇒
+    // single-term ranks are exactly BM25's) + BM25's own rational tf
+    // saturation in mills; three fixed queries ride a broadcast table,
+    // the df model is restricted to query terms before broadcasting,
+    // and the top-10 is a per-query rank window.
+    "q100_bm25_rank" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(("qa", "dup table scan"), ("qb", "vector join query"),
+        ("qc", "slow merge batch the")).toDF("query_id", "qtext")
+      TextOps.bm25Rank(T(s, dir, "documents"), "doc_id", "text", qs, k = 10)
+    }),
+
+    // Snapshot diff — the crawl-to-crawl delta. Two snapshots derived
+    // deterministically from orders (old drops key%7=0 rows, new drops
+    // key%3=0, bumps cents on key%5=0 and flips status on key%11=0), so
+    // all four statuses occur; one full-outer hash join, scan-local
+    // status/changed-cols projection, unchanged mass never materialized.
+    "q101_snapshot_diff" -> ((s, dir) => {
+      val base = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val oldSnap = base.where(expr("o_orderkey % 7 <> 0"))
+      val newSnap = base.where(expr("o_orderkey % 3 <> 0"))
+        .withColumn("cents",
+          expr("cents + (case when o_orderkey % 5 = 0 then 1000 else 0 end)"))
+        .withColumn("o_orderstatus",
+          expr("case when o_orderkey % 11 = 0 then 'X' else o_orderstatus end"))
+      RelationalOps.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "cents"))
+    }),
+
+    // Exact set-similarity self-join (AllPairs/PPJoin prefix filtering):
+    // recall-1 shingle Jaccard ≥ 0.5 without MinHash loss — candidates
+    // only ever join on each doc's RAREST shingles (df-ascending prefix),
+    // so hot shingles never go quadratic; exact verify on candidates.
+    "q102_setsim_join" -> ((s, dir) =>
+      DedupOps.setSimJoinPrefix(T(s, dir, "documents"), "doc_id", "text",
+        jacMill = 500L, shingleK = 3)),
+
+    // Priority sampling (weighted bottom-k per stratum): pri = u div w
+    // from the deterministic md5 uniform — heavier docs draw smaller
+    // keys; per-source bottom-20 by n_chars weight, one stratum-keyed
+    // rank window, everything else scan-local.
+    "q103_weighted_sample" -> ((s, dir) =>
+      CurationOps.weightedBottomK(T(s, dir, "documents"), "doc_id",
+        "n_chars", Seq("source"), k = 20)),
+
+    // Half-life-decayed activity — the recrawl freshness signal: each
+    // event is worth 1000 >> (age div 7d) mills against the data's own
+    // max day (1-row broadcast anchor); per-user map-side-combinable sum,
+    // integer shifts only.
+    "q104_activity_decay" -> ((s, dir) =>
+      LinkOps.activityDecay(T(s, dir, "events"), Seq("user_id"), "ts",
+        halfLifeDays = 7L)),
+
+    // SCD2 history build — 4 synthetic snapshot versions from orders
+    // (presence gaps at (k+v)%4=0, cents drift (k·v)%3 so some runs
+    // collapse); intervals with exclusive valid_to, absence closes,
+    // is_current = open-ended. Version dim broadcasts twice; data path
+    // is ONE key shuffle.
+    "q105_scd2_history" -> ((s, dir) => {
+      val base = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents0"))
+      val rows = base
+        .withColumn("ver", explode(sequence(lit(1L), lit(4L))))
+        .where(expr("(k + ver) % 4 <> 0"))
+        .select(col("k"), col("ver"),
+          expr("cents0 + 100 * ((k * ver) % 3)").as("cents"))
+      RelationalOps.buildHistory(rows, Seq("k"), "ver", Seq("cents"))
+    }),
+
+    // PMI collocations — integer-bits log2 in the bitlen-SUM form (no
+    // products ⇒ no overflow at any corpus size), minCount drops the
+    // hapax tail, deterministic (pmi, cnt, lhs, rhs) cut.
+    "q106_pmi_bigrams" -> ((s, dir) =>
+      TrainPrepOps.pmiBigrams(T(s, dir, "documents"), "text",
+        minCount = 5L, topN = 50)),
+
+    // Host-graph degree/reciprocity audit — chain + planted reverse
+    // edges (doc_id%3=0) + a hub sink: distinct in/out degree, reciprocal
+    // out-edges via one reversed-pair semi-join, recip_mill.
+    "q107_degree_stats" -> ((s, dir) => {
+      val h = concat(lit("d"),
+        substring(md5(col("doc_id").cast("string")), 1, 6))
+      val hn = concat(lit("d"),
+        substring(md5((col("doc_id") + 1).cast("string")), 1, 6))
+      val docs = T(s, dir, "documents")
+      val fwd = docs.select(h.as("src"), hn.as("dst"))
+      val back = docs.where(expr("doc_id % 3 = 0"))
+        .select(hn.as("src"), h.as("dst"))
+      val hub = docs.select(h.as("src"), lit("hub.cz").as("dst"))
+      LinkOps.degreeStats(fwd.union(back).union(hub), "src", "dst")
+    }),
+
+    // Bloom prefilter — filter built over the customer dim, probed with
+    // member keys (orders' custkeys) and guaranteed non-members
+    // (+10^9): confusion-matrix counts make the FP rate visible and the
+    // zero-FN guarantee oracle-checked.
+    "q108_bloom_prefilter" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"))
+      val sketch = SketchOps.bloomBuild(cust, col("c_custkey"),
+        mBits = 65536L, k = 4)
+      val probes = T(s, dir, "orders")
+        .select(col("o_custkey").as("key")).distinct()
+        .union(T(s, dir, "orders")
+          .select((col("o_custkey") + 1000000000L).as("key")).distinct())
+      SketchOps.bloomMightContain(sketch, probes, "key",
+          mBits = 65536L, k = 4)
+        .join(cust.select(col("c_custkey").as("key"))
+          .withColumn("is_member", lit(true)), Seq("key"), "left_outer")
+        .groupBy(col("might_contain"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+        .agg(count(lit(1)).as("n_keys"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlExt
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_scan_filter" ->
       "SELECT doc_id, source FROM documents WHERE length(trim(text)) > 0 AND lang = 'en'",
 
@@ -3048,5 +3177,298 @@ object SparkEntry {
            min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN rep END) AS p90,
            min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS p99
          FROM cum GROUP BY 1"""
+  )
+
+  /** Extension-session-4 oracles (q100+). */
+  private def oracleSqlExt: Map[String, String] = Map(
+
+    // q100: fixed-point BM25 replayed end to end — RSJ-odds idf in mills,
+    // rational tf saturation, `//` everywhere; query table inlined as
+    // VALUES; ties (score desc, doc_id)
+    "q100_bm25_rank" ->
+      """WITH q(query_id, qtext) AS (VALUES
+           ('qa', 'dup table scan'), ('qb', 'vector join query'),
+           ('qc', 'slow merge batch the')),
+         qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(str_split_regex(qtext, '\s+'), x -> x <> ''))
+               AS tok
+           FROM q),
+         t AS (SELECT doc_id,
+             unnest(list_filter(str_split_regex(text, '\s+'), x -> x <> ''))
+               AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS BIGINT)
+               AS avgdl_mill
+           FROM dl),
+         tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         scored AS (SELECT qt.query_id, tf.doc_id,
+             (2 * (s.n_docs - df.df) + 1) * 1000 // (2 * df.df + 1)
+               AS idf_mill,
+             tf.tf * 2200 * 1000 // (tf.tf * 1000 +
+               1200 * (250 + 750 * (dl.dl * 1000000 // s.avgdl_mill) // 1000)
+                 // 1000) AS tfsat_mill
+           FROM tf
+           JOIN qt ON tf.tok = qt.tok
+           JOIN df ON tf.tok = df.tok
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats s),
+         agg AS (SELECT query_id, doc_id,
+             CAST(sum(idf_mill * tfsat_mill // 1000) AS BIGINT)
+               AS score_mill,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+           FROM scored GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score_mill, n_terms_matched,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score_mill DESC, doc_id) AS BIGINT) AS rank
+           FROM agg)
+         SELECT query_id, rank, doc_id, score_mill, n_terms_matched
+         FROM r WHERE rank <= 10""",
+
+    // q101: full-outer diff replayed — presence markers, null-safe
+    // IS DISTINCT FROM per column, changed_cols in column-name order
+    // (cents < o_orderstatus), empty list for added/removed
+    "q101_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         n AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             cents + (CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END)
+               AS cents
+           FROM base WHERE o_orderkey % 3 <> 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS op, n.o_orderkey IS NOT NULL AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.cents AS oc, n.cents AS nc
+           FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey),
+         d AS (SELECT o_orderkey,
+             CASE WHEN NOT op THEN 'added'
+                  WHEN NOT np THEN 'removed'
+                  WHEN (oc IS DISTINCT FROM nc) OR (os IS DISTINCT FROM ns)
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CASE WHEN op AND np THEN list_filter([
+                 CASE WHEN oc IS DISTINCT FROM nc THEN 'cents' END,
+                 CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END],
+               x -> x IS NOT NULL)
+             ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           FROM j)
+         SELECT * FROM d WHERE status <> 'unchanged'""",
+
+    // q102: the prefix filter replayed — df-ascending deterministic
+    // shingle order, prefix length n − ceil(n/2) + 1, rare-shingle
+    // candidate join with the size-compatibility filter, exact verify
+    "q102_setsim_join" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh0 AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+             i -> array_to_string(tk[i+1:i+3], ' '))) AS sh
+           FROM toks WHERE len(tk) >= 3),
+         ex AS (SELECT DISTINCT doc_id AS id, sh FROM sh0),
+         dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS sdf
+           FROM ex GROUP BY 1),
+         pos AS (SELECT id, ex.sh,
+             row_number() OVER (PARTITION BY id ORDER BY sdf, ex.sh) AS pos,
+             CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n
+           FROM ex JOIN dfreq USING (sh)),
+         pref AS (SELECT id, sh, n FROM pos
+           WHERE pos <= n - (500 * n + 999) // 1000 + 1),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           FROM pref x JOIN pref y
+             ON x.sh = y.sh AND x.id < y.id
+             AND y.n * 1000 >= 500 * x.n AND x.n * 1000 >= 500 * y.n),
+         sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+           FROM ex GROUP BY 1),
+         inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+           FROM cand c
+           JOIN ex a ON a.id = c.id_a
+           JOIN ex b ON b.id = c.id_b AND b.sh = a.sh
+           GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, n_inter,
+             sa.n + sb.n - n_inter AS n_union
+           FROM inter
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b)
+         SELECT id_a, id_b, n_inter, n_union,
+           n_inter * 1000 // n_union AS jac_mill
+         FROM j WHERE n_inter * 1000 >= 500 * n_union""",
+
+    // q103: priority sampling replayed — the same md5 32-bit uniform,
+    // integer-div priority, (pri, id) rank window per source
+    "q103_weighted_sample" ->
+      """WITH w AS (SELECT source, doc_id,
+             CAST(n_chars AS BIGINT) AS weight,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS u
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         p AS (SELECT source, doc_id, weight, u // weight AS pri FROM w),
+         r AS (SELECT source, doc_id, weight, pri,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY pri, doc_id) AS BIGINT) AS rank
+           FROM p)
+         SELECT source, doc_id, weight, pri, rank FROM r WHERE rank <= 20""",
+
+    // q104: integer half-life decay replayed — naive epoch days (the
+    // session tz is UTC so Spark's cast-through-timestamp agrees), age
+    // clamped to [0, 62] half-lives, 1000 >> age, BIGINT sums
+    "q104_activity_decay" ->
+      """WITH d AS (SELECT user_id,
+             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+           FROM events),
+         a AS (SELECT CAST(max(day) AS BIGINT) AS anchor FROM d),
+         w AS (SELECT user_id, day,
+             1000 >> CAST(least(greatest(anchor - day, 0) // 7, 62)
+               AS INTEGER) AS w_mill
+           FROM d CROSS JOIN a)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_mill) AS BIGINT) AS freshness_mill,
+           CAST(max(day) AS BIGINT) AS last_day
+         FROM w GROUP BY 1""",
+
+    // q105: SCD2 replayed — global version index + next-version dim,
+    // per-key break flags (first / gap / null-safe change), running group
+    // id, interval agg, next-version join for the exclusive valid_to
+    "q105_scd2_history" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents0
+           FROM orders),
+         vers AS (SELECT unnest([1, 2, 3, 4]) AS ver),
+         rows_ AS (SELECT k, CAST(ver AS BIGINT) AS ver,
+             cents0 + 100 * ((k * ver) % 3) AS cents
+           FROM base CROSS JOIN vers WHERE (k + ver) % 4 <> 0),
+         vdim AS (SELECT ver,
+             CAST(dense_rank() OVER (ORDER BY ver) AS BIGINT) AS vidx,
+             lead(ver) OVER (ORDER BY ver) AS next_ver
+           FROM (SELECT DISTINCT ver FROM rows_)),
+         r AS (SELECT rows_.k, rows_.ver, rows_.cents, vdim.vidx
+           FROM rows_ JOIN vdim USING (ver)),
+         b AS (SELECT *, CASE WHEN lag(vidx) OVER w IS NULL THEN 1
+                WHEN vidx - lag(vidx) OVER w > 1 THEN 1
+                WHEN cents IS DISTINCT FROM lag(cents) OVER w THEN 1
+                ELSE 0 END AS brk
+           FROM r WINDOW w AS (PARTITION BY k ORDER BY vidx)),
+         g AS (SELECT *, SUM(brk) OVER (PARTITION BY k ORDER BY vidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM b),
+         h AS (SELECT k, CAST(grp AS BIGINT) AS grp, min(cents) AS cents,
+             CAST(min(ver) AS BIGINT) AS valid_from, max(vidx) AS last_vidx
+           FROM g GROUP BY 1, 2)
+         SELECT h.k, h.cents, h.valid_from,
+           CAST(v2.next_ver AS BIGINT) AS valid_to,
+           v2.next_ver IS NULL AS is_current
+         FROM h LEFT JOIN vdim v2 ON v2.vidx = h.last_vidx""",
+
+    // q106: bitlen-sum PMI replayed — row-local bigram build, unigram/
+    // bigram totals, length(printf('%b', x)) bit lengths, same cut order
+    "q106_pmi_bigrams" ->
+      """WITH t AS (SELECT
+             list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         pr AS (SELECT unnest(list_transform(range(len(tk) - 1),
+             i -> struct_pack(lhs := tk[i+1], rhs := tk[i+2]))) AS p
+           FROM t WHERE len(tk) >= 2),
+         pairs AS (SELECT p.lhs AS lhs, p.rhs AS rhs,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM pr GROUP BY 1, 2),
+         n2 AS (SELECT CAST(length(printf('%b',
+             CAST(sum(cnt) AS BIGINT))) AS BIGINT) AS n2_bits FROM pairs),
+         uni AS (SELECT unnest(tk) AS tok FROM t),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+           FROM uni GROUP BY 1),
+         n1 AS (SELECT CAST(length(printf('%b',
+             CAST(sum(c1) AS BIGINT))) AS BIGINT) AS n1_bits FROM uc),
+         s AS (SELECT pairs.lhs, pairs.rhs, pairs.cnt AS n_pair,
+             CAST(length(printf('%b', pairs.cnt)) AS BIGINT)
+               + 2 * n1.n1_bits - n2.n2_bits
+               - CAST(length(printf('%b', la.c1)) AS BIGINT)
+               - CAST(length(printf('%b', rb.c1)) AS BIGINT) AS pmi_bits
+           FROM pairs
+           JOIN uc la ON la.tok = pairs.lhs
+           JOIN uc rb ON rb.tok = pairs.rhs
+           CROSS JOIN n1 CROSS JOIN n2
+           WHERE pairs.cnt >= 5)
+         SELECT lhs, rhs, n_pair, pmi_bits FROM s
+         ORDER BY pmi_bits DESC, n_pair DESC, lhs, rhs LIMIT 50""",
+
+    // q107: degree/reciprocity replayed — the same md5-derived edge set,
+    // distinct edges, reversed-pair semi join, left joins + zero guard
+    "q107_degree_stats" ->
+      """WITH d AS (SELECT doc_id,
+             'd' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+             'd' || substring(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 6) AS hn
+           FROM documents),
+         raw AS (
+           SELECT h AS src, hn AS dst FROM d
+           UNION ALL
+           SELECT hn AS src, h AS dst FROM d WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT h AS src, 'hub.cz' AS dst FROM d),
+         e AS (SELECT DISTINCT src, dst FROM raw
+           WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         outd AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg
+           FROM e GROUP BY 1),
+         ind AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg
+           FROM e GROUP BY 1),
+         rec AS (SELECT e.src AS host, CAST(count(*) AS BIGINT) AS n_recip
+           FROM e WHERE EXISTS (SELECT 1 FROM e r
+             WHERE r.src = e.dst AND r.dst = e.src)
+           GROUP BY 1),
+         nodes AS (SELECT src AS host FROM e
+           UNION SELECT dst AS host FROM e)
+         SELECT n.host,
+           coalesce(outd.out_deg, 0) AS out_deg,
+           coalesce(ind.in_deg, 0) AS in_deg,
+           coalesce(rec.n_recip, 0) AS n_recip,
+           CASE WHEN coalesce(outd.out_deg, 0) > 0
+             THEN coalesce(rec.n_recip, 0) * 1000 // outd.out_deg
+             ELSE 0 END AS recip_mill
+         FROM nodes n
+         LEFT JOIN outd ON outd.host = n.host
+         LEFT JOIN ind ON ind.host = n.host
+         LEFT JOIN rec ON rec.host = n.host""",
+
+    // q108: the Bloom filter replayed bit for bit — same salted md5
+    // positions, 63-bit word packing, bit_or build, AND-of-k probe; the
+    // (false, true) cell CANNOT appear (no false negatives)
+    "q108_bloom_prefilter" ->
+      """WITH cust AS (SELECT c_custkey FROM customer),
+         hpos AS (SELECT c_custkey,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+               CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS pos
+           FROM cust CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         words AS (SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+           FROM hpos GROUP BY 1),
+         probes AS (
+           SELECT DISTINCT o_custkey AS key FROM orders
+           UNION
+           SELECT DISTINCT o_custkey + 1000000000 AS key FROM orders),
+         pp AS (SELECT key, i,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+               CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS pos
+           FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         hits AS (SELECT key,
+             bool_and((coalesce(w.bits, 0) &
+               (CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))) =
+               (CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)))
+               AS might_contain
+           FROM pp LEFT JOIN words w ON w.word = pos // 63
+           GROUP BY 1),
+         m AS (SELECT h.key, h.might_contain,
+             c.c_custkey IS NOT NULL AS is_member
+           FROM hits h LEFT JOIN cust c ON c.c_custkey = h.key)
+         SELECT might_contain, is_member, CAST(count(*) AS BIGINT) AS n_keys
+         FROM m GROUP BY 1, 2"""
   )
 }

@@ -641,4 +641,42 @@ object CurationOps {
       .limit(k)
       .select(col(idCol))
   }
+
+  /** Weighted bottom-k sample per stratum — priority sampling (Duffield,
+    * Lund & Thorup, JACM 2007; Cohen & Kaplan's bottom-k sketches):
+    * each row draws the deterministic 32-bit uniform
+    * `u = int(md5(id)[0:8])` (the [[stratifiedSampleRated]] mechanism)
+    * and competes with priority key `pri = u div weight` — a heavier row
+    * gets a proportionally smaller key, so the bottom-k per stratum is a
+    * weight-biased sample that is rerun/engine/partitioning stable, with
+    * ties broken by id. The "sample 1000 docs per source, favoring long
+    * ones" primitive; the kept keys double as the sketch state for
+    * subset-sum estimation (priority sampling's original purpose).
+    *
+    * Rows with `weight <= 0` or null never sample (documented; a
+    * non-positive-weight row has no sampling mass). Output:
+    * `(strata..., idCol, weight, pri, rank)` with rank 1..k by
+    * (pri asc, id asc).
+    *
+    * 100 TB shape: u and pri are scan-local codegen; the only shuffle is
+    * the per-stratum rank window on the stratum key (AQE-splittable; with
+    * FEW strata and huge k prefer repartition-by-stratum + in-partition
+    * sort — at k ≤ 10^5 the window is the right plan).
+    */
+  def weightedBottomK(docs: DataFrame, idCol: String, weightCol: String,
+      strataCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byStratum = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("pri").asc, col(idCol).asc)
+    docs
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(strataCols.map(col) ++ Seq(col(idCol),
+        col(weightCol).cast("long").as("weight"),
+        expr(s"conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10)")
+          .cast("long").as("_u")): _*)
+      .withColumn("pri", expr("_u div weight"))
+      .withColumn("rank", row_number().over(byStratum).cast("long"))
+      .where(col("rank") <= k)
+      .drop("_u")
+  }
 }

@@ -685,4 +685,69 @@ object DedupOps {
         coalesce(col("_nleak"), lit(0L)).as("n_leaked_spans"),
         coalesce(col("_ndocs"), lit(0L)).as("n_corpus_docs"))
   }
+
+  // ------------------------------------ exact set-similarity (prefix filter)
+
+  /** EXACT shingle-set-similarity self-join with prefix filtering — every
+    * pair with Jaccard ≥ `jacMill`/1000, no MinHash recall loss (the
+    * AllPairs/PPJoin principle: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). Where [[minhashCandidatePairs]] trades recall for speed,
+    * this keeps recall 1 and prunes with a THEOREM instead: order every
+    * doc's shingles by ascending corpus frequency (rarest first, ties
+    * lexicographic — a deterministic total order both engines replay),
+    * and two sets with Jaccard ≥ t MUST share a token inside their
+    * (n − ceil(t·n) + 1)-prefixes. Only prefix tokens join; a stopword
+    * shingle shared by half the corpus sits in every doc's SUFFIX and
+    * never generates a candidate pair.
+    *
+    * Stages (all relational, one Catalyst plan):
+    *   1. distinct (id, shingle), set sizes, shingle document frequency;
+    *   2. position = row_number per doc ordered (df asc, shingle asc);
+    *      prefix = positions ≤ n − ceil(t·n) + 1;
+    *   3. candidates = prefix ⋈ prefix on the shingle (id_a < id_b), plus
+    *      the length filter 1000·min(n_a,n_b) ≥ t·1000·max(n_a,n_b)
+    *      (J ≥ t forces size compatibility), dedup'd;
+    *   4. exact verify via [[ngramJaccardForPairs]] (candidate ids
+    *      broadcast; only candidate docs' shingles rematerialize), keep
+    *      1000·inter ≥ t·union.
+    *
+    * Output: (id_a, id_b, n_inter, n_union, jac_mill) — integers only.
+    *
+    * 100 TB shape: the df agg and the position window shuffle on the
+    * shingle / the doc id respectively (both map-side combinable or
+    * near-unique); the candidate join keys are by construction the RARE
+    * shingles, so the classic hot-token quadratic blowup of the naive
+    * shingle self-join ([[ngramJaccardPairs]]'s documented weakness)
+    * cannot occur at any threshold; candidates (a tiny fraction of pairs)
+    * broadcast into the verify.
+    */
+  def setSimJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+      jacMill: Long = 500L, shingleK: Int = 3): DataFrame = {
+    require(jacMill >= 1 && jacMill <= 1000,
+      "setSimJoinPrefix: jacMill in [1, 1000]")
+    val ex = spread(docs)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.shingles(col(textCol), shingleK)))
+          .as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("sdf"))
+    val byDoc = Window.partitionBy("id").orderBy(col("sdf").asc, col("sh").asc)
+    val pos = ex.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    // prefix length n − ceil(t·n) + 1; ceil(t·n) = (jacMill·n + 999) div 1000
+    val prefix = pos
+      .where(col("pos") <= col("n") -
+        expr(s"($jacMill * n + 999) div 1000") + lit(1))
+      .select(col("id"), col("sh"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+          col("y.n") * 1000 >= lit(jacMill) * col("x.n") &&
+          col("x.n") * 1000 >= lit(jacMill) * col("y.n"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    ngramJaccardForPairs(docs, cand, idCol, textCol, shingleK)
+      .where(col("n_inter") * 1000 >= lit(jacMill) * col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        expr("n_inter * 1000 div n_union").as("jac_mill"))
+  }
 }

@@ -148,4 +148,101 @@ object LinkOps {
           s"($qualityWeightMicro * coalesce(quality_mill, cast(0 as bigint))) div 1000"))
           .as("priority_micro"))
   }
+
+  /** Half-life-decayed activity score — the recrawl-scheduler freshness
+    * signal: each observed event contributes `1000 >> (age div halfLife)`
+    * mills, so activity `h` half-lives ago is worth 2^-h of activity
+    * today, in EXACT integer arithmetic (a bit shift, not `pow` — the
+    * classic EWMA needs floats; quantizing the decay to half-life steps
+    * keeps it engine-portable and associative). An event older than ~10
+    * half-lives shifts to 0 and stops mattering, which is also the
+    * correct crawl-scheduling semantics: a domain that changed 10 cycles
+    * ago and never since is cold.
+    *
+    * `asOfDay` anchors "now"; `None` (audits, backtests) derives it from
+    * the data's own max day via a 1-row broadcast (the documented benign
+    * BNLJ of `TextOps.tfidfTopTerms`) — a production scheduler passes the
+    * run date explicitly so scores are a pure function of (data, date).
+    * Days are `unix_millis div 86400000` of the timestamp cast through
+    * `timestamp` (NTZ→LTZ is the identity under the library-wide UTC
+    * session tz).
+    *
+    * Output per key: `(keys..., n_events, freshness_mill, last_day)`.
+    *
+    * 100 TB shape: day/age/weight are scan-local codegen; the ONLY
+    * data-sized shuffle is the map-side-combinable per-key sum. Skewed
+    * hot keys (a portal domain with 10^8 events) arrive as partial
+    * aggregates, never as rows.
+    */
+  def activityDecay(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      halfLifeDays: Long, asOfDay: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "activityDecay: key columns required")
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val dayed = events.select(keyCols.map(col) :+
+      expr(s"unix_millis(cast($tsCol as timestamp)) div 86400000")
+        .as("_day"): _*)
+    val anchored = asOfDay match {
+      case Some(d) => dayed.withColumn("_asof", lit(d))
+      case None => dayed.join(
+        broadcast(dayed.agg(max(col("_day")).as("_asof"))))
+    }
+    anchored
+      .withColumn("_w_mill",
+        // age clamps at [0, 62] half-lives: events AFTER the anchor (a
+        // backdated asOf) count at full weight, ancient ones shift to 0
+        expr(s"shiftright(1000L, cast(least(greatest(_asof - _day, 0L) div $halfLifeDays, 62L) as int))"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("_w_mill")).cast("long").as("freshness_mill"),
+        max(col("_day")).cast("long").as("last_day"))
+  }
+
+  /** Host-graph degree statistics — the structural audit next to
+    * [[hostRank]]'s authority scores: per host, distinct out-degree,
+    * in-degree, the number of RECIPROCATED out-edges (u→v where v→u also
+    * exists — link exchanges / mutual-citation rings, the classic link-
+    * spam signal), and `recip_mill = n_recip·1000 div out_deg`. Self
+    * loops are dropped (a self-link is neither authority nor exchange);
+    * multi-edges collapse (degree counts distinct neighbors, matching
+    * [[hostRank]]'s edge dedup). A host with no out-edges reports
+    * recip_mill 0, not a division error.
+    *
+    * 100 TB shape: edge dedup + both degree counts are map-side-
+    * combinable hash aggs; reciprocity is ONE self-semi-join of the
+    * deduped edge list on the reversed pair key (shuffles edges once
+    * more on (dst, src) — no row multiplication, semi-join output ≤
+    * edges); the final assembly is three left joins on the near-unique
+    * host key. Nothing broadcasts (the graph is data-sized), nothing is
+    * quadratic.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val out = e.groupBy(col("src").as("host"))
+      .agg(count(lit(1)).cast("long").as("out_deg"))
+    val in = e.groupBy(col("dst").as("host"))
+      .agg(count(lit(1)).cast("long").as("in_deg"))
+    val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("host"))
+      .agg(count(lit(1)).cast("long").as("n_recip"))
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    nodes
+      .join(out, Seq("host"), "left_outer")
+      .join(in, Seq("host"), "left_outer")
+      .join(recip, Seq("host"), "left_outer")
+      .select(col("host"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+      .withColumn("recip_mill",
+        when(col("out_deg") > 0,
+          expr("n_recip * 1000 div out_deg")).otherwise(lit(0L)))
+  }
 }

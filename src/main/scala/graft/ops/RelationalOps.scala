@@ -170,4 +170,132 @@ object RelationalOps {
       .where(pTime >= col(loCol) && pTime < col(hiCol))
       .drop("__b")
   }
+
+  // ------------------------------------------------------- snapshot diff
+
+  /** Snapshot diff — the crawl-to-crawl delta: given two keyed snapshots
+    * (two crawl passes, two zone dumps, two curated-corpus versions),
+    * emit one row per key that was `added`, `removed`, or `changed`, with
+    * the exact set of columns whose value differs (`changed_cols`, in
+    * column-name order). The reference's weekly .cz scans answer "what
+    * changed since last run" exactly this way; for a training corpus it
+    * is the ingest-delta audit between refresh runs.
+    *
+    * Semantics pinned:
+    *   - presence is tracked by side markers, so a key whose compare
+    *     columns are ALL null still diffs correctly (null payload is a
+    *     value, not absence);
+    *   - change detection is null-safe per column (`<=>` negated — a
+    *     null→value transition IS a change);
+    *   - `changed_cols` is empty (not null) for added/removed rows, and
+    *     lists differing columns sorted by name, so output is a pure
+    *     function of the data;
+    *   - `includeUnchanged = true` keeps `unchanged` rows (for full-join
+    *     audits); the default drops them — at 100 TB the delta is the
+    *     small output, the unchanged mass is not materialized.
+    *
+    * Plan shape: ONE full-outer hash join shuffling each snapshot once on
+    * the key; the status/changed-cols computation is a scan-local codegen
+    * projection on the joined row. AQE-splittable on key skew; nothing
+    * broadcasts (both sides are corpus-sized) and nothing is collected.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: key columns required")
+    require(compareCols.nonEmpty, "snapshotDiff: compare columns required")
+    val cmp = compareCols.sorted
+    val o = oldSnap.select(
+      keyCols.map(col) ++ cmp.map(c => col(c).as(s"__o_$c")) :+
+        lit(true).as("__o_present"): _*)
+    val n = newSnap.select(
+      keyCols.map(col) ++ cmp.map(c => col(c).as(s"__n_$c")) :+
+        lit(true).as("__n_present"): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val differs = cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+    val status = when(col("__o_present").isNull, lit("added"))
+      .when(col("__n_present").isNull, lit("removed"))
+      .when(differs.reduce(_ || _), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val changedCols = when(
+      col("__o_present").isNotNull && col("__n_present").isNotNull,
+      filter(array(cmp.map(c =>
+          when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<string>"))
+    val out = joined.select(
+      keyCols.map(col) :+ status.as("status") :+
+        changedCols.as("changed_cols"): _*)
+    if (includeUnchanged) out else out.where(col("status") =!= "unchanged")
+  }
+
+  // ------------------------------------------------------- SCD2 history
+
+  /** Slowly-changing-dimension (type 2) history build — [[snapshotDiff]]'s
+    * N-version generalization: given rows observed at multiple snapshot
+    * versions `(version, key, payload)`, collapse consecutive identical
+    * observations into validity intervals `[valid_from, valid_to)` — the
+    * domain-record history table a crawl archive serves ("what did this
+    * domain's records look like at version V?").
+    *
+    * Semantics pinned:
+    *   - an interval breaks on payload CHANGE (null-safe per column) or on
+    *     an ABSENCE GAP — a key missing from a version closes its interval
+    *     at that version and a later reappearance opens a new one;
+    *   - `valid_to` is EXCLUSIVE: the global version that follows the
+    *     interval's last observation (absence or change both close there);
+    *     null = still open, which is also `is_current` — true iff the key
+    *     was observed, unchanged, in the latest version;
+    *   - versions are indexed by their position in the GLOBAL distinct
+    *     version list (values need not be dense — dates, build numbers).
+    *
+    * Plan shape: the version dimension (distinct versions — tiny by
+    * definition: a snapshot cadence, not data) computes once and
+    * BROADCASTS twice (index + next-version lookups); the data path is
+    * ONE shuffle on the key feeding a per-key ordered window (break
+    * flags + running group id), and the interval agg groups on
+    * (key, group) — a superset of the window's partitioning, so no
+    * second exchange. Never a global sort on data.
+    */
+  def buildHistory(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "buildHistory: key columns required")
+    require(compareCols.nonEmpty, "buildHistory: compare columns required")
+    val cmp = compareCols.sorted
+    val vw = Window.orderBy(col(versionCol))
+    val vdim = rows.select(col(versionCol)).distinct()
+      .select(col(versionCol),
+        dense_rank().over(vw).cast("long").as("_vidx"),
+        lead(col(versionCol), 1).over(vw).as("_next_ver"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_vidx"))
+    val run = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_vidx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val changed = cmp.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val grouped = rows
+      .join(broadcast(vdim.select(col(versionCol), col("_vidx"))), versionCol)
+      .withColumn("_brk",
+        when(lag(col("_vidx"), 1).over(w).isNull, 1L)
+          .when(col("_vidx") - lag(col("_vidx"), 1).over(w) > 1, 1L)
+          .when(changed, 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_brk")).over(run))
+      .groupBy((keyCols :+ "_grp").map(col): _*)
+      .agg(min(col(versionCol)).as("valid_from"),
+        (max(col("_vidx")).as("_last_vidx") +:
+          // compare cols are constant within a group by construction;
+          // min() is a deterministic pick that preserves an all-null value
+          cmp.map(c => min(col(c)).as(c))): _*)
+    grouped
+      .join(broadcast(vdim.select(col("_vidx").as("_last_vidx"),
+        col("_next_ver"))), Seq("_last_vidx"), "left_outer")
+      .select(keyCols.map(col) ++ cmp.map(col) ++ Seq(
+        col("valid_from"), col("_next_ver").as("valid_to"),
+        col("_next_ver").isNull.as("is_current")): _*)
+  }
 }

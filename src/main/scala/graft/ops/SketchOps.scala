@@ -249,4 +249,95 @@ object SketchOps {
     }
     cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ----------------------------------------------------------- Bloom
+
+  /** Bloom filter as a DataFrame — the broadcast-able join-pruning sketch
+    * next to the frontier's mutable cuckoo filter (bloom: no deletes,
+    * smaller per key, perfect for a one-shot "does the big side's key
+    * possibly exist in the small side" prefilter). State is `(word, bits)`
+    * — `mBits/64` LONG words, built by k md5-derived bit positions per key
+    * and a `bit_or` aggregate. Deterministic (the library's salted-md5
+    * hash family), engine-replayable, and MERGEABLE: two builds over
+    * disjoint shards union+bit_or into exactly the whole-corpus filter
+    * (same associativity argument as the CMS counter merge).
+    *
+    * `mBits` must divide 2^32 (the bit position is a 32-bit md5 slice
+    * mod m; divisibility keeps it exactly uniform). Bits pack into
+    * 63-BIT words — bit 63 would need `1L << 63`, which Spark wraps
+    * silently but DuckDB's checked shift REJECTS as overflow; 63-bit
+    * packing keeps every mask positive and both engines in exact
+    * agreement (packing density is irrelevant to the FP rate).
+    *
+    * 100 TB shape: positions are scan-local codegen; the ONLY shuffle
+    * carries ≤ ceil(mBits/63) rows per map task (map-side bit_or
+    * combine); the finished sketch is ≤ ceil(mBits/63) rows —
+    * broadcast-sized regardless of how many keys built it.
+    */
+  def bloomBuild(
+      df: DataFrame,
+      keyCol: Column,
+      mBits: Long = 65536L,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 8, "bloomBuild: k in [1, 8]")
+    require(mBits >= 64 && 4294967296L % mBits == 0,
+      "bloomBuild: mBits must divide 2^32")
+    val pos = array((0 until k).map(i =>
+      struct((bloomPos(keyCol, i, mBits) / 63L).cast("long").as("word"),
+        bloomMask(bloomPos(keyCol, i, mBits)).as("mask"))): _*)
+    df.select(explode(pos).as("__b"))
+      .groupBy(col("__b.word").as("word"))
+      .agg(expr("bit_or(__b.mask)").as("bits"))
+  }
+
+  /** Bit position of `key` for hash `i`: 32-bit md5 slice of "i:key"
+    * mod m (same salt shape as [[cmsSlot]]).
+    */
+  def bloomPos(keyCol: Column, i: Int, mBits: Long): Column =
+    conv(substring(md5(concat(lit(s"$i:"), keyCol.cast("string"))), 1, 8),
+      16, 10).cast("long") % mBits
+
+  /** In-word mask for a bit position: 2^(pos % 63) as a LONG.
+    * `functions.shiftleft` takes only a literal shift count, so the mask
+    * is `pow(2, b)` instead — exact for b ≤ 62 (a power of two is a
+    * single mantissa bit; the double→long cast loses nothing).
+    */
+  private def bloomMask(posCol: Column): Column =
+    pow(lit(2.0d), (posCol % 63L).cast("double")).cast("long")
+
+  /** Probe rows of `probes` against a built filter: `might_contain` is
+    * true iff ALL k bit positions are set (false positives possible at
+    * the classic (1−e^{−kn/m})^k rate, false negatives never — spec-
+    * pinned). The filter joins on the word key; a missing word row means
+    * no key ever hashed there (bits 0). The intended composition is
+    * broadcast-prefiltering a corpus-sized probe side against a
+    * dimension-built filter BEFORE an expensive join — the sketch is
+    * ≤ mBits/64 rows, so the join is broadcast-sized by construction.
+    */
+  def bloomMightContain(
+      sketch: DataFrame,
+      probes: DataFrame,
+      probeCol: String,
+      mBits: Long = 65536L,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 8, "bloomMightContain: k in [1, 8]")
+    val pc = col(probeCol)
+    // k broadcast lookups, not explode+regroup: the probe side stays
+    // SHUFFLE-FREE — at corpus scale the whole prefilter is scan-local
+    // codegen plus k broadcast hash joins against a ≤ mBits/64-row dim
+    val joined = (0 until k).foldLeft(probes) { (acc, i) =>
+      val word = (bloomPos(pc, i, mBits) / 63L).cast("long")
+      val mask = bloomMask(bloomPos(pc, i, mBits))
+      acc
+        .join(broadcast(sketch.select(col("word").as(s"__w$i"),
+          col("bits").as(s"__bits$i"))), word === col(s"__w$i"), "left_outer")
+        .withColumn(s"__hit$i",
+          (coalesce(col(s"__bits$i"), lit(0L)).bitwiseAND(mask)) === mask)
+        .drop(s"__w$i", s"__bits$i")
+    }
+    joined
+      .withColumn("might_contain",
+        (0 until k).map(i => col(s"__hit$i")).reduce(_ && _))
+      .drop((0 until k).map(i => s"__hit$i"): _*)
+  }
 }

@@ -564,4 +564,88 @@ object TextOps {
           e => struct(e.getField("doc_id").as("doc_id"),
             e.getField("tf").as("tf"))).as("postings"))
   }
+
+  // ------------------------------------------------------------ BM25 rank
+
+  /** BM25 ranking over the corpus for a table of queries — the retrieval
+    * layer the [[invertedIndex]] postings feed. Fixed-point discipline
+    * throughout (the [[surprisalStats]] rationale): BM25's idf is
+    * `ln((N-df+0.5)/(df+0.5))` and `ln` is not correctly-rounded-portable,
+    * while the integer-bits log2 quantizes to 1 bit — too coarse to rank
+    * with. So the RSJ odds ratio itself rides in mills,
+    * `idf_mill = (2(N-df)+1)*1000 div (2df+1)`, which is strictly monotone
+    * in df: single-term rankings are EXACTLY BM25's, and multi-term scores
+    * weight rare terms more aggressively than the log would (documented
+    * surrogate, engine-exact). The tf saturation is BM25's own rational —
+    * no log there — in mills with k1 = `k1Mill`/1000, b = `bMill`/1000:
+    *
+    *   norm_mill   = (1000-bMill) + bMill*(dl*1000000 div avgdl_mill) div 1000
+    *   tfsat_mill  = tf*(1000+k1Mill)*1000 div (tf*1000 + k1Mill*norm_mill div 1000)
+    *   score_mill  = Σ_terms idf_mill * tfsat_mill div 1000
+    *
+    * All operands are non-negative BIGINTs, so Spark `div` ≡ DuckDB `//`
+    * and ranks replay bit-exactly. Query terms absent from the corpus
+    * contribute 0 (no tf row — standard BM25). Ties break (score desc,
+    * doc_id asc); docs with zero tokens never match.
+    *
+    * 100 TB shape: the only corpus-sized shuffles are the (tok, doc) tf
+    * agg and the per-doc length agg, both map-side combinable; the df
+    * model is restricted to QUERY terms before it broadcasts (a query
+    * workload's vocabulary, not the corpus's); corpus totals join as a
+    * 1-row broadcast (the [[tfidfTopTerms]] pattern); the final top-k is
+    * a per-query rank window — no global sort.
+    */
+  def bm25Rank(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      k: Int = 10,
+      k1Mill: Long = 1200L,
+      bMill: Long = 750L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "bm25Rank: k >= 1")
+    require(k1Mill >= 0 && bMill >= 0 && bMill <= 1000,
+      "bm25Rank: k1Mill >= 0, bMill in [0, 1000]")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("n_toks"))
+      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_mill"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(tokens(col(queryTextCol))).as("tok")).distinct()
+    val tf = toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    // df restricted to query terms BEFORE it broadcasts: the corpus-wide
+    // agg keys on the token (map-side combine), but only the query
+    // workload's vocabulary ever leaves it.
+    val model = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+      .join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(model), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("idf_mill",
+        expr("(2 * (n_docs - df) + 1) * 1000 div (2 * df + 1)"))
+      .withColumn("norm_mill",
+        // dl/avgdl in mills: dl*1000 (dl in mills) over avgdl_mill/1000
+        // (avgdl out of mills) = dl*1000000 div avgdl_mill
+        lit(1000L - bMill) +
+          expr(s"$bMill * (dl * 1000000 div avgdl_mill) div 1000"))
+      .withColumn("tfsat_mill",
+        expr(s"tf * ${1000L + k1Mill} * 1000 div " +
+          s"(tf * 1000 + $k1Mill * norm_mill div 1000)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("idf_mill * tfsat_mill div 1000")).cast("long")
+          .as("score_mill"),
+        count(lit(1)).cast("long").as("n_terms_matched"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score_mill").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(byQ).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_mill"), col("n_terms_matched"))
+  }
 }

@@ -324,4 +324,55 @@ object TrainPrepOps {
       }
     filter(marked, _.isNotNull)
   }
+
+  /** PMI collocations — phrase discovery for tokenizer/vocab prep: the
+    * top-N adjacent token pairs by pointwise mutual information,
+    * `pmi = log2(p(ab) / (p(a)·p(b)))`, in the library's INTEGER-bits
+    * log2 (the [[graft.ops.TextOps.surprisalStats]] discipline):
+    *
+    *   pmi_bits = bitlen(c_ab) + 2·bitlen(N1) − bitlen(N2)
+    *              − bitlen(c_a) − bitlen(c_b)
+    *
+    * where `bitlen(x) = length(bin(x))` and N1/N2 are the corpus unigram/
+    * bigram totals. The bitlen SUM form never forms a product — at
+    * 100 TB, `c_ab·N1²` overflows any integer, the sum of bit lengths
+    * cannot — at a quantization cost of ±1 bit per term (documented; the
+    * ranking tie-break (pmi desc, cnt desc, lhs, rhs) keeps the cut
+    * deterministic regardless). `minCount` drops the unstable hapax tail
+    * — PMI's classic failure mode is maximal scores for pairs seen once.
+    *
+    * 100 TB shape: bigrams build row-locally (the [[mergePairCandidates]]
+    * transform — no self-join); both count aggs are map-side combinable
+    * on lexicon-sized keys; the two totals join as 1-row broadcasts; the
+    * unigram join keys on the lexicon; the cut is TakeOrdered — no global
+    * sort shuffle.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum(col("c1")).cast("long").as("n1"))
+      .select(length(bin(col("n1"))).cast("long").as("n1_bits"))
+    val pairsAll = adjacentPairCounts(
+      docs.select(TextOps.tokens(col(textCol)).as("_toks")), "_toks")
+    // N2 totals ALL bigrams (p(ab)'s denominator), before the stability cut
+    val n2 = pairsAll.agg(sum(col("cnt")).cast("long").as("n2"))
+      .select(length(bin(col("n2"))).cast("long").as("n2_bits"))
+    val pairs = pairsAll.where(col("cnt") >= minCount)
+    pairs
+      .join(uni.select(col("tok").as("lhs"),
+        length(bin(col("c1"))).cast("long").as("lhs_bits")), Seq("lhs"))
+      .join(uni.select(col("tok").as("rhs"),
+        length(bin(col("c1"))).cast("long").as("rhs_bits")), Seq("rhs"))
+      .join(broadcast(n1)).join(broadcast(n2))
+      .select(col("lhs"), col("rhs"), col("cnt").cast("long").as("n_pair"),
+        (length(bin(col("cnt"))).cast("long") + lit(2L) * col("n1_bits") -
+          col("n2_bits") - col("lhs_bits") - col("rhs_bits"))
+          .as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("n_pair").desc, col("lhs").asc,
+        col("rhs").asc)
+      .limit(topN)
+  }
 }

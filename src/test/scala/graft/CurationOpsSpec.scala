@@ -456,4 +456,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dGot(("train", 0L))._5 == got(("train", 0L))._5)
     assert(dGot(("train", 0L))._3 == 4L && dGot(("train", 0L))._4 == 7L)
   }
+
+  test("weightedBottomK: weight bias, exact k, non-positive weights dropped, monotone in k") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // 200 light (w=1) vs 200 heavy (w=1000) rows in one stratum: the
+    // priority key u div w makes heavy rows ~1000× likelier per slot —
+    // deterministic given the ids, and overwhelmingly heavy in the top 50
+    val rows = (0L until 200L).map(i => (i, 1L, "s")) ++
+      (200L until 400L).map(i => (i, 1000L, "s"))
+    val docs = rows.toDF("doc_id", "w", "src")
+    val got = CurationOps.weightedBottomK(docs, "doc_id", "w", Seq("src"), 50)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 50)
+    val heavy = got.count(_._3 == 1000L)
+    assert(heavy >= 45, s"weight bias too weak: $heavy/50 heavy")
+    // ranks are 1..50 by (pri asc, id asc)
+    val sorted = got.sortBy(r => (r._4, r._2))
+    assert(sorted.map(_._5).toSeq == (1L to 50L))
+    // zero/negative/null weights never sample
+    val withBad = (rows ++ Seq((500L, 0L, "s"), (501L, -5L, "s")))
+      .toDF("doc_id", "w", "src")
+    val got2 = CurationOps.weightedBottomK(withBad, "doc_id", "w", Seq("src"),
+      1000).as[(String, Long, Long, Long, Long)].collect()
+    assert(got2.length == 400 && !got2.exists(r => r._2 >= 500L))
+    // the k-sample is a prefix of the (k+n)-sample; partitioning-invariant
+    val k10 = CurationOps.weightedBottomK(docs, "doc_id", "w", Seq("src"), 10)
+      .as[(String, Long, Long, Long, Long)].collect().map(_._2).toSet
+    assert(k10.subsetOf(got.map(_._2).toSet))
+    val again = CurationOps.weightedBottomK(docs.repartition(7), "doc_id",
+        "w", Seq("src"), 50)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again == got.toSet)
+  }
 }

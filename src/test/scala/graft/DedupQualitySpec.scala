@@ -783,4 +783,62 @@ class DedupQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"bench side not broadcast:\n$plan")
   }
+
+  // Scala-side brute-force shingle Jaccard, the truth setSimJoinPrefix
+  // must reproduce EXACTLY (recall 1 is the operator's whole point).
+  private def bruteSetSim(docs: Seq[(Long, String)], k: Int, jacMill: Long)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if inter * 1000 >= jacMill * union
+    } yield (a, b, inter, union, inter * 1000 / union)).toSet
+  }
+
+  test("setSimJoinPrefix: EXACTLY the brute-force pair set (recall 1), all thresholds") {
+    // planted structure: 3 exact-ish families + random docs + a shared
+    // hot shingle in EVERY doc (the naive self-join's quadratic killer)
+    val base = (0L until 30L).map(i => i -> (mkDoc(i) + " hot stop word"))
+    val near = Seq(100L -> edit(base(0)._2, 2, 7L),
+      101L -> edit(base(1)._2, 4, 8L), 102L -> base(2)._2)
+    val docs = (base ++ near).toDF("doc_id", "text")
+    for (t <- Seq(300L, 500L, 800L)) {
+      val got = DedupOps.setSimJoinPrefix(docs, "doc_id", "text",
+          jacMill = t, shingleK = 3)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = bruteSetSim(base ++ near, 3, t)
+      assert(got == want, s"t=$t: got ${got.size}, want ${want.size}; " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+    // the planted families are actually in there at t=500
+    val got500 = DedupOps.setSimJoinPrefix(docs, "doc_id", "text", 500L, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got500.exists(p => p._1 == 2L && p._2 == 102L && p._3 == p._4),
+      "exact copy must appear with inter == union")
+    assert(got500.exists(p => p._1 == 0L && p._2 == 100L))
+  }
+
+  test("setSimJoinPrefix: partitioning-invariant; candidates join on rare shingles only") {
+    val docs = ((0L until 20L).map(i => i -> mkDoc(i, 40)) :+
+      (200L -> edit(mkDoc(3L, 40), 1, 9L))).toDF("doc_id", "text")
+    val a = DedupOps.setSimJoinPrefix(docs, "doc_id", "text", 400L, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = DedupOps.setSimJoinPrefix(docs.repartition(7), "doc_id", "text",
+        400L, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // a corpus where EVERY doc shares one hot shingle but nothing else:
+    // prefix filtering must emit zero pairs (the hot shingle lands in
+    // every suffix), where the naive self-join would go quadratic
+    val hot = (0L until 40L).map(i =>
+      i -> (mkDoc(i * 31 + 5, 50) + " aaa bbb ccc")).toDF("doc_id", "text")
+    val pairs = DedupOps.setSimJoinPrefix(hot, "doc_id", "text", 700L, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(pairs.isEmpty, s"unrelated hot-shingle docs must not pair: ${pairs.toSeq}")
+  }
 }

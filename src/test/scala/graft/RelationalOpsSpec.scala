@@ -130,4 +130,81 @@ class RelationalOpsSpec extends AnyFunSuite {
       s"interval join fell back to a loop join:\n$plan")
     assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe, changed_cols sorted") {
+    val oldS = Seq(
+      (1L, Some("a"), Some(10L)),  // unchanged
+      (2L, Some("b"), Some(20L)),  // value change on v
+      (3L, None: Option[String], Some(30L)), // null→value change on s
+      (4L, Some("d"), Some(40L)),  // removed
+      (6L, None: Option[String], None: Option[Long]) // all-null, unchanged
+    ).toDF("k", "s", "v")
+    val newS = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(25L)),
+      (3L, Some("c"), Some(30L)),
+      (5L, Some("e"), Some(50L)),  // added
+      (6L, None: Option[String], None: Option[Long])
+    ).toDF("k", "s", "v")
+    val got = RelationalOps.snapshotDiff(oldS, newS, Seq("k"), Seq("v", "s"))
+      .as[(Long, String, Seq[String])].collect().map(r => r._1 -> r).toMap
+    assert(got == Map(
+      2L -> ((2L, "changed", Seq("v"))),
+      3L -> ((3L, "changed", Seq("s"))),
+      4L -> ((4L, "removed", Seq())),
+      5L -> ((5L, "added", Seq()))),
+      s"got $got")
+    // both columns changed → names in column-name order regardless of the
+    // caller's compareCols order
+    val both = RelationalOps.snapshotDiff(
+      Seq((9L, "x", 1L)).toDF("k", "s", "v"),
+      Seq((9L, "y", 2L)).toDF("k", "s", "v"),
+      Seq("k"), Seq("v", "s"))
+      .as[(Long, String, Seq[String])].collect().toSeq
+    assert(both == Seq((9L, "changed", Seq("s", "v"))))
+    // includeUnchanged keeps the full-join audit rows
+    val all = RelationalOps.snapshotDiff(oldS, newS, Seq("k"), Seq("s", "v"),
+      includeUnchanged = true)
+    assert(all.count() == 6 &&
+      all.where(col("status") === "unchanged").count() == 2)
+    // one shuffle-worthy operator: a single full-outer SortMergeJoin /
+    // ShuffledHashJoin on the key, never a broadcast or loop join
+    val plan = RelationalOps.snapshotDiff(oldS, newS, Seq("k"), Seq("s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
+  test("buildHistory: change/gap breaks, exclusive valid_to, non-dense versions, null payloads") {
+    // versions are NON-dense (10,20,30,40) — gap detection must use the
+    // global version INDEX, not version arithmetic
+    val rows = Seq(
+      ("A", 10L, Some("x")), ("A", 20L, Some("x")), // run of 2
+      ("A", 30L, Some("y")), ("A", 40L, Some("y")), // change, open at end
+      ("B", 10L, Some("b")), ("B", 30L, Some("b")), // absence gap splits
+      ("D", 10L, None: Option[String]), ("D", 20L, Some("x")) // null→value
+    ).toDF("k", "ver", "payload")
+    val got = RelationalOps.buildHistory(rows, Seq("k"), "ver", Seq("payload"))
+      .as[(String, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      ("A", Some("x"), 10L, Some(30L), false),
+      ("A", Some("y"), 30L, None, true),
+      ("B", Some("b"), 10L, Some(20L), false),
+      // B reappears at 30 but is absent from the final version → CLOSED
+      ("B", Some("b"), 30L, Some(40L), false),
+      ("D", None, 10L, Some(20L), false),
+      ("D", Some("x"), 20L, Some(30L), false)), s"got $got")
+    // exactly one open interval per currently-live key; version dim
+    // broadcasts; partitioning-invariant
+    assert(got.count(_._5) == 1)
+    val again = RelationalOps.buildHistory(rows.repartition(5), Seq("k"),
+        "ver", Seq("payload"))
+      .as[(String, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(again == got)
+    val plan = RelationalOps.buildHistory(rows, Seq("k"), "ver",
+      Seq("payload")).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"version dim not broadcast:\n$plan")
+  }
 }

@@ -109,4 +109,37 @@ class SketchOpsSpec extends AnyFunSuite {
       SketchOps.cmsBuild(Seq("a").toDF("tok"), col("tok"), width = 500)
     }
   }
+
+  test("bloom: zero false negatives, sane FP rate, shard merge = whole build") {
+    val keys = (0L until 500L).toDF("k")
+    val sketch = SketchOps.bloomBuild(keys, col("k"), mBits = 8192L, k = 4)
+    // every inserted key probes true — the hard guarantee
+    val fn = SketchOps.bloomMightContain(sketch, keys, "k", 8192L, 4)
+      .where(!col("might_contain")).count()
+    assert(fn == 0L, s"bloom produced $fn false negatives")
+    // non-members: FP rate at kn/m = 0.24 is ~0.2% theoretical; < 5% is a
+    // generous determinism-stable bound
+    val non = (100000L until 102000L).toDF("k")
+    val fp = SketchOps.bloomMightContain(sketch, non, "k", 8192L, 4)
+      .where(col("might_contain")).count()
+    assert(fp < 100L, s"FP rate too high: $fp / 2000")
+    // sharded builds merge into exactly the whole-corpus filter (bit_or
+    // associativity), and the merged filter answers identically
+    val h1 = SketchOps.bloomBuild((0L until 250L).toDF("k"), col("k"), 8192L, 4)
+    val h2 = SketchOps.bloomBuild((250L until 500L).toDF("k"), col("k"), 8192L, 4)
+    val merged = h1.union(h2).groupBy("word")
+      .agg(expr("bit_or(bits)").as("bits"))
+    val a = sketch.as[(Long, Long)].collect().toSet
+    val b = merged.as[(Long, Long)].collect().toSet
+    assert(a == b, "shard-merged filter differs from whole-corpus build")
+    // empty filter: every probe is false, and the probe side plan is
+    // broadcast-join only (no shuffle on probes)
+    val empty = SketchOps.bloomBuild(Seq.empty[Long].toDF("k"), col("k"), 8192L, 4)
+    val none = SketchOps.bloomMightContain(empty, keys, "k", 8192L, 4)
+    assert(none.where(col("might_contain")).count() == 0L)
+    val plan = SketchOps.bloomMightContain(sketch, keys, "k", 8192L, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe side shuffled:\n$plan")
+  }
 }

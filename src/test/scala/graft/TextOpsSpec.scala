@@ -167,4 +167,52 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("bm25Rank: hand-computed fixed-point scores, saturation, length norm") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // N=3, Σdl=9, avgdl_mill=3000; df: apple/banana 2 (idf 600),
+    // cherry/date 1 (idf 1666); norm_mill: dl3→1000, dl4→1249, dl2→749
+    val docs = Seq((1L, "apple banana banana"),
+      (2L, "apple apple apple cherry"), (3L, "banana date"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val qs = Seq(("qa", "apple cherry"), ("qb", "banana")).toDF("query_id", "qtext")
+    val got = TextOps.bm25Rank(docs, "doc_id", "text", qs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // qa: d2 = 600*1467/1000 + 1666*880/1000 = 880+1466 = 2346 (2 terms);
+    //     d1 = 600*1000/1000 = 600; d3 absent (no query term)
+    // qb: d1 = 600*1375/1000 = 825 (tf 2 saturated); d3 = 600*1159/1000 = 695
+    assert(got == Set(
+      ("qa", 1L, 2L, 2346L, 2L), ("qa", 2L, 1L, 600L, 1L),
+      ("qb", 1L, 1L, 825L, 1L), ("qb", 2L, 3L, 695L, 1L)))
+    assert(!got.exists(_._3 == 4L), "zero-token doc must never match")
+
+    // k caps per query, keeping the top rank only
+    val top1 = TextOps.bm25Rank(docs, "doc_id", "text", qs, k = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(top1 == got.filter(_._2 == 1L))
+
+    // partitioning-invariant; query terms + df model + corpus stats all
+    // ride broadcasts
+    val again = TextOps.bm25Rank(docs.repartition(5), "doc_id", "text",
+      qs.repartition(3)).as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+    val plan = TextOps.bm25Rank(docs, "doc_id", "text", qs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("bm25Rank: rare-term docs outrank common-term docs at equal tf") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // 'rare' appears in 1 of 6 docs, 'common' in all 6; equal dl and tf ⇒
+    // the idf (RSJ odds, monotone in df) alone decides the order
+    val docs = ((1L, "rare common pad") +:
+      (2L to 6L).map(i => (i, "xx common pad"))).toDF("doc_id", "text")
+    val qs = Seq(("q", "rare common")).toDF("query_id", "qtext")
+    val out = TextOps.bm25Rank(docs, "doc_id", "text", qs, k = 6)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.head._3 == 1L, s"rare-term doc must rank first: ${out.toSeq}")
+    assert(out.head._4 > out(1)._4)
+  }
 }

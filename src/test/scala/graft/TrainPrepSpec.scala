@@ -265,4 +265,31 @@ class TrainPrepSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"applyMerges plan shuffles:\n$plan")
   }
+
+  test("pmiBigrams: hand-computed bitlen-sum PMI, deterministic cut order, minCount") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // unigrams a:3 b:3 c,d,x,y:1, N1=10 (bitlen 4); bigrams ab:3 ba,bc,
+    // cd,bx,xy:1, N2=8 (bitlen 4)
+    val docs = Seq((1L, "a b a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val got = graft.ops.TrainPrepOps.pmiBigrams(docs, "text", minCount = 1L,
+        topN = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // pmi_bits = bl(cnt) + 2·4 − 4 − bl(c_lhs) − bl(c_rhs)
+    assert(got == Seq(
+      ("c", "d", 1L, 3L), ("x", "y", 1L, 3L),   // 1+8−4−1−1
+      ("a", "b", 3L, 2L),                        // 2+8−4−2−2, cnt 3 first
+      ("b", "c", 1L, 2L), ("b", "x", 1L, 2L),   // 1+8−4−2−1
+      ("b", "a", 1L, 1L)), s"got $got")          // 1+8−4−2−2
+    // minCount drops the hapax tail; N2 still totals ALL bigrams
+    val cut = graft.ops.TrainPrepOps.pmiBigrams(docs, "text", minCount = 2L,
+        topN = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cut == Seq(("a", "b", 3L, 2L)))
+    // partitioning-invariant; totals ride broadcasts
+    val again = graft.ops.TrainPrepOps.pmiBigrams(docs.repartition(5), "text",
+        minCount = 1L, topN = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

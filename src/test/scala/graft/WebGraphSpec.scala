@@ -125,4 +125,57 @@ class WebGraphSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("activityDecay: hand-computed half-life shifts, future clamp, derived anchor") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // halfLife=2, asOf=10: ages 0,1 → 1000; 2 → 500; 4 → 250; future(12) → 1000
+    val ev = Seq(("a", at(10)), ("a", at(9)), ("a", at(8)), ("a", at(6)),
+      ("a", at(12)), ("b", at(0))).toDF("host", "ts")
+    val got = graft.ops.LinkOps.activityDecay(ev, Seq("host"), "ts", 2L,
+        asOfDay = Some(10L))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 5L, 3750L, 12L)), s"got ${got("a")}")
+    // age 10, hl 2 → shift 5 → 1000 >> 5 = 31
+    assert(got("b") == (("b", 1L, 31L, 0L)))
+
+    // None derives the anchor from the data's own max day (12): a's ages
+    // become 2,3,4,6,0 → 500+500+250+125+1000 = 2375; b age 12 → shift 6 → 15
+    val derived = graft.ops.LinkOps.activityDecay(ev, Seq("host"), "ts", 2L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(derived("a")._3 == 2375L && derived("b")._3 == 15L, s"$derived")
+
+    // shift saturates at 62 (no negative-shift wraparound), result 0
+    val old = Seq(("c", at(0)), ("c", at(10))).toDF("host", "ts")
+    val far = graft.ops.LinkOps.activityDecay(old, Seq("host"), "ts", 1L,
+        asOfDay = Some(1000L))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(far._3 == 0L)
+
+    // partitioning-invariant
+    val again = graft.ops.LinkOps.activityDecay(ev.repartition(5),
+        Seq("host"), "ts", 2L, asOfDay = Some(10L))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
+  test("degreeStats: hand-computed degrees, reciprocity, self-loop and multi-edge collapse") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // a→b (twice: multi-edge collapses), b→a (reciprocal pair), a→c,
+    // c→c (self loop: dropped entirely)
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "c")).toDF("s", "d")
+    val got = graft.ops.LinkOps.degreeStats(edges, "s", "d")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == Map(
+      "a" -> (("a", 2L, 1L, 1L, 500L)),  // out {b,c}, in {b}, recip a→b
+      "b" -> (("b", 1L, 1L, 1L, 1000L)), // its only out-edge reciprocated
+      "c" -> (("c", 0L, 1L, 0L, 0L))),   // sink: zero out_deg, no div error
+      s"got $got")
+    val again = graft.ops.LinkOps.degreeStats(edges.repartition(5), "s", "d")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }
