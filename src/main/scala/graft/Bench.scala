@@ -30,8 +30,10 @@ object Bench {
     "q94_asof_attrib", "q95_range_join", "q96_hll_sessions",
     "q97_cms_tokens",
     // extension session 4: retrieval scoring and the recall-1 prefix-
-    // filtered similarity join — the two corpus-heavy additions
-    "q100_bm25_rank", "q102_setsim_join")
+    // filtered similarity join — the two corpus-heavy additions — plus
+    // the degree-ordered triangle count (the wedge join is the
+    // scale-interesting graph step)
+    "q100_bm25_rank", "q102_setsim_join", "q110_triangles")
 
   def crawlBench(spark: SparkSession, nDomains: Int): (Double, Long) = {
     import spark.implicits._

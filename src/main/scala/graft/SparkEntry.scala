@@ -1460,6 +1460,81 @@ object SparkEntry {
         .groupBy(col("might_contain"),
           coalesce(col("is_member"), lit(false)).as("is_member"))
         .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    // Anchor-text host profile — deterministic HTML bodies (per-doc
+    // target link with a varying anchor word + a hub link): top-3 terms
+    // per target host; extraction scan-local, one (host, term) agg.
+    "q109_anchor_terms" -> ((s, dir) => {
+      val id6n = substring(md5((col("doc_id") + 1).cast("string")), 1, 6)
+      val word = expr("case when doc_id % 3 = 0 then 'alpha' " +
+        "when doc_id % 3 = 1 then 'beta' else 'gamma' end")
+      val body = concat(
+        lit("<a href=\"https://d"), id6n,
+        lit(".example.cz/x\">site "), word,
+        lit("</a> <a href=\"https://hub.example.cz/\">hub portal</a>"))
+      LinkOps.anchorTerms(T(s, dir, "documents").select(body.as("html")),
+        "html", topK = 3)
+    }),
+
+    // Triangle counting — q107's chain+reverse+hub edge set makes every
+    // consecutive doc pair + hub a triangle; degree-ordered
+    // compact-forward wedges, no global rank anywhere.
+    "q110_triangles" -> ((s, dir) => {
+      val h = concat(lit("d"),
+        substring(md5(col("doc_id").cast("string")), 1, 6))
+      val hn = concat(lit("d"),
+        substring(md5((col("doc_id") + 1).cast("string")), 1, 6))
+      val docs = T(s, dir, "documents")
+      val fwd = docs.select(h.as("src"), hn.as("dst"))
+      val back = docs.where(expr("doc_id % 3 = 0"))
+        .select(hn.as("src"), h.as("dst"))
+      val hub = docs.select(h.as("src"), lit("hub.cz").as("dst"))
+      LinkOps.triangleStats(fwd.union(back).union(hub), "src", "dst")
+    }),
+
+    // Rendezvous hashing — 8-node HRW assignment of the documents table:
+    // zero shuffle, row-local argmax over the salted node hashes.
+    "q111_rendezvous" -> ((s, dir) =>
+      CurationOps.rendezvousAssign(T(s, dir, "documents"), "doc_id",
+        (0 until 8).map(i => s"node$i"))),
+
+    // Sliding-window distinct — 7-day rolling distinct users per event
+    // type from day-grain HLL registers (register fan-out, per-bucket
+    // max merge, labels restricted to observed days).
+    "q112_sliding_hll" -> ((s, dir) =>
+      SketchOps.hllSlidingDistinct(T(s, dir, "events"), col("user_id"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000"), 7,
+        Seq("event_type"))),
+
+    // Ordered funnel — view → click → purchase per user, greedy earliest
+    // chaining with strict-after steps; k−1 entity-keyed join+min rounds.
+    "q113_funnel" -> ((s, dir) =>
+      RelationalOps.funnel(T(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+
+    // Longest-prefix CIDR join — GeoIP/ASN annotation as a broadcast
+    // bucket join: nested /8, /14 (multi-bucket explode path), and /20
+    // blocks from nation; customer-derived IPs, some deliberately
+    // uncovered; LPM keeps the most specific block per IP.
+    "q114_cidr_join" -> ((s, dir) => {
+      val n = T(s, dir, "nation")
+      val cidrs = n.select(expr("n_nationkey * 16777216").as("net"),
+          lit(8).as("plen"), col("n_name").as("block_name"))
+        .union(n.select(
+          expr("n_nationkey * 16777216 + (n_nationkey % 16) * 1048576")
+            .as("net"),
+          lit(20).as("plen"),
+          concat(col("n_name"), lit("-z")).as("block_name")))
+        .union(n.where(expr("n_nationkey % 5 = 0")).select(
+          expr("n_nationkey * 16777216").as("net"), lit(14).as("plen"),
+          concat(col("n_name"), lit("-w")).as("block_name")))
+      val ips = T(s, dir, "customer").select(col("c_custkey").as("ip_id"),
+        expr("(c_custkey % 30) * 16777216 + " +
+          "cast(conv(substring(md5(cast(c_custkey as string)), 1, 6), " +
+          "16, 10) as long)").as("ip"))
+      RelationalOps.cidrJoin(ips, "ip", "ip_id", cidrs, "net", "plen",
+        Seq("block_name"))
     })
   )
 
@@ -3469,6 +3544,188 @@ object SparkEntry {
              c.c_custkey IS NOT NULL AS is_member
            FROM hits h LEFT JOIN cust c ON c.c_custkey = h.key)
          SELECT might_contain, is_member, CAST(count(*) AS BIGINT) AS n_keys
-         FROM m GROUP BY 1, 2"""
+         FROM m GROUP BY 1, 2""",
+
+    // q109: anchor extraction replayed — the same RE2-safe pattern run
+    // once per capture group, zipped positionally, tokenized, top-3 per
+    // host by (cnt desc, term)
+    "q109_anchor_terms" ->
+      """WITH d AS (SELECT
+             '<a href="https://d' ||
+             substring(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 6) ||
+             '.example.cz/x">site ' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'alpha'
+                   WHEN doc_id % 3 = 1 THEN 'beta' ELSE 'gamma' END) ||
+             '</a> <a href="https://hub.example.cz/">hub portal</a>'
+               AS html
+           FROM documents),
+         z AS (SELECT list_zip(
+             regexp_extract_all(lower(html),
+               '<a href="https?://([a-z0-9.-]+\.[a-z]{2,})[^"]*"[^>]*>([^<]*)</a>', 1),
+             regexp_extract_all(lower(html),
+               '<a href="https?://([a-z0-9.-]+\.[a-z]{2,})[^"]*"[^>]*>([^<]*)</a>', 2))
+             AS ps
+           FROM d),
+         p AS (SELECT unnest(ps) AS pr FROM z),
+         t AS (SELECT pr[1] AS host,
+             unnest(list_filter(str_split_regex(pr[2], '\s+'),
+               x -> x <> '')) AS term
+           FROM p),
+         c AS (SELECT host, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM t GROUP BY 1, 2),
+         r AS (SELECT host, term, cnt,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY cnt DESC, term) AS BIGINT) AS rank
+           FROM c)
+         SELECT host, term, cnt, rank FROM r WHERE rank <= 3""",
+
+    // q110: compact-forward triangles replayed — canonical undirected
+    // edges, degree orientation by lexicographic (deg, id), wedge join
+    // with target-order condition, EXISTS-closed, per-node rollup
+    "q110_triangles" ->
+      """WITH d AS (SELECT doc_id,
+             'd' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+             'd' || substring(md5(CAST(doc_id + 1 AS VARCHAR)), 1, 6) AS hn
+           FROM documents),
+         raw AS (
+           SELECT h AS src, hn AS dst FROM d
+           UNION ALL
+           SELECT hn AS src, h AS dst FROM d WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT h AS src, 'hub.cz' AS dst FROM d),
+         und AS (SELECT DISTINCT least(src, dst) AS u,
+             greatest(src, dst) AS v
+           FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL
+             AND src <> dst),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+             SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+           GROUP BY 1),
+         o AS (SELECT CASE WHEN du.dg < dv.dg OR
+                 (du.dg = dv.dg AND und.u < und.v) THEN und.u ELSE und.v
+               END AS s,
+             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND und.u < und.v)
+               THEN und.v ELSE und.u END AS t,
+             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND und.u < und.v)
+               THEN dv.dg ELSE du.dg END AS dt
+           FROM und
+           JOIN deg du ON du.n = und.u
+           JOIN deg dv ON dv.n = und.v),
+         w AS (SELECT x.s AS a, x.t AS b, y.t AS c
+           FROM o x JOIN o y ON x.s = y.s AND
+             (x.dt < y.dt OR (x.dt = y.dt AND x.t < y.t))),
+         tri AS (SELECT a, b, c FROM w
+           WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.b AND o.t = w.c)),
+         pn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+             UNION ALL SELECT c AS n FROM tri)
+           GROUP BY 1)
+         SELECT deg.n AS host, deg.dg AS degree,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.dg >= 2
+             THEN 2 * coalesce(pn.n_triangles, 0) * 1000
+               // (deg.dg * (deg.dg - 1))
+             ELSE 0 END AS clustering_mill
+         FROM deg LEFT JOIN pn ON pn.n = deg.n""",
+
+    // q111: HRW replayed — row-local list argmax over the salted 60-bit
+    // md5 hashes, struct order (h, node)
+    "q111_rendezvous" ->
+      """SELECT doc_id,
+           (list_aggregate(list_transform(
+             ['node0','node1','node2','node3','node4','node5','node6','node7'],
+             n -> struct_pack(
+               h := CAST(('0x' || substring(md5(n || ':' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+               node := n)), 'max')).node AS node
+         FROM documents""",
+
+    // q112: sliding HLL replayed — day-grain registers, ×7 window
+    // fan-out, observed-day labels, per-bucket max merge, q96 estimator
+    "q112_sliding_hll" -> s"""
+         WITH e AS (SELECT event_type,
+             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+             md5(CAST(user_id AS VARCHAR)) AS hex
+           FROM events),
+         b AS (SELECT event_type, day,
+             CAST(('0x' || substring(hex, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hex, 3, 13)) AS BIGINT) AS x
+           FROM e),
+         dr AS (SELECT event_type, day, bucket,
+             max(CASE WHEN x = 0 THEN 52
+                      ELSE 53 - length(printf('%b', x)) END) AS r0
+           FROM b GROUP BY 1, 2, 3),
+         labels AS (SELECT DISTINCT day AS window_day FROM e),
+         f AS (SELECT dr.event_type, dr.bucket, w.window_day, dr.r0
+           FROM dr JOIN labels w
+             ON w.window_day BETWEEN dr.day AND dr.day + 6),
+         wr AS (SELECT event_type, window_day, bucket, max(r0) AS r
+           FROM f GROUP BY 1, 2, 3),
+         sk AS (SELECT event_type, window_day,
+             CAST(SUM(CAST(1 AS BIGINT) << (52 - r)) +
+               (256 - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+               AS hll_sum,
+             CAST(256 - count(*) AS BIGINT) AS hll_zeros
+           FROM wr GROUP BY 1, 2)
+         SELECT event_type, window_day, hll_sum, hll_zeros,
+           CAST(floor(${SketchOps.HllNumerator} /
+             CAST(hll_sum AS DOUBLE)) AS BIGINT) AS hll_est
+         FROM sk""",
+
+    // q113: greedy funnel replayed — min view, min click strictly after,
+    // min purchase strictly after, prefix-closed nulls, reached count
+    "q113_funnel" ->
+      """WITH v AS (SELECT user_id,
+             CAST(min(epoch_ms(ts)) AS BIGINT) AS t1_ms
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT v.user_id, v.t1_ms,
+             CAST(min(CASE WHEN CAST(epoch_ms(e.ts) AS BIGINT) > v.t1_ms
+               THEN CAST(epoch_ms(e.ts) AS BIGINT) END) AS BIGINT) AS t2_ms
+           FROM v LEFT JOIN events e
+             ON e.user_id = v.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         p AS (SELECT c.user_id, c.t1_ms, c.t2_ms,
+             CAST(min(CASE WHEN CAST(epoch_ms(e.ts) AS BIGINT) > c.t2_ms
+               THEN CAST(epoch_ms(e.ts) AS BIGINT) END) AS BIGINT) AS t3_ms
+           FROM c LEFT JOIN events e
+             ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3)
+         SELECT user_id, t1_ms, t2_ms, t3_ms,
+           CAST(CASE WHEN t1_ms IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN t2_ms IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN t3_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS reached
+         FROM p""",
+
+    // q114: the LPM CIDR join replayed — /16 bucket explode (the /14
+    // blocks cover 4 buckets), exact range check, max-prefix rank
+    "q114_cidr_join" ->
+      """WITH cidrs AS (
+           SELECT n_nationkey * 16777216 AS net, 8 AS plen,
+             n_name AS block_name FROM nation
+           UNION ALL
+           SELECT n_nationkey * 16777216 + (n_nationkey % 16) * 1048576,
+             20, n_name || '-z' FROM nation
+           UNION ALL
+           SELECT n_nationkey * 16777216, 14, n_name || '-w'
+           FROM nation WHERE n_nationkey % 5 = 0),
+         blocks AS (SELECT net, CAST(plen AS BIGINT) AS plen, block_name,
+             CAST(1 AS BIGINT) << CAST(32 - plen AS INTEGER) AS width,
+             unnest(range(net // 65536,
+               (net + (CAST(1 AS BIGINT) << CAST(32 - plen AS INTEGER))
+                 - 1) // 65536 + 1)) AS b
+           FROM cidrs),
+         ips AS (SELECT c_custkey AS ip_id,
+             (c_custkey % 30) * 16777216 +
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+                 1, 6)) AS BIGINT) AS ip
+           FROM customer),
+         probed AS (SELECT i.ip_id, i.ip, bl.net, bl.plen, bl.block_name
+           FROM ips i JOIN blocks bl ON i.ip // 65536 = bl.b
+           WHERE i.ip >= bl.net AND i.ip < bl.net + bl.width),
+         r AS (SELECT *, row_number() OVER (PARTITION BY ip_id
+             ORDER BY plen DESC, net) AS rk
+           FROM probed)
+         SELECT ip_id, ip, net, plen AS prefix_len, block_name
+         FROM r WHERE rk = 1"""
   )
 }

@@ -679,4 +679,32 @@ object CurationOps {
       .where(col("rank") <= k)
       .drop("_u")
   }
+
+  /** Rendezvous (highest-random-weight) assignment — the shard/executor
+    * placement primitive for frontier partition planning: each item goes
+    * to the node with the maximal salted hash `md5(node:id)`, so adding
+    * or removing ONE node remaps only the ~1/|nodes| of keys whose
+    * argmax changes (consistent-hashing's property without the ring
+    * bookkeeping — Thaler & Ravishankar 1998, the scheme CARP and many
+    * cache meshes use). Deterministic: the hash is the library's md5
+    * family, ties (improbable 60-bit collisions) break by node name.
+    *
+    * 100 TB shape: ZERO shuffle — the candidate list is a literal array
+    * of |nodes| structs folded row-locally by `array_max` (lexicographic
+    * struct order = (hash, node)); per-row work O(|nodes|), the node
+    * list being cluster-sized (hundreds), not data-sized.
+    */
+  def rendezvousAssign(items: DataFrame, idCol: String,
+      nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty, "rendezvousAssign: nodes required")
+    require(nodes.distinct.size == nodes.size,
+      "rendezvousAssign: duplicate node names")
+    val cand = array(nodes.map(n =>
+      struct(
+        conv(substring(md5(concat(lit(s"$n:"), col(idCol).cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"),
+        lit(n).as("node"))): _*)
+    items.select(col(idCol),
+      array_max(cand).getField("node").as("node"))
+  }
 }

@@ -298,4 +298,120 @@ object RelationalOps {
         col("valid_from"), col("_next_ver").as("valid_to"),
         col("_next_ver").isNull.as("is_current")): _*)
   }
+
+  // ------------------------------------------------------------- funnel
+
+  /** Ordered-step funnel — the event-sequence analytic ("viewed, then
+    * clicked, then purchased"): per entity, the earliest timestamp of
+    * step 1, then the earliest step-2 event STRICTLY AFTER it, and so on
+    * — the standard greedy chaining, which provably finds a full chain
+    * whenever one exists (taking the earliest feasible event at each
+    * step never forecloses a later step). Equal timestamps do NOT chain
+    * (strict `>` — two events at the same instant have no order;
+    * documented). Output per entity: one epoch-millis column per step
+    * (`t1_ms … tk_ms`, null from the first unreached step onward — a
+    * null t_{i−1} can never chain, so nulls are prefix-closed by
+    * construction) and `reached`, the number of completed steps.
+    *
+    * 100 TB shape: step i is one equi-join on the entity key between the
+    * running funnel frame and the step-i event slice (filter pushed to
+    * the scan), followed by a map-side-combinable min-agg — k−1
+    * key-partitioned join+agg rounds for a k-step funnel, no windows, no
+    * cross products; every round's right side shrinks to one step's
+    * events. Timestamps extract through `cast(ts as timestamp)` (the
+    * library's NTZ→UTC identity).
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps required")
+    val ms = expr(s"unix_millis(cast($tsCol as timestamp))")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(entityCol))
+      .agg(min(ms).as("t1_ms"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i}_ms"
+        val cur = s"t${i + 1}_ms"
+        val slice = events.where(col(typeCol) === step)
+          .select(col(entityCol), ms.as("__ms"))
+        acc.join(slice, Seq(entityCol), "left_outer")
+          .withColumn("__ok",
+            when(col("__ms") > col(prev), col("__ms")))
+          .groupBy((Seq(entityCol) ++ (1 to i).map(j => s"t${j}_ms"))
+            .map(col): _*)
+          .agg(min(col("__ok")).as(cur))
+    }
+    chained.withColumn("reached",
+      steps.indices.map(i =>
+        when(col(s"t${i + 1}_ms").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  // ---------------------------------------------------- CIDR (LPM) join
+
+  /** Longest-prefix-match CIDR join — the relational bulk path of GeoIP/
+    * ASN annotation (the reference annotates per-lookup through an mmdb
+    * reader; joining 10^11 crawl IPs against a BGP/GeoIP table needs a
+    * JOIN, not a per-row tree walk): each IP row gets the MOST SPECIFIC
+    * covering block from `cidrs` `(netCol: long IPv4-as-uint32,
+    * prefixCol: int 0..32, payload...)`, or no row if uncovered (inner
+    * semantics; left-annotate by re-joining output to the IP table).
+    *
+    * Mechanics — the [[intervalJoin]] bucketization specialized to
+    * power-of-two widths: blocks with prefix ≥ 16 live in EXACTLY one
+    * /16 bucket (`net >> 16`); coarser blocks explode to their
+    * 2^(16−p) covered buckets (≤ 65536 rows for a /0 — bounded by the
+    * bucket space, not the data); IPs map to their single bucket. After
+    * the bucket equi-join, the exact range check, then LPM = keep the
+    * max prefix per IP row (ties impossible: two distinct same-length
+    * blocks cannot both cover one IP), tie-broken deterministically by
+    * net for safety.
+    *
+    * `idCol` names a UNIQUE row id on the IP side — the LPM reduction
+    * keys on it (a generated id would be partitioning-dependent and
+    * neither deterministic nor oracle-replayable).
+    *
+    * 100 TB shape: the CIDR side is a dimension (a full BGP table is
+    * ~10^6 routes) — after the bucket explode it BROADCASTS, so the IP
+    * side's bucket derivation is scan-local and the join adds no IP-side
+    * shuffle; the only shuffle is the LPM rank window on the near-unique
+    * id key, and only rows inside ≥2 nested blocks occupy a window of
+    * size > 1. AQE handles the residual hot-bucket skew a popular /8
+    * would cause on a non-broadcast fallback.
+    */
+  def cidrJoin(
+      ips: DataFrame,
+      ipCol: String,
+      idCol: String,
+      cidrs: DataFrame,
+      netCol: String,
+      prefixCol: String,
+      payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "cidrJoin: payload columns required")
+    val blocks = cidrs
+      .where(col(prefixCol).between(0, 32))
+      .withColumn("__width", expr(s"shiftleft(1L, 32 - $prefixCol)"))
+      .withColumn("__b",
+        explode(sequence(expr(s"$netCol div 65536"),
+          expr(s"($netCol + __width - 1) div 65536"))))
+      .select(Seq(col("__b"), col(netCol).as("__net"),
+        col(prefixCol).cast("long").as("__plen"), col("__width")) ++
+        payload.map(col): _*)
+    val probed = ips
+      .withColumn("__b", expr(s"$ipCol div 65536"))
+      .join(broadcast(blocks), Seq("__b"))
+      .where(col(ipCol) >= col("__net") &&
+        col(ipCol) < col("__net") + col("__width"))
+    // LPM: the most specific (max prefix) covering block per IP row —
+    // rank per id (ties impossible among distinct same-length blocks;
+    // net asc pinned for determinism anyway)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__plen").desc, col("__net").asc)
+    probed
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(ips.columns.map(col) ++
+        Seq(col("__net").as("net"), col("__plen").as("prefix_len")) ++
+        payload.map(col): _*)
+  }
 }

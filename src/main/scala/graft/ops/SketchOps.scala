@@ -85,9 +85,20 @@ object SketchOps {
       .select(g :+ bucket.as("__bucket") :+ rho.as("__rho"): _*)
       .groupBy(g :+ col("__bucket"): _*)
       .agg(max(col("__rho")).as("__r"))
+    hllEstimate(registers, groupCols)
+  }
 
+  /** Collapse a register table `(groups..., __bucket, __r)` into the
+    * per-group `(hll_sum, hll_zeros, hll_est)` triple — the serving half
+    * of [[hllDistinct]], shared with [[hllSlidingDistinct]]. Register
+    * tables are a commutative-monoid state (per-bucket max), so any
+    * union of register tables over the same key space estimates the
+    * union of their inputs.
+    */
+  private def hllEstimate(registers: DataFrame, groupCols: Seq[String])
+      : DataFrame =
     registers
-      .groupBy(g: _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoBits - __r)")) +
           (lit(HllM.toLong) - count(lit(1))) * lit(1L << RhoBits))
@@ -96,6 +107,53 @@ object SketchOps {
       .withColumn("hll_est",
         floor(lit(HllNumerator) / col("hll_sum").cast("double"))
           .cast("long"))
+
+  /** Sliding-window distinct counts from day-grain HLL registers — "7-day
+    * rolling distinct users per type" at sketch cost: registers build
+    * ONCE per (group, day), then each day's ≤ m register rows fan out to
+    * the `windowDays` window labels they fall inside (label W covers
+    * days (W−windowDays, W]), merge by per-bucket max (HLL states form a
+    * commutative monoid — merging registers IS the union sketch), and
+    * estimate per (group, label). Labels are restricted to OBSERVED days
+    * — every output row answers "distinct keys in the window ending at
+    * this day".
+    *
+    * `dayCol` must be an integer day column (e.g.
+    * `unix_millis div 86400000`).
+    *
+    * 100 TB shape: the ONLY input-sized shuffle is the day-grain register
+    * agg (map-side combinable, ≤ m rows per (group, day) survive);
+    * everything after operates on register rows — the fan-out costs
+    * ≤ m·windowDays rows per (group, day) REGARDLESS of how many events
+    * the day held, which is the whole point vs re-counting each window.
+    */
+  def hllSlidingDistinct(
+      df: DataFrame,
+      keyCol: Column,
+      dayCol: Column,
+      windowDays: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(windowDays >= 1, "hllSlidingDistinct: windowDays >= 1")
+    val hex = md5(keyCol.cast("string"))
+    val bucket = conv(substring(hex, 1, 2), 16, 10).cast("long")
+    val x = conv(substring(hex, 3, 13), 16, 10).cast("long")
+    val rho = when(x === 0L, lit(RhoBits))
+      .otherwise(lit(RhoBits + 1) - length(bin(x)))
+      .cast("int")
+    val g = groupCols.map(col)
+    val dayRegs = df
+      .select(g ++ Seq(dayCol.cast("long").as("__day"),
+        bucket.as("__bucket"), rho.as("__rho")): _*)
+      .groupBy(g ++ Seq(col("__day"), col("__bucket")): _*)
+      .agg(max(col("__rho")).as("__r0"))
+    val labels = df.select(dayCol.cast("long").as("window_day")).distinct()
+    val windowed = dayRegs
+      .withColumn("window_day",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .join(labels, Seq("window_day"))
+      .groupBy(g ++ Seq(col("window_day"), col("__bucket")): _*)
+      .agg(max(col("__r0")).as("__r"))
+    hllEstimate(windowed, groupCols :+ "window_day")
   }
 
   // ---------------------------------------------------------- Count-Min

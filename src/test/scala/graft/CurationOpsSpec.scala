@@ -489,4 +489,32 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(again == got.toSet)
   }
+
+  test("rendezvousAssign: balanced, deterministic, and minimally disruptive on node change") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val n4 = Seq("n0", "n1", "n2", "n3")
+    val a4 = CurationOps.rendezvousAssign(ids, "id", n4)
+      .as[(Long, String)].collect().toMap
+    // every node gets a sane share of 1000 keys (expected 250 each)
+    val shares = a4.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(shares.keySet == n4.toSet && shares.values.forall(_ > 150),
+      s"unbalanced: $shares")
+    // the HRW property EXACTLY: adding a node moves keys ONLY to the new
+    // node (an argmax over a superset either stands or is the new entry)
+    val a5 = CurationOps.rendezvousAssign(ids, "id", n4 :+ "n4")
+      .as[(Long, String)].collect().toMap
+    val moved = a5.filter { case (id, n) => a4(id) != n }
+    assert(moved.nonEmpty && moved.values.forall(_ == "n4"),
+      s"keys moved to an old node: ${moved.filter(_._2 != "n4").take(5)}")
+    // and removing a node reassigns ONLY its keys
+    val a3 = CurationOps.rendezvousAssign(ids, "id", n4.filterNot(_ == "n2"))
+      .as[(Long, String)].collect().toMap
+    assert(a3.forall { case (id, n) => a4(id) == "n2" || a4(id) == n })
+    // deterministic across partitionings
+    val again = CurationOps.rendezvousAssign(ids.repartition(7), "id", n4)
+      .as[(Long, String)].collect().toMap
+    assert(again == a4)
+  }
 }

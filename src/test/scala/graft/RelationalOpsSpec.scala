@@ -207,4 +207,82 @@ class RelationalOpsSpec extends AnyFunSuite {
       Seq("payload")).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"version dim not broadcast:\n$plan")
   }
+
+  test("funnel: greedy strict-after chaining, prefix-closed nulls, equal-ts no chain") {
+    val ev = Seq(
+      // u1: clean 3-step chain
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      // u2: click BEFORE the first view is ignored; the later click
+      // chains; purchase is before that click → step 3 unreached
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // u3: view only
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      // u4: never viewed → absent from the funnel (step 1 defines entry)
+      (4L, "click", ts("2024-01-01 08:00:00")),
+      // u5: click at the SAME instant as view → strict > does not chain
+      (5L, "view", ts("2024-01-01 07:00:00")),
+      (5L, "click", ts("2024-01-01 07:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    def ms(s: String): Long = ts(s).getTime
+    val got = RelationalOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got == Map(
+      1L -> ((1L, Some(ms("2024-01-01 10:00:00")),
+        Some(ms("2024-01-01 10:01:00")),
+        Some(ms("2024-01-01 10:02:00")), 3L)),
+      2L -> ((2L, Some(ms("2024-01-01 10:00:00")),
+        Some(ms("2024-01-01 11:00:00")), None, 2L)),
+      3L -> ((3L, Some(ms("2024-01-01 08:00:00")), None, None, 1L)),
+      5L -> ((5L, Some(ms("2024-01-01 07:00:00")), None, None, 1L))),
+      s"got $got")
+    val again = RelationalOps.funnel(ev.repartition(5), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
+  test("cidrJoin: longest-prefix match, multi-bucket coarse blocks, uncovered IPs absent") {
+    // /8 at 0 ("A"); /24 nested inside it at 512 ("B"); /13 at 2^24
+    // ("C", width 2^19 = 8 /16-buckets — the explode path); /16 nested
+    // in C at 2^24 ("D")
+    val cidrs = Seq(
+      (0L, 8, "A"), (512L, 24, "B"),
+      (16777216L, 13, "C"), (16777216L, 16, "D")
+    ).toDF("net", "plen", "name")
+    val ips = Seq(
+      (1L, 600L),            // inside B (512..767) → B beats A
+      (2L, 100000L),         // inside A only
+      (3L, 16777216L + 10L), // inside C and D → D (/16) beats C (/13)
+      (4L, 16777216L + 3L * 65536L + 7L), // 4th bucket of C, outside D → C
+      (5L, 999999999L)       // uncovered → absent
+    ).toDF("ip_id", "ip")
+    val got = RelationalOps.cidrJoin(ips, "ip", "ip_id", cidrs, "net",
+        "plen", Seq("name"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((512L, 24L, "B")),
+      2L -> ((0L, 8L, "A")),
+      3L -> ((16777216L, 16L, "D")),
+      4L -> ((16777216L, 13L, "C"))), s"got $got")
+    // exactly one row per covered IP; dim broadcasts
+    val out = RelationalOps.cidrJoin(ips, "ip", "ip_id", cidrs, "net",
+      "plen", Seq("name"))
+    assert(out.count() == 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"CIDR dim not broadcast:\n$plan")
+    val again = RelationalOps.cidrJoin(ips.repartition(3), "ip", "ip_id",
+        cidrs.repartition(2), "net", "plen", Seq("name"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(again == got)
+  }
 }

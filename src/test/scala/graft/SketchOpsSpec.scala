@@ -142,4 +142,32 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"probe not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"probe side shuffled:\n$plan")
   }
+
+  test("hllSlidingDistinct: each window label ≡ hllDistinct over that window's days") {
+    // events on days 0..9, keys overlapping across days; window = 3
+    val rows = (0L until 10L).flatMap(d =>
+      (0L until 20L + d * 3).map(i => (s"u${i % 37}", d)))
+    val df = rows.toDF("k", "day")
+    val slid = SketchOps.hllSlidingDistinct(df, col("k"), col("day"), 3,
+        Seq.empty)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // labels are exactly the observed days
+    assert(slid.keySet == (0L until 10L).toSet)
+    // the sliding merge must reproduce the one-shot sketch over each
+    // window's raw events BIT-EXACTLY (register max is associative)
+    for (w <- 0L until 10L) {
+      val direct = SketchOps.hllDistinct(
+          df.where(col("day") > w - 3 && col("day") <= w), col("k"),
+          Seq.empty)
+        .as[(Long, Long, Long)].collect().head
+      assert(slid(w) == direct, s"window $w: ${slid(w)} vs $direct")
+    }
+    // partitioning-invariant
+    val again = SketchOps.hllSlidingDistinct(df.repartition(7), col("k"),
+        col("day"), 3, Seq.empty)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == slid)
+  }
 }

@@ -178,4 +178,48 @@ class WebGraphSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("anchorTerms: host/anchor extraction, per-host top-k, malformed markup inert") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val docs = Seq(
+      """<a href="https://a.cz/x">best shop</a> <a href="https://b.cz/">best deal</a>""",
+      """<a href="https://a.cz/y" rel="nofollow">best price</a>""",
+      """<a href="https://a.cz/z"></a>""",          // empty anchor: no terms
+      """no links here; <a name="x">not a link</a>""",
+      """<a href="ftp://c.cz/f">wrong scheme</a>"""
+    ).toDF("html")
+    val got = graft.ops.LinkOps.anchorTerms(docs, "html", topK = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    // a.cz: best×2, shop×1, price×1 → top-2 = (best,2,1), (price,1,2 — tie
+    // with shop broken term-asc)
+    assert(got == Set(
+      ("a.cz", "best", 2L, 1L), ("a.cz", "price", 1L, 2L),
+      ("b.cz", "best", 1L, 1L), ("b.cz", "deal", 1L, 2L)), s"got $got")
+  }
+
+  test("triangleStats: hand-computed triangles and clustering; orientation-independent") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // triangles {a,b,c} and {a,b,e}; pendant d off c; a self-loop and a
+    // duplicate edge must not change anything
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("a", "e"), ("b", "e"), ("b", "a"), ("e", "e")).toDF("s", "d")
+    val got = graft.ops.LinkOps.triangleStats(edges, "s", "d")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == Map(
+      "a" -> (("a", 3L, 2L, 666L)),  // 2·2·1000 div (3·2)
+      "b" -> (("b", 3L, 2L, 666L)),
+      "c" -> (("c", 3L, 1L, 333L)),
+      "d" -> (("d", 1L, 0L, 0L)),    // degree < 2: no division
+      "e" -> (("e", 2L, 1L, 1000L))), s"got $got")
+    // direction of input edges is irrelevant (undirected canonicalization)
+    val rev = graft.ops.LinkOps.triangleStats(
+        edges.select(edges("d").as("s"), edges("s").as("d")), "s", "d")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rev == got)
+    val again = graft.ops.LinkOps.triangleStats(edges.repartition(7), "s", "d")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }
