@@ -1535,7 +1535,37 @@ object SparkEntry {
           "16, 10) as long)").as("ip"))
       RelationalOps.cidrJoin(ips, "ip", "ip_id", cidrs, "net", "plen",
         Seq("block_name"))
-    })
+    }),
+
+    // Salted skew join — the contract IS equality with the plain join:
+    // the oracle runs the UNSALTED inner join, so the hash match proves
+    // the salt/replicate mechanics change nothing.
+    "q115_salted_join" -> ((s, dir) =>
+      RelationalOps.saltedJoin(
+        T(s, dir, "orders"), "o_custkey", "o_orderkey",
+        T(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", salts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))),
+
+    // Per-group OLS trend — order value (whole dollars) against order
+    // day (relative to 1995-01-01, keeping n·Σxy in LONG range) per
+    // priority class; one five-sum aggregate, division-only doubles.
+    "q116_group_trend" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000" +
+          " - 9131").as("x"),
+        // explicit floor: decimal→bigint TRUNCATES in Spark but ROUNDS
+        // in DuckDB — floor on both sides pins the value
+        expr("cast(floor(cast(o_totalprice as decimal(18,2))) as bigint)")
+          .as("y"))
+      RelationalOps.groupTrend(o, Seq("o_orderpriority"), "x", "y")
+    }),
+
+    // Week-over-week movers — per event type, weekly counts vs the
+    // adjacent previous week; signed ratio via the double-floor form.
+    "q117_period_movers" -> ((s, dir) =>
+      RelationalOps.periodMovers(T(s, dir, "events"), Seq("event_type"),
+        expr("unix_millis(cast(ts as timestamp)) div 604800000")))
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlExt
@@ -3726,6 +3756,55 @@ object SparkEntry {
              ORDER BY plen DESC, net) AS rk
            FROM probed)
          SELECT ip_id, ip, net, plen AS prefix_len, block_name
-         FROM r WHERE rk = 1"""
+         FROM r WHERE rk = 1""",
+
+    // q115: the UNSALTED plain inner join — hash equality proves the
+    // salted mechanics are a no-op on results
+    "q115_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    // q116: the five BIGINT sums and the division-only doubles, in the
+    // exact expression shape the Spark side evaluates
+    "q116_group_trend" ->
+      """WITH o AS (SELECT o_orderpriority,
+             CAST(epoch_ms(o_orderdate) AS BIGINT) // 86400000 - 9131 AS x,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT)
+               AS y
+           FROM orders),
+         s AS (SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM o GROUP BY 1)
+         SELECT o_orderpriority, n, sx, sy, sxx, sxy,
+           CASE WHEN n * sxx - sx * sx <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0
+             THEN (CAST(sy AS DOUBLE) -
+               (CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) END AS intercept
+         FROM s""",
+
+    // q117: weekly counts, adjacent-week lag, signed double-floor ratio
+    "q117_period_movers" ->
+      """WITH c AS (SELECT event_type,
+             CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS period,
+             CAST(count(*) AS BIGINT) AS n_cur
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT *, lag(period) OVER w AS pp, lag(n_cur) OVER w AS pn
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY period)),
+         m AS (SELECT event_type, period, n_cur,
+             CASE WHEN pp = period - 1 THEN pn END AS n_prev
+           FROM l)
+         SELECT event_type, period, n_cur, n_prev,
+           CASE WHEN n_prev IS NOT NULL THEN
+             CAST(floor(CAST(n_cur - n_prev AS DOUBLE) * 1000.0 /
+               CAST(n_prev AS DOUBLE)) AS BIGINT) END AS change_mill
+         FROM m"""
   )
 }

@@ -414,4 +414,131 @@ object RelationalOps {
         Seq(col("__net").as("net"), col("__plen").as("prefix_len")) ++
         payload.map(col): _*)
   }
+
+  // --------------------------------------------------------- salted join
+
+  /** Salted equi-join — the explicit skew breaker for the case AQE's
+    * skew-join split cannot reach (a join the planner fused elsewhere, a
+    * pre-AQE engine, or a deliberate static plan): a hot key ("the one
+    * portal nameserver half the TLD delegates to") lands all its fact
+    * rows in ONE reduce task; salting spreads each key over `salts`
+    * sub-keys — fact rows take a DETERMINISTIC salt (an md5 slice of the
+    * caller-named unique row id mod `salts`, NOT a random number: rerun/
+    * resume/oracle stable), and the dim side replicates ×`salts` so
+    * every (key, salt) pair finds its dim row. Result is EXACTLY the
+    * plain inner equi-join — the spec and the oracle assert equality,
+    * which is the operator's whole contract.
+    *
+    * Cost model (documented so callers don't cargo-cult it): dim rows
+    * ×`salts` in the shuffle, hot-key reduce work ÷`salts`. Worth it iff
+    * the dim is too big to broadcast and a key's fact share exceeds a
+    * task's capacity. The engine's own frontier uses the same idea with
+    * frequency-proportional salts (`Engine.saltCounts`); this is the
+    * reusable two-table form.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      factKey: String,
+      factIdCol: String,
+      dim: DataFrame,
+      dimKey: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts >= 1, got $salts")
+    val salted = facts.withColumn("__salt",
+      (conv(substring(md5(col(factIdCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % salts).cast("int"))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+      .withColumnRenamed(dimKey, "__dk")
+    salted
+      .join(replicated,
+        col(factKey) === col("__dk") && salted("__salt") === replicated("__salt"))
+      .drop("__salt").drop("__dk")
+  }
+
+  // --------------------------------------------------------- group trend
+
+  /** Per-group least-squares trend — drift detection over a keyed metric
+    * (is this host's fetch latency creeping up? is a source's doc
+    * quality sliding?): ordinary least squares per group, from the five
+    * classic sums,
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with `xCol`/`yCol` INTEGER columns (a day index, cents, mills — the
+    * caller pre-scales) so every sum is an exact BIGINT and the ONLY
+    * floating step is the final division — IEEE-correctly-rounded on
+    * any engine (the `l2Normalize` precedent), so even the double output
+    * replays bit-exactly. The intercept chains the same way:
+    * `(Σy − slope·Σx) / n` evaluated in that exact shape on both sides.
+    * Degenerate groups (n < 2 or zero x-variance) report null slope/
+    * intercept rather than a division blow-up.
+    *
+    * Overflow posture: `n·Σxy` must fit a LONG — pre-scale units (days
+    * not millis, dollars not micros) for huge groups; under ANSI mode an
+    * overflow THROWS instead of silently wrapping (documented bound, not
+    * a silent failure mode).
+    *
+    * 100 TB shape: ONE map-side-combinable aggregate — five sums per
+    * group key; nothing else shuffles.
+    */
+  def groupTrend(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "groupTrend: key columns required")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(xCol).cast("long")).as("sx"),
+        sum(col(yCol).cast("long")).as("sy"),
+        sum(expr(s"cast($xCol as bigint) * cast($xCol as bigint)")).as("sxx"),
+        sum(expr(s"cast($xCol as bigint) * cast($yCol as bigint)")).as("sxy"))
+      .withColumn("__den", expr("n * sxx - sx * sx"))
+      .withColumn("slope",
+        when(col("__den") =!= 0L,
+          expr("cast(n * sxy - sx * sy as double) / cast(__den as double)")))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          expr("(cast(sy as double) - slope * cast(sx as double)) " +
+            "/ cast(n as double)")))
+      .drop("__den")
+  }
+
+  // ------------------------------------------------------- period movers
+
+  /** Period-over-period movers — the "rising/falling domains" report:
+    * per key, the row count in each period next to the count in the
+    * ADJACENT previous period and the change in mills. A gap (no
+    * previous-period row at exactly period−1) yields null `n_prev`/
+    * `change_mill` — comparing across a hole would understate the move,
+    * and a zero-count denominator has no finite ratio anyway.
+    * `change_mill` is `floor((n−n_prev)·1000 / n_prev)` computed in
+    * DOUBLE then floored — deltas are signed, and integer `div`
+    * truncates toward zero in Spark but floors in DuckDB, so the
+    * engine-portable form for signed ratios is the correctly-rounded
+    * double divide + floor (both engines bit-agree), not integer
+    * division (the positive-operand-only house rule, documented at its
+    * boundary here).
+    *
+    * 100 TB shape: ONE map-side-combinable (keys, period) count, then a
+    * per-key lag window over period-grain rows (periods per key =
+    * cadence-sized, not data-sized).
+    */
+  def periodMovers(events: DataFrame, keyCols: Seq[String],
+      periodCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "periodMovers: key columns required")
+    val counts = events
+      .select(keyCols.map(col) :+ periodCol.cast("long").as("period"): _*)
+      .groupBy((keyCols :+ "period").map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_cur"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("period"))
+    counts
+      .withColumn("__pp", lag(col("period"), 1).over(w))
+      .withColumn("__pn", lag(col("n_cur"), 1).over(w))
+      .withColumn("n_prev",
+        when(col("__pp") === col("period") - 1, col("__pn")))
+      .withColumn("change_mill",
+        when(col("n_prev").isNotNull,
+          floor((col("n_cur") - col("n_prev")).cast("double") * 1000.0 /
+            col("n_prev").cast("double")).cast("long")))
+      .drop("__pp", "__pn")
+  }
 }

@@ -285,4 +285,66 @@ class RelationalOpsSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
     assert(again == got)
   }
+
+  test("saltedJoin: exactly the plain inner join, under skew and at salts = 1") {
+    // one hot key (0) holds 80% of the facts — the shape salting exists for
+    val facts = ((0L until 400L).map(i => (i, 0L)) ++
+      (400L until 500L).map(i => (i, i % 7 + 1))).toDF("fid", "k")
+    val dim = (0L until 10L).map(i => (i, s"d$i")).toDF("dk", "payload")
+    val plain = facts.join(dim, facts("k") === dim("dk"))
+      .select(col("fid"), col("k"), col("payload"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = RelationalOps.saltedJoin(facts, "k", "fid", dim, "dk",
+          salts)
+        .select(col("fid"), col("k"), col("payload"))
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged from the plain join")
+    }
+    // unmatched fact keys drop (inner semantics), like the plain join
+    assert(plain.size == 500 - 100 + 100) // all keys 0..7 covered by dim
+  }
+
+  test("groupTrend: exact hand-computed OLS, degenerate groups null out") {
+    val df = Seq(
+      ("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L), // y = 2x + 1 exactly
+      ("b", 7L, 9L),                               // single point
+      ("c", 4L, 1L), ("c", 4L, 9L)                 // zero x-variance
+    ).toDF("g", "x", "y")
+    val got = RelationalOps.groupTrend(df, Seq("g"), "x", "y")
+      .select(col("g"), col("slope"), col("intercept"))
+      .as[(String, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((Some(2.0), Some(1.0))), s"got ${got("a")}")
+    assert(got("b") == ((None, None)))
+    assert(got("c") == ((None, None)))
+    val again = RelationalOps.groupTrend(df.repartition(5), Seq("g"),
+        "x", "y")
+      .select(col("g"), col("slope"), col("intercept"))
+      .as[(String, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
+  test("periodMovers: adjacent-only comparison, gaps null, signed floor ratio") {
+    val rows =
+      Seq.fill(10)(("t", 1L)) ++ Seq.fill(15)(("t", 2L)) ++
+        Seq.fill(20)(("t", 4L)) ++ // gap at 3
+        Seq.fill(3)(("u", 5L)) ++ Seq.fill(2)(("u", 6L))
+    val df = rows.toDF("k", "p")
+    val got = RelationalOps.periodMovers(df, Seq("k"), col("p"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("t", 1L)) == ((10L, None, None)))
+    assert(got(("t", 2L)) == ((15L, Some(10L), Some(500L))))
+    assert(got(("t", 4L)) == ((20L, None, None)), "gap must not compare")
+    // signed non-exact ratio FLOORS (−1000/3 → −334, not the −333 a
+    // truncating integer division would give)
+    assert(got(("u", 6L)) == ((2L, Some(3L), Some(-334L))), s"$got")
+    val again = RelationalOps.periodMovers(df.repartition(5), Seq("k"),
+        col("p"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(again == got)
+  }
 }
