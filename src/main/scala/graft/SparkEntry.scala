@@ -1565,7 +1565,24 @@ object SparkEntry {
     // adjacent previous week; signed ratio via the double-floor form.
     "q117_period_movers" -> ((s, dir) =>
       RelationalOps.periodMovers(T(s, dir, "events"), Seq("event_type"),
-        expr("unix_millis(cast(ts as timestamp)) div 604800000")))
+        expr("unix_millis(cast(ts as timestamp)) div 604800000"))),
+
+    // First-order Markov transitions — per-user adjacent event-type
+    // pairs, (ts, event_id) total order, corpus-wide counts + row
+    // probability in mills.
+    "q118_transitions" -> ((s, dir) =>
+      RelationalOps.transitionCounts(T(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id")),
+
+    // Max-min-fair politeness budget (water-filling) — per-custkey order
+    // counts as demands against a global budget of 6000 fetch slots:
+    // small demands grant in full, the rest get the integer water level
+    // (+1 for the first remainder hosts in (demand, host) order).
+    "q119_water_fill" -> ((s, dir) => {
+      val demands = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      LinkOps.waterFill(demands, "o_custkey", "n_orders", budget = 6000L)
+    })
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlExt
@@ -3805,6 +3822,52 @@ object SparkEntry {
            CASE WHEN n_prev IS NOT NULL THEN
              CAST(floor(CAST(n_cur - n_prev AS DOUBLE) * 1000.0 /
                CAST(n_prev AS DOUBLE)) AS BIGINT) END AS change_mill
-         FROM m"""
+         FROM m""",
+
+    // q118: per-user (ts, event_id)-ordered lag pairs, corpus counts,
+    // integer-mill row probabilities
+    "q118_transitions" ->
+      """WITH p AS (SELECT
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n, c.n * 1000 // t.tot AS p_mill
+         FROM c JOIN t USING (from_type)""",
+
+    // q119: the water-filling closed form replayed — ascending-demand
+    // rank, feasibility prefix, integer level + remainder distribution
+    "q119_water_fill" ->
+      """WITH d AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS demand
+           FROM orders GROUP BY 1),
+         r AS (SELECT o_custkey, demand,
+             CAST(row_number() OVER (ORDER BY demand, o_custkey)
+               AS BIGINT) AS k,
+             SUM(demand) OVER (ORDER BY demand, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM d),
+         f AS (SELECT *,
+             demand * (n - k + 1) <= 6000 - (cum - demand) AS isfull
+           FROM r),
+         kk AS (SELECT CAST(sum(CASE WHEN isfull THEN 1 ELSE 0 END)
+               AS BIGINT) AS bigk,
+             CAST(sum(CASE WHEN isfull THEN demand ELSE 0 END)
+               AS BIGINT) AS spent
+           FROM f),
+         g AS (SELECT f.*, kk.bigk, kk.spent,
+             CASE WHEN f.n = kk.bigk THEN 0
+               ELSE (6000 - kk.spent) // (f.n - kk.bigk) END AS level
+           FROM f CROSS JOIN kk)
+         SELECT o_custkey, demand,
+           CASE WHEN isfull THEN demand
+             ELSE level + (CASE WHEN k <= bigk +
+               (6000 - spent - level * (n - bigk)) THEN 1 ELSE 0 END)
+           END AS granted
+         FROM g"""
   )
 }

@@ -360,4 +360,67 @@ object LinkOps {
           expr("2 * n_triangles * 1000 div (degree * (degree - 1))"))
           .otherwise(lit(0L)))
   }
+
+  /** Max-min-fair budget allocation (water-filling) — the politeness-
+    * budget divider: given per-host request demands and ONE global fetch
+    * budget, grant every host as much as possible subject to max-min
+    * fairness (no host can gain without a smaller-granted host losing) —
+    * the classic progressive-filling outcome, computed in closed form:
+    * sort demands ascending, find the longest prefix whose demands can
+    * be granted IN FULL while the equal share of what remains still
+    * covers the next demand, grant that prefix fully and everyone else
+    * the integer water level; the division remainder goes +1 each to
+    * the first `r` unsatisfied hosts in (demand, host) order, so grants
+    * sum to EXACTLY min(budget, Σ demand) and the result is a pure
+    * function of the data. All arithmetic is non-negative BIGINT floor
+    * division — engine-replayable.
+    *
+    * Output: `(host, demand, granted)`.
+    *
+    * Scale note: the sort window runs over the HOST-CARDINALITY demand
+    * table (an aggregate dimension — 10^6–10^8 rows — not the 10^10
+    * frontier), so the global window the plan audit flags is a
+    * deliberate, documented choice: sorting the host dimension is a
+    * routine job at any realistic host count, and the alternative (a
+    * 63-round bit-search for the level, one scan per bit) trades one
+    * dimension sort for 63 full scans. Demands ≤ 0 or null are dropped.
+    */
+  def waterFill(demands: DataFrame, hostCol: String, demandCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("demand").asc, col(hostCol).asc)
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = demands
+      .where(col(demandCol).isNotNull && col(demandCol) > 0)
+      .select(col(hostCol), col(demandCol).cast("long").as("demand"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("demand")).over(wRun))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // a row is fully-grantable iff granting every host from it onward at
+    // least its own demand fits what's left after the smaller prefix
+    val flagged = ranked.withColumn("full",
+      col("demand") * (col("n") - col("k") + 1) <=
+        lit(budget) - (col("cum") - col("demand")))
+    // K = |full prefix|, spent = demand mass of that prefix (0 if none)
+    val kRow = flagged.agg(
+      sum(when(col("full"), 1L).otherwise(0L)).cast("long").as("bigk"),
+      sum(when(col("full"), col("demand")).otherwise(0L)).cast("long")
+        .as("spent"))
+    flagged.join(broadcast(kRow))
+      .withColumn("level",
+        when(col("n") === col("bigk"), lit(0L)).otherwise(
+          expr(s"($budget - spent) div (n - bigk)")))
+      .withColumn("rem",
+        when(col("n") === col("bigk"), lit(0L)).otherwise(
+          lit(budget) - col("spent") -
+            col("level") * (col("n") - col("bigk"))))
+      .withColumn("granted",
+        when(col("full"), col("demand")).otherwise(
+          col("level") +
+            when(col("k") <= col("bigk") + col("rem"), 1L).otherwise(0L)))
+      .select(col(hostCol), col("demand"), col("granted"))
+  }
 }

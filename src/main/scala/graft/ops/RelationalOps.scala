@@ -522,6 +522,38 @@ object RelationalOps {
     * per-key lag window over period-grain rows (periods per key =
     * cadence-sized, not data-sized).
     */
+  /** Adjacent-event transition counts — the first-order Markov view of a
+    * keyed event stream ("after a view, what happens next?"): per
+    * entity, events order by (time, `tieCol`) — the tiebreak column
+    * makes the order TOTAL, so same-timestamp events have a defined,
+    * engine-stable adjacency — and every consecutive (from, to) pair
+    * counts corpus-wide, with `p_mill = n·1000 div Σ n over from` (all
+    * operands non-negative ⇒ engine-portable integer division).
+    *
+    * 100 TB shape: one per-entity lag window (entity-keyed shuffle of
+    * (entity, type, ts) triples — the payload never travels), then a
+    * map-side-combinable count on the (from, to) key — the transition
+    * matrix is |types|², a dimension; the per-from total joins back on
+    * the |types|-sized key.
+    */
+  def transitionCounts(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(entityCol), col(typeCol).as("to_type"), col(tsCol),
+        col(tieCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n")).cast("long").as("__tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000 div __tot").as("p_mill"))
+  }
+
   def periodMovers(events: DataFrame, keyCols: Seq[String],
       periodCol: Column): DataFrame = {
     require(keyCols.nonEmpty, "periodMovers: key columns required")

@@ -347,4 +347,25 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(again == got)
   }
+
+  test("transitionCounts: tie-broken adjacency, corpus counts, mill probabilities") {
+    val ev = Seq(
+      (1L, 1L, "v", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "c", ts("2024-01-01 10:05:00")),
+      (1L, 3L, "c", ts("2024-01-01 10:05:00")), // tie: id 2 before id 3
+      (2L, 4L, "v", ts("2024-01-01 09:00:00")),
+      (2L, 5L, "p", ts("2024-01-01 09:30:00")),
+      (3L, 6L, "x", ts("2024-01-01 08:00:00")) // single event: no pair
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = RelationalOps.transitionCounts(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("v", "c", 1L, 500L), ("v", "p", 1L, 500L), ("c", "c", 1L, 1000L)),
+      s"got $got")
+    val again = RelationalOps.transitionCounts(ev.repartition(5), "user_id",
+        "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }

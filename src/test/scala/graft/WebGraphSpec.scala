@@ -222,4 +222,46 @@ class WebGraphSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("waterFill: hand case, exact-budget sum, max-min fairness invariants") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("b", 2L), ("c", 10L), ("d", 10L))
+      .toDF("host", "dem")
+    // budget 10: a and b grant in full (1+2), the 7 left split 3/3 over
+    // {c, d} with remainder 1 to c (first in (demand, host) order)
+    val got = graft.ops.LinkOps.waterFill(d, "host", "dem", 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 4L, "d" -> 3L), s"$got")
+    // surplus budget: everyone gets exactly their demand; zero budget: 0
+    val all = graft.ops.LinkOps.waterFill(d, "host", "dem", 100L)
+      .as[(String, Long, Long)].collect()
+    assert(all.forall(r => r._3 == r._2))
+    val none = graft.ops.LinkOps.waterFill(d, "host", "dem", 0L)
+      .as[(String, Long, Long)].collect()
+    assert(none.forall(_._3 == 0L))
+    // invariants on a pseudorandom fixture: grants sum to exactly
+    // min(B, Σd); nobody over-granted; max-min — if host i is
+    // unsatisfied, NO host is granted more than g_i + 1
+    val rnd = (0L until 200L)
+      .map(i => (s"h$i", Math.floorMod(graft.ops.TextOps.mix64(i * 31), 50L) + 1L))
+      .toDF("host", "dem")
+    for (b <- Seq(0L, 137L, 1000L, 100000L)) {
+      val rows = graft.ops.LinkOps.waterFill(rnd, "host", "dem", b)
+        .as[(String, Long, Long)].collect()
+      val sumD = rows.map(_._2).sum
+      assert(rows.map(_._3).sum == math.min(b, sumD), s"budget $b sum")
+      assert(rows.forall(r => r._3 <= r._2), s"budget $b over-grant")
+      val unsat = rows.filter(r => r._3 < r._2).map(_._3)
+      if (unsat.nonEmpty) {
+        val floor = unsat.min
+        assert(rows.forall(_._3 <= floor + 1),
+          s"budget $b: fairness violated (floor $floor)")
+      }
+    }
+    val again = graft.ops.LinkOps.waterFill(d.repartition(3), "host",
+        "dem", 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(again == got)
+  }
 }
