@@ -1582,7 +1582,15 @@ object SparkEntry {
       val demands = T(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).cast("long").as("n_orders"))
       LinkOps.waterFill(demands, "o_custkey", "n_orders", budget = 6000L)
-    })
+    }),
+
+    // HLL set algebra — pairwise distinct-user overlap across all event
+    // types from ONE register build: union by bucket-max merge,
+    // intersection by inclusion–exclusion (raw, possibly negative —
+    // documented), Jaccard in clamped mills.
+    "q120_hll_overlap" -> ((s, dir) =>
+      SketchOps.hllPairwiseOverlap(T(s, dir, "events"), col("user_id"),
+        "event_type"))
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlExt
@@ -3868,6 +3876,52 @@ object SparkEntry {
              ELSE level + (CASE WHEN k <= bigk +
                (6000 - spent - level * (n - bigk)) THEN 1 ELSE 0 END)
            END AS granted
-         FROM g"""
+         FROM g""",
+
+    // q120: the register build replayed once, pair fan-out by label,
+    // bucket-max union merge, q96's estimator, inclusion–exclusion
+    "q120_hll_overlap" -> s"""
+         WITH k AS (SELECT event_type AS l,
+             md5(CAST(user_id AS VARCHAR)) AS hex
+           FROM events),
+         b AS (SELECT l,
+             CAST(('0x' || substring(hex, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hex, 3, 13)) AS BIGINT) AS x
+           FROM k),
+         regs AS (SELECT l, bucket,
+             max(CASE WHEN x = 0 THEN 52
+                      ELSE 53 - length(printf('%b', x)) END) AS r
+           FROM b GROUP BY 1, 2),
+         labels AS (SELECT DISTINCT l AS o FROM k),
+         fan AS (SELECT least(regs.l, labels.o) AS label_a,
+             greatest(regs.l, labels.o) AS label_b, bucket, r
+           FROM regs JOIN labels ON regs.l <> labels.o),
+         pm AS (SELECT label_a, label_b, bucket, max(r) AS r
+           FROM fan GROUP BY 1, 2, 3),
+         un AS (SELECT label_a, label_b,
+             CAST(SUM(CAST(1 AS BIGINT) << (52 - r)) +
+               (256 - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+               AS hll_sum
+           FROM pm GROUP BY 1, 2),
+         ue AS (SELECT label_a, label_b,
+             CAST(floor(${SketchOps.HllNumerator} /
+               CAST(hll_sum AS DOUBLE)) AS BIGINT) AS est_union
+           FROM un),
+         sng AS (SELECT l,
+             CAST(SUM(CAST(1 AS BIGINT) << (52 - r)) +
+               (256 - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+               AS hll_sum
+           FROM regs GROUP BY 1),
+         se AS (SELECT l,
+             CAST(floor(${SketchOps.HllNumerator} /
+               CAST(hll_sum AS DOUBLE)) AS BIGINT) AS est
+           FROM sng)
+         SELECT ue.label_a, ue.label_b, sa.est AS est_a, sb.est AS est_b,
+           ue.est_union, sa.est + sb.est - ue.est_union AS est_intersect,
+           greatest(0, sa.est + sb.est - ue.est_union) * 1000
+             // ue.est_union AS jac_mill
+         FROM ue
+         JOIN se sa ON sa.l = ue.label_a
+         JOIN se sb ON sb.l = ue.label_b"""
   )
 }

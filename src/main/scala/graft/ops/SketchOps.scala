@@ -310,6 +310,67 @@ object SketchOps {
 
   // ----------------------------------------------------------- Bloom
 
+  /** Pairwise set algebra from HLL registers — "how much do these
+    * audiences/corpora overlap," answered at sketch cost for EVERY label
+    * pair at once: per-label registers build once, every register row
+    * fans out to the pairs containing its label, per-pair union
+    * registers reduce by bucket max (the HLL merge monoid), and the
+    * intersection comes by inclusion–exclusion,
+    * `est_inter = est_a + est_b − est_union` — which can read slightly
+    * NEGATIVE when true overlap is small relative to sketch error
+    * (reported raw; `jac_mill` clamps at 0 — the classic documented
+    * limitation of inclusion–exclusion on HLL, honest rather than
+    * hidden). Output per unordered pair (a < b): both per-label
+    * estimates, the union estimate, the raw intersection estimate, and
+    * Jaccard in mills.
+    *
+    * 100 TB shape: the ONLY input-sized shuffle is the per-label
+    * register agg (≤ m rows per label survive); the pair fan-out costs
+    * ≤ m·(|labels|−1) register rows per label — label-dimension work,
+    * REGARDLESS of how many keys each label held; the label list rides
+    * a broadcast.
+    */
+  def hllPairwiseOverlap(
+      df: DataFrame,
+      keyCol: Column,
+      labelCol: String): DataFrame = {
+    val hex = md5(keyCol.cast("string"))
+    val bucket = conv(substring(hex, 1, 2), 16, 10).cast("long")
+    val x = conv(substring(hex, 3, 13), 16, 10).cast("long")
+    val rho = when(x === 0L, lit(RhoBits))
+      .otherwise(lit(RhoBits + 1) - length(bin(x)))
+      .cast("int")
+    val regs = df
+      .select(col(labelCol).as("__l"), bucket.as("__bucket"),
+        rho.as("__rho"))
+      .groupBy(col("__l"), col("__bucket"))
+      .agg(max(col("__rho")).as("__r"))
+    val labels = df.select(col(labelCol).as("__o")).distinct()
+    val fanned = regs
+      .join(broadcast(labels), col("__l") =!= col("__o"))
+      .select(least(col("__l"), col("__o")).as("label_a"),
+        greatest(col("__l"), col("__o")).as("label_b"),
+        col("__bucket"), col("__r"))
+      .groupBy(col("label_a"), col("label_b"), col("__bucket"))
+      .agg(max(col("__r")).as("__r"))
+    val unions = hllEstimate(fanned, Seq("label_a", "label_b"))
+      .select(col("label_a"), col("label_b"),
+        col("hll_est").as("est_union"))
+    val singles = hllEstimate(regs.withColumnRenamed("__l", "label"),
+      Seq("label"))
+    unions
+      .join(singles.select(col("label").as("label_a"),
+        col("hll_est").as("est_a")), Seq("label_a"))
+      .join(singles.select(col("label").as("label_b"),
+        col("hll_est").as("est_b")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+      .withColumn("jac_mill",
+        expr("greatest(0L, est_intersect) * 1000 div est_union"))
+  }
+
   /** Bloom filter as a DataFrame — the broadcast-able join-pruning sketch
     * next to the frontier's mutable cuckoo filter (bloom: no deletes,
     * smaller per key, perfect for a one-shot "does the big side's key

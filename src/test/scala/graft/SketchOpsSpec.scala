@@ -143,6 +143,37 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"probe side shuffled:\n$plan")
   }
 
+  test("hllPairwiseOverlap: union ≡ one-shot sketch of both sets; planted overlap ranks") {
+    // A = 0..999, B = 500..1499 (|A∩B| = 500), C = 5000..5999 (disjoint)
+    val rows = (0L until 1000L).map(k => ("A", k)) ++
+      (500L until 1500L).map(k => ("B", k)) ++
+      (5000L until 6000L).map(k => ("C", k))
+    val df = rows.toDF("label", "k")
+    val got = SketchOps.hllPairwiseOverlap(df, col("k"), "label")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // the pair-union estimate must equal the ONE-SHOT sketch of the two
+    // sets' concatenated keys BIT-EXACTLY (register merge is the monoid)
+    for (((a, b), row) <- got) {
+      val direct = SketchOps.hllDistinct(
+          df.where(col("label") === a || col("label") === b)
+            .select(col("k")), col("k"), Seq.empty)
+        .as[(Long, Long, Long)].collect().head._3
+      assert(row._5 == direct, s"($a,$b) union ${row._5} != one-shot $direct")
+    }
+    // planted 500-key overlap estimates within sketch error and ranks
+    // decisively above the disjoint pairs
+    val ab = got(("A", "B"))
+    assert(math.abs(ab._6 - 500L) <= 200L, s"A∩B estimate ${ab._6}")
+    assert(ab._7 > got(("A", "C"))._7 && ab._7 > got(("B", "C"))._7)
+    val again = SketchOps.hllPairwiseOverlap(df.repartition(7), col("k"),
+        "label")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(again == got)
+  }
+
   test("hllSlidingDistinct: each window label ≡ hllDistinct over that window's days") {
     // events on days 0..9, keys overlapping across days; window = 3
     val rows = (0L until 10L).flatMap(d =>
