@@ -1590,7 +1590,28 @@ object SparkEntry {
     // documented), Jaccard in clamped mills.
     "q120_hll_overlap" -> ((s, dir) =>
       SketchOps.hllPairwiseOverlap(T(s, dir, "events"), col("user_id"),
-        "event_type"))
+        "event_type")),
+
+    // Retention cohorts — users cohorted by first-activity week, sparse
+    // (cohort, offset) matrix with distinct-active counts and mill
+    // retention against the cohort size.
+    "q121_retention" -> ((s, dir) =>
+      RelationalOps.retentionCohorts(T(s, dir, "events"), "user_id",
+        expr("unix_millis(cast(ts as timestamp)) div 604800000"))),
+
+    // Inter-arrival gap quantiles — composition demo: per-type event
+    // gaps (minutes) from a lag window feed the q99 DD-sketch, so even
+    // the p50/p90/p99 replay bit-exactly.
+    "q122_gap_quantiles" -> ((s, dir) => {
+      val gaps = T(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_millis(cast(ts as timestamp))").as("ms"))
+        .withColumn("gap_min",
+          expr("(ms - lag(ms, 1) over (partition by event_type " +
+            "order by ms, event_id)) div 60000"))
+        .where(col("gap_min").isNotNull && col("gap_min") > 0)
+      SketchOps.ddQuantiles(gaps, col("gap_min"), Seq("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlExt
@@ -3922,6 +3943,60 @@ object SparkEntry {
              // ue.est_union AS jac_mill
          FROM ue
          JOIN se sa ON sa.l = ue.label_a
-         JOIN se sb ON sb.l = ue.label_b"""
+         JOIN se sb ON sb.l = ue.label_b""",
+
+    // q121: distinct (user, week) activity, min-week cohorts, sparse
+    // (cohort, offset) distinct counts, mill retention
+    "q121_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS p
+           FROM events),
+         f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+         s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY 1),
+         m AS (SELECT f.cohort, a.p - f.cohort AS offset,
+             CAST(count(*) AS BIGINT) AS n_active
+           FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT m.cohort, m.offset, m.n_active, s.cohort_size,
+           m.n_active * 1000 // s.cohort_size AS retention_mill
+         FROM m JOIN s USING (cohort)""",
+
+    // q122: (ts, event_id)-ordered inter-arrival gaps in whole minutes
+    // feed the q99 DD-sketch replay (octave bins, rational thresholds)
+    "q122_gap_quantiles" ->
+      """WITH g AS (SELECT event_type,
+             (CAST(epoch_ms(ts) AS BIGINT) -
+              lag(CAST(epoch_ms(ts) AS BIGINT)) OVER (
+                PARTITION BY event_type
+                ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id))
+               // 60000 AS x
+           FROM events),
+         v AS (SELECT event_type AS source, CAST(x AS BIGINT) AS x
+           FROM g WHERE x IS NOT NULL AND x > 0),
+         b AS (SELECT source, x, length(printf('%b', x)) - 1 AS p,
+             CASE WHEN x < 4 THEN 0
+                  ELSE (x >> (length(printf('%b', x)) - 3)) & 3 END AS sub
+           FROM v),
+         c AS (SELECT source,
+             CASE WHEN x < 4 THEN CAST(x AS INTEGER)
+                  ELSE 4 * p + sub END AS bin,
+             CASE WHEN x < 4 THEN x
+                  ELSE (CAST(4 + sub AS BIGINT) << (p - 2)) +
+                       ((CAST(1 AS BIGINT) << (p - 2)) - 1) // 2
+             END AS rep
+           FROM b),
+         bins AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt,
+             max(rep) AS rep
+           FROM c GROUP BY 1, 2),
+         cum AS (SELECT source, rep,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+           FROM bins)
+         SELECT source AS event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN rep END) AS p50,
+           min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN rep END) AS p90,
+           min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS p99
+         FROM cum GROUP BY 1"""
   )
 }

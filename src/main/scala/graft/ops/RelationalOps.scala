@@ -554,6 +554,40 @@ object RelationalOps {
         expr("n * 1000 div __tot").as("p_mill"))
   }
 
+  /** Retention cohort matrix — the "do users/domains come back" audit:
+    * entities cohort by their FIRST-activity period, and each later
+    * period of activity counts them into (cohort, offset) — emitting
+    * `n_active` distinct entities and `retention_mill = n_active·1000
+    * div cohort_size`. Offset 0 is the cohort itself (retention 1000 by
+    * construction — kept as the denominators' audit row); periods with
+    * no returning entity simply have no row (sparse, not zero-filled —
+    * at corpus scale the dense matrix is cohorts × lifetime and mostly
+    * empty). For a crawl: domains cohorted by first-seen week vs the
+    * weeks they kept responding.
+    *
+    * 100 TB shape: first-period = one map-side-combinable min-agg per
+    * entity; activity de-dups to (entity, period) the same way; the
+    * cohort join keys on the entity; the matrix agg keys on the tiny
+    * (cohort, offset); cohort sizes broadcast back.
+    */
+  def retentionCohorts(events: DataFrame, entityCol: String,
+      periodCol: Column): DataFrame = {
+    val acts = events
+      .select(col(entityCol).as("__e"), periodCol.cast("long").as("__p"))
+      .distinct()
+    val first = acts.groupBy(col("__e"))
+      .agg(min(col("__p")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    acts.join(first, Seq("__e"))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_mill"))
+  }
+
   def periodMovers(events: DataFrame, keyCols: Seq[String],
       periodCol: Column): DataFrame = {
     require(keyCols.nonEmpty, "periodMovers: key columns required")

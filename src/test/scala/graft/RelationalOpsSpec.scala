@@ -368,4 +368,26 @@ class RelationalOpsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSet
     assert(again == got)
   }
+
+  test("retentionCohorts: min-period cohorts, sparse offsets, within-period dedup") {
+    // u1 active weeks 1,2,4 (twice in week 1 — must dedup); u2 weeks
+    // 1,3; u3 week 2 only → cohort 1 = {u1,u2}, cohort 2 = {u3}
+    val ev = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 4L),
+      (2L, 1L), (2L, 3L), (3L, 2L)).toDF("user_id", "week")
+    val got = RelationalOps.retentionCohorts(ev, "user_id", col("week"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 2L, 2L, 1000L),  // the cohort's own week
+      (1L, 1L, 1L, 2L, 500L),   // u1 in week 2
+      (1L, 2L, 1L, 2L, 500L),   // u2 in week 3
+      (1L, 3L, 1L, 2L, 500L),   // u1 in week 4
+      (2L, 0L, 1L, 1L, 1000L)), // u3's singleton cohort
+      s"got $got")
+    // sparse: no zero-filled rows for quiet offsets
+    assert(!got.exists(r => r._3 == 0L))
+    val again = RelationalOps.retentionCohorts(ev.repartition(5),
+        "user_id", col("week"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }
