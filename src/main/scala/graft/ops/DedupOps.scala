@@ -97,24 +97,48 @@ object DedupOps {
     * (`md5(s)`, `md5('~'||s)`) sliced into eight independent 32-bit (8-hex)
     * chunk components — 4× less hashing than one salted md5 per component,
     * with chunk width high enough that min-value ties stay negligible
-    * (16-bit chunks measurably inflate unrelated-pair collisions). Minima
-    * aggregate in a hash agg (map-side combine: 8 short strings per doc
-    * leave the mapper); band b's bucket is the concat of its
-    * `rowsPerBand` minima. Candidate near-dups collide on (band, bucket) —
-    * a short-key shuffle. `bands × rowsPerBand ≤ 8` with this family.
+    * (16-bit chunks measurably inflate unrelated-pair collisions). The
+    * chunk minima are computed ROW-LOCALLY (`array_min` over a
+    * `transform` of the per-row hash arrays) — same minima as an
+    * explode + min-aggregate, with ZERO shuffle: the r6 plan audit showed
+    * the aggregate formulation planned a SortAggregate pair (min(string)
+    * buffers are not UnsafeRow-mutable, so Spark falls back to sort-based
+    * aggregation) around an exchange of every exploded shingle row; the
+    * row-local form keeps the whole signature inside one
+    * WholeStageCodegen span next to the scan, which is also the right
+    * 100 TB shape (signatures are a pure map — no reason for corpus rows
+    * to leave their input split). Band b's bucket is the concat of its
+    * `rowsPerBand` minima. Candidate near-dups collide on (band, bucket)
+    * — a short-key shuffle. `bands × rowsPerBand ≤ 8` with this family.
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= 8, "chunk family provides 8 components")
-    val sh = spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), shingleK)).as("s"))
-      .select(col(idCol), md5(col("s").cast("binary")).as("h1"),
-        md5(concat(lit("~"), col("s")).cast("binary")).as("h2"))
-    def chunk(i: Int) =
-      if (i < 4) substring(col("h1"), 1 + 8 * i, 8)
-      else substring(col("h2"), 1 + 8 * (i - 4), 8)
-    val minCols = (0 until bands * rowsPerBand).map(i => min(chunk(i)).as(s"c$i"))
-    val mins = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    // one md5 pair per shingle, materialized as two per-row arrays so each
+    // digest is computed once and every chunk minimum is a cheap
+    // substring pass over it (8 passes over 32-hex strings, not 8 md5s).
+    // The no-shingle drop (docs with < k tokens had no rows under the
+    // explode formulation) is phrased on the TOKEN COUNT, not on the hash
+    // arrays: a `size(_h1) > 0` filter gets predicate-pushed below the
+    // `spread` exchange and evaluates the whole md5 pipeline on the
+    // pre-spread (possibly single-split) scan side — measured 2.9 s
+    // single-task at sf0.1. The token-count form is equivalent
+    // (shingles(text, k) is non-empty iff tokens >= k), cheap enough to
+    // ride the scan, and shrinks the exchange.
+    val base = spread(docs.select(col(idCol), col(textCol))
+        .where(size(TextOps.tokens(col(textCol))) >= shingleK))
+      .select(col(idCol), TextOps.shingles(col(textCol), shingleK).as("_sh"))
+      .select(col(idCol),
+        transform(col("_sh"), s => md5(s.cast("binary"))).as("_h1"),
+        transform(col("_sh"), s => md5(concat(lit("~"), s).cast("binary")))
+          .as("_h2"))
+    def chunkMin(i: Int) = {
+      val (arr, off) = if (i < 4) (col("_h1"), 1 + 8 * i)
+        else (col("_h2"), 1 + 8 * (i - 4))
+      array_min(transform(arr, h => substring(h, off, 8)))
+    }
+    val mins = base.select(col(idCol) +:
+      (0 until bands * rowsPerBand).map(i => chunkMin(i).as(s"c$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val bucket = concat((0 until rowsPerBand).map(r =>
         col(s"c${b * rowsPerBand + r}")): _*)
