@@ -143,24 +143,44 @@ object TextOps {
     *     Gibberish, wrong-charset, and symbol-soup text scores low; text
     *     distributionally typical of the corpus scores high.
     *
-    * Scale shape: the explode feeds one hash-agg with map-side combine
-    * (distinct trigrams ≪ corpus size), top-k is a TakeOrdered (never a
-    * full sort), the model joins back BROADCAST (k rows), and the per-doc
-    * agg's map-side partials collapse to one row per doc per partition, so
-    * the only real shuffle carries O(|docs|) rows — not O(|trigrams|).
+    * Scale shape: the model fit explodes once into a hash-agg with
+    * map-side combine (distinct trigrams ≪ corpus size) and a TakeOrdered
+    * top-k (never a full sort), collapsed to a SINGLE model row holding
+    * the k trigrams as a sorted array. Scoring is then entirely ROW-LOCAL:
+    * the model row broadcasts (the documented benign 1-row BNLJ of
+    * [[tfidfTopTerms]]) and each document counts its own trigram hits
+    * with a `filter`/`array_contains` pass over its per-row trigram array
+    * — no scoring-side explode, no per-trigram broadcast probe rows, no
+    * per-doc aggregate shuffle at all (the r6 rewrite: the previous
+    * formulation exploded the corpus TWICE and shuffled one row per doc;
+    * the only corpus-sized shuffle left is the model fit's combiner
+    * output). Per-trigram cost is k string compares against 3-char keys —
+    * scan-local codegen-adjacent work, not data motion.
     * Documents shorter than 3 chars have no trigrams and drop out.
     */
   def lmCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 512): org.apache.spark.sql.DataFrame = {
-    val grams = docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("tg"))
+    // spread: tokenize/trigram passes are compute-bound; a single-file
+    // input otherwise serializes them onto one core (no-op at scale)
+    val base = DedupOps.spread(docs.select(col(idCol), col(textCol)))
+    val grams = base.select(col(idCol), explode(charTrigrams(col(textCol))).as("tg"))
     val model = grams.groupBy(col("tg")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tg").asc)
       .limit(k)
-      .select(col("tg").as("mtg"), lit(1L).as("_hit"))
-    grams.join(broadcast(model), col("tg") === col("mtg"), "left")
-      .groupBy(col(idCol))
-      .agg(coalesce(sum(col("_hit")), lit(0L)).as("covered"),
-        count(lit(1)).cast("long").as("total"))
+      .agg(sort_array(collect_list(col("tg"))).as("_mtgs"))
+    // the >= 3 lowercased chars gate is exactly "has a trigram"
+    // (charTrigrams' own guard; lower() can change length for exotic
+    // codepoints, so the gate lowercases too) — phrased array-free so the
+    // predicate pushed below the spread exchange stays cheap (the q17
+    // lesson: a size-of-derived-array filter would evaluate the whole
+    // trigram build on the pre-spread scan split)
+    base.where(length(lower(col(textCol))) >= 3)
+      .select(col(idCol), charTrigrams(col(textCol)).as("_tgs"))
+      .join(broadcast(model))
+      .select(col(idCol),
+        size(filter(col("_tgs"), t => array_contains(col("_mtgs"), t)))
+          .cast("long").as("covered"),
+        size(col("_tgs")).cast("long").as("total"))
       .select(col(idCol),
         expr("covered * 1000 div total").as("coverage_mill"),
         col("covered"), col("total"))
