@@ -37,8 +37,10 @@ object StageDiag {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val s = sc.stageInfo
         val wall = (for { a <- s.completionTime; b <- s.submissionTime } yield a - b).getOrElse(-1L)
-        if (show && wall >= 20)
-          println(f"[stage] id=${s.stageId} tasks=${cnt.getOrDefault(s.stageId, 0)} wall=${wall}ms sumTask=${sum.getOrDefault(s.stageId, 0L)}ms maxTask=${max.getOrDefault(s.stageId, 0L)}ms name=${s.name.takeWhile(_ != '\n').take(70)}")
+        if (show && wall >= 20) {
+          val rdds = s.rddInfos.map(r => s"${r.id}:${r.name}").mkString(",")
+          println(f"[stage] id=${s.stageId} tasks=${cnt.getOrDefault(s.stageId, 0)} wall=${wall}ms sumTask=${sum.getOrDefault(s.stageId, 0L)}ms maxTask=${max.getOrDefault(s.stageId, 0L)}ms rdds=[${rdds.take(160)}]")
+        }
       }
     })
     val fn = SparkEntry.queries(name)
