@@ -39,7 +39,7 @@ object StageDiag {
         val wall = (for { a <- s.completionTime; b <- s.submissionTime } yield a - b).getOrElse(-1L)
         if (show && wall >= 20) {
           val rdds = s.rddInfos.map(r => s"${r.id}:${r.name}").mkString(",")
-          println(f"[stage] id=${s.stageId} tasks=${cnt.getOrDefault(s.stageId, 0)} wall=${wall}ms sumTask=${sum.getOrDefault(s.stageId, 0L)}ms maxTask=${max.getOrDefault(s.stageId, 0L)}ms rdds=[${rdds.take(160)}]")
+          println(f"[stage] id=${s.stageId} tasks=${cnt.getOrDefault(s.stageId, 0)} wall=${wall}ms sumTask=${sum.getOrDefault(s.stageId, 0L)}ms maxTask=${max.getOrDefault(s.stageId, 0L)}ms rdds=[${rdds.take(500)}]")
         }
       }
     })
@@ -47,8 +47,39 @@ object StageDiag {
     (1 to reps).foreach { i =>
       show = i == reps // only narrate the LAST (warm) rep
       val t0 = System.nanoTime()
+      // post-run: every codegen span's duration + its operator stack —
+      // the headless stand-in for the SQL tab's per-operator metrics;
+      // captured via a QueryExecutionListener so the WRITE's execution
+      // (the one that actually ran) is the one walked
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+              val ms = w.metrics.get("pipelineTime").map(_.value).getOrElse(-1L)
+              val ops = w.collect { case n => n.nodeName }.take(8).mkString(" <- ")
+              if (ms >= 100) println(f"[wscg] ${ms}ms $ops")
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan)
+            case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              walk(i.relation.cachedPlan)
+            case _ =>
+          }
+          p.children.foreach(walk)
+        }
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          walk(qe.executedPlan)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      if (show) spark.listenerManager.register(ql)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the QueryExecutionListener drain
+      if (show) spark.listenerManager.unregister(ql)
       spark.catalog.clearCache()
       println(f"[diag] $name rep $i: $dt%.3f s")
     }

@@ -749,26 +749,68 @@ object DedupOps {
       jacMill: Long = 500L, shingleK: Int = 3): DataFrame = {
     require(jacMill >= 1 && jacMill <= 1000,
       "setSimJoinPrefix: jacMill in [1, 1000]")
-    val ex = spread(docs)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.shingles(col(textCol), shingleK)))
-          .as("sh"))
+    // r6 shape, three changes to the original formulation:
+    //
+    //   1. `n` (the distinct-shingle set size) rides out of the explode as
+    //      a row-local `size()` of the per-row set array — counting it
+    //      again with a second window pass over the exploded rows was a
+    //      whole extra sort per self-join side.
+    //      The explode input is then a materialized ATTRIBUTE, which makes
+    //      it subject to InferFiltersFromGenerate: with a plain `explode`
+    //      the optimizer infers `size(_shs) > 0` and pushes the FULL
+    //      shingle pipeline below the spread exchange as a scan-side
+    //      filter (measured: 2 × 5 s single-task stages at sf0.1 — the
+    //      corpus shingled twice on one core). `explode_outer` is exempt
+    //      from that rule; the cheap token-count gate makes outer ≡ inner
+    //      exactly (tokens >= k ⟺ the distinct set is non-empty), so no
+    //      null-sh rows exist and row semantics are unchanged.
+    //   2. the candidate build keeps each match's PREFIX POSITIONS and
+    //      applies PPJoin's positional filter (Xiao et al. WWW'08 §3.2):
+    //      shingle orderings are consistent across docs, so the first
+    //      shared prefix token — the one at (min x.pos, min y.pos), which
+    //      belong to the SAME token — bounds the overlap by
+    //      `1 + min(nx − i1, ny − j1)`; J ≥ t ⟺ inter·(1000+t·1000) ≥
+    //      t·1000·(nx+ny), so a pair whose bound fails that inequality is
+    //      pruned BEFORE the exact verify with the output provably
+    //      unchanged (it would have failed the final Jaccard gate). The
+    //      dedup that `distinct()` did is now the groupBy itself — same
+    //      shuffle, strictly more pruning. The r6 span profile put 70 s of
+    //      task CPU (the whole query's largest span) in the verify's
+    //      pair×shingle expansion; the positional filter shrinks exactly
+    //      that input.
+    //   3. measured non-changes, documented so they aren't retried:
+    //      caching `ex`/`prefix` (cacheUntilConsumed) to share the
+    //      twice-consumed subtrees made the query SLOWER at sf0.1
+    //      (7–8 s vs 6.5 s: IMR build + scan overhead and lost AQE
+    //      flexibility outweigh the saved recompute; driver planning gaps
+    //      appeared between cached stages), so the subtrees stay inline.
+    val ex = spread(docs
+        .select(col(idCol).as("id"), col(textCol).as("_t"))
+        .where(size(TextOps.tokens(col("_t"))) >= shingleK))
+      .select(col("id"),
+        array_distinct(TextOps.shingles(col("_t"), shingleK)).as("_shs"))
+      .select(col("id"), size(col("_shs")).cast("long").as("n"),
+        explode_outer(col("_shs")).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("sdf"))
     val byDoc = Window.partitionBy("id").orderBy(col("sdf").asc, col("sh").asc)
     val pos = ex.join(dfreq, "sh")
       .withColumn("pos", row_number().over(byDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
     // prefix length n − ceil(t·n) + 1; ceil(t·n) = (jacMill·n + 999) div 1000
     val prefix = pos
       .where(col("pos") <= col("n") -
         expr(s"($jacMill * n + 999) div 1000") + lit(1))
-      .select(col("id"), col("sh"), col("n"))
+      .select(col("id"), col("sh"), col("n"), col("pos"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
           col("y.n") * 1000 >= lit(jacMill) * col("x.n") &&
           col("x.n") * 1000 >= lit(jacMill) * col("y.n"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+      .groupBy(col("x.id").as("id_a"), col("x.n").as("_na"),
+        col("y.id").as("id_b"), col("y.n").as("_nb"))
+      .agg(min(col("x.pos")).as("_i1"), min(col("y.pos")).as("_j1"))
+      // PPJoin positional filter: overlap ≤ 1 + min(nx − i1, ny − j1)
+      .where((lit(1L) + least(col("_na") - col("_i1"), col("_nb") - col("_j1")))
+        * lit(1000L + jacMill) >= lit(jacMill) * (col("_na") + col("_nb")))
+      .select(col("id_a"), col("id_b"))
     ngramJaccardForPairs(docs, cand, idCol, textCol, shingleK)
       .where(col("n_inter") * 1000 >= lit(jacMill) * col("n_union"))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
