@@ -280,10 +280,27 @@ object DedupOps {
     *
     * Distributed min-label propagation: labels live in a DataFrame, each
     * round joins them over the (symmetrized) edge set and takes the min of
-    * self and neighbors — no driver-side graph, per-round cost is one
-    * shuffle on id. Near-dup components are tiny (bands connect most pairs
-    * directly), so rounds ≈ component diameter ≤ `maxIters`; the loop exits
-    * early on convergence (a count of changed labels — O(1) driver data).
+    * self and neighbors — no driver-side graph, per-round cost is a few
+    * shuffles on id. Two r6 round-count reductions (each round is a
+    * sequential job barrier — checkpoint + convergence count — so on a
+    * mostly-pairs near-dup graph the FIXED per-round cost, not data
+    * volume, dominated the operator):
+    *
+    *   - the first propagation round is FUSED into label initialization
+    *     (`lbl₀ = min(id, min in-docs neighbor)` — one aggregate over the
+    *     checkpointed edges, no prior labels to join);
+    *   - each round follows the neighbor-min step with a POINTER JUMP
+    *     (`lbl ← min(lbl', labels[lbl'])` — the classic pointer-doubling
+    *     acceleration): labels always hold ids of active in-docs nodes,
+    *     so the lookup is one more id-keyed join, and reach roughly
+    *     doubles per round — rounds ≈ log₂(diameter) instead of diameter,
+    *     with identical fixpoint (min over an ever-larger reachable set;
+    *     a no-change round still implies neighbor-min stability, which
+    *     implies component-constant labels = component minimum).
+    *
+    * The loop exits early on convergence (a count of changed labels —
+    * O(1) driver data); diameter-1 components (the near-dup common case)
+    * now converge in ONE loop round (the detection round) instead of two.
     * The loop runs over the ACTIVE SET only — edge endpoints — because an
     * unpaired doc can never change label; at corpus scale that shrinks
     * every round's joins, checkpoints, and convergence counts from
@@ -327,9 +344,19 @@ object DedupOps {
     // back as their own singleton cluster with ONE left join at the end.
     // The left_semi keeps a pair endpoint that is not in `docs` inert
     // (labelless), exactly as it was when labels started from `docs`.
+    // fused round 1: a node's first propagated label is min(id, min
+    // neighbor-in-docs id) — neighbors restricted to docs members exactly
+    // as a labels join would have (every dst is an endpoint, endpoints
+    // carry labels iff they are in docs), computed straight off the
+    // checkpointed edges with no label table yet
+    val nbrMin = edges
+      .join(docIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("_m"))
     var labels = ck(edges.select(col("src").as("id")).distinct()
       .join(docIds, Seq("id"), "left_semi")
-      .withColumn("lbl", col("id")))
+      .join(nbrMin, Seq("id"), "left_outer")
+      .select(col("id"),
+        least(col("id"), coalesce(col("_m"), col("id"))).as("lbl")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -340,8 +367,16 @@ object DedupOps {
       // round (lbl never null, so least/=!= are null-safe here): counting
       // changes is then a filter over the round's checkpoint instead of a
       // whole extra shuffle join of next against labels
-      val newLbl = least(col("lbl"), coalesce(col("minNbr"), col("lbl")))
-      val next = ck(labels.join(viaEdges, Seq("id"), "left_outer")
+      val prop = labels.join(viaEdges, Seq("id"), "left_outer")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("_l1"))
+      // pointer jump: follow the freshly-propagated label to ITS label
+      // (labels hold active in-docs ids by the invariant above, so the
+      // lookup is an id-keyed equi-join; left_outer for safety)
+      val newLbl = least(col("_l1"), coalesce(col("_l2"), col("_l1")))
+      val next = ck(prop
+        .join(labels.select(col("id").as("_l1"), col("lbl").as("_l2")),
+          Seq("_l1"), "left_outer")
         .select(col("id"), newLbl.as("lbl"), (newLbl =!= col("lbl")).as("_chg")))
       val changed = next.where(col("_chg")).count()
       labels = next.drop("_chg")
