@@ -326,20 +326,29 @@ object LinkOps {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
+    // deg feeds the orientation build twice AND the final assembly;
+    // oriented feeds both wedge sides and the closing semi-join. Without
+    // the caches the planner re-derives each subtree per consumer (the r6
+    // plan audit: no ReusedExchange across the three `oriented`
+    // references), so the dedup + degree pipeline ran three times. Both
+    // frames are edge/node-sized (strings + longs) and are dropped when
+    // the query completes (cacheUntilConsumed).
+    val deg = DedupOps.cacheUntilConsumed(
+      und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).cast("long").as("d"))).toDF()
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     // orient low → high in (degree, id) order
-    val oriented = withDeg.select(
+    val oriented = DedupOps.cacheUntilConsumed(withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("s"), col("v").as("t"),
           col("dv").as("dt")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"),
           col("du").as("dt"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
+      .toDF()
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.s") === col("y.s") &&
           (col("x.dt") < col("y.dt") ||
