@@ -149,17 +149,17 @@ object DedupOps {
   }
 
   /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). The
-    * band table is cached — it feeds both sides of the bucket self-join,
-    * and recomputing it would double the corpus tokenize+hash scans (at
-    * corpus scale you materialize signatures once; same trade here). The
-    * cache is scoped to the first consuming action
-    * ([[cacheUntilConsumed]]), so repeated builder calls in a long-running
-    * pipeline don't accumulate executor storage.
+    * band table feeds both sides of the bucket self-join UNCACHED (r6):
+    * with [[minhashBands]] now a zero-shuffle map, both sides reduce to
+    * the identical scan→signature→Exchange(band, bucket) subtree, which
+    * AQE de-duplicates at runtime via shuffle-stage reuse — one corpus
+    * pass either way, without the InMemoryRelation build/scan overhead
+    * the old cache paid (measured at sf0.1: q19 2.6→1.6 s, q45 6.1→4.1 s
+    * steady after dropping it).
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val bb = cacheUntilConsumed(
-      minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand))
+    val bb = minhashBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
     val a = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
