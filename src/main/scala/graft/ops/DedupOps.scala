@@ -168,11 +168,27 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard for a GIVEN candidate-pair set (the verify stage
-    * of MinHash+LSH): expand each pair by side-a's distinct shingles, then
-    * equi-join side-b on (id_b, shingle) — a near-unique key, so no hot-key
-    * quadratic blowup regardless of shingle document frequency. |∩| via
-    * count, |∪| via inclusion–exclusion from per-doc distinct counts.
-    * Integer outputs only, so oracle comparison is float-free.
+    * of MinHash+LSH): attach each side's distinct-shingle ARRAY to the pair
+    * (two id-keyed joins) and count the overlap row-locally with
+    * `array_intersect` — |∩| in one hash-set pass per pair, |∪| via
+    * inclusion–exclusion from the row-local array sizes. Integer outputs
+    * only, so oracle comparison is float-free.
+    *
+    * r6 shape (was: expand each pair by side-a's shingles and equi-join
+    * side-b on (id_b, shingle), then count matches in a hash aggregate —
+    * the span profile put the whole query's largest CPU block in exactly
+    * that pair×shingle row stream). The array form is output-identical:
+    * both sides are per-doc DISTINCT shingle sets, so
+    * `size(array_intersect(a, b))` = the count of (id_a, id_b, sh) join
+    * matches, and a pair whose side has no shingles is dropped by the
+    * inner id-join in both forms (the explode form had no rows for such a
+    * doc; here the token-count gate — tokens ≥ k ⟺ the shingle set is
+    * non-empty, and cheap enough to ride the scan below the spread
+    * exchange, the q17 pushdown lesson — removes the doc before the join).
+    * Shuffle bytes are unchanged (a doc's shingles travel once per pair
+    * either way); what disappears is the per-shingle join probe + hash-agg
+    * update per expanded row, and the aggregate's shuffle of pair×shingle
+    * partials.
     */
   def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, minShared: Int = 1): DataFrame = {
@@ -184,27 +200,26 @@ object DedupOps {
     // the candidate-id set is broadcast (ids are a tiny fraction of the
     // corpus — longs, not text) and the non-candidate rows are dropped
     // BEFORE any shingle string is built
-    val ex = cacheUntilConsumed(spread(docs
+    val shs = cacheUntilConsumed(spread(docs
       .select(col(idCol).as("id"), col(textCol).as("_jt"))
+      .where(size(TextOps.tokens(col("_jt"))) >= shingleK)
       .join(broadcast(ids), "id"))
       .select(col("id"),
-        explode(array_distinct(TextOps.shingles(col("_jt"), shingleK))).as("sh")))
-    // ^ feeds sizes + both pair-expansion joins (3 consumers inside ONE
-    //   downstream query; storage dropped when that query finishes)
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val exA = ex.select(col("id").as("id_a"), col("sh"))
-    val exB = ex.select(col("id").as("id_b"), col("sh"))
-    val inter = pairsC
-      .join(exA, "id_a")
-      .join(exB, Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .where(col("n_inter") >= minShared)
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        array_distinct(TextOps.shingles(col("_jt"), shingleK)).as("_shs")))
+    // ^ feeds both pair-attachment joins (2 consumers inside ONE downstream
+    //   query; storage dropped when that query finishes)
+    pairsC
+      .join(shs.select(col("id").as("id_a"), col("_shs").as("_sa")), "id_a")
+      .join(shs.select(col("id").as("id_b"), col("_shs").as("_sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("n_inter"),
+        (size(col("_sa")) + size(col("_sb"))).cast("long").as("_nab"))
+      // clamp to ≥ 1: the explode form could never emit a zero-overlap
+      // pair (no join match → no aggregate row), so minShared = 0 must
+      // behave exactly like 1 here too
+      .where(col("n_inter") >= lit(math.max(minShared, 1)))
       .select(col("id_a"), col("id_b"), col("n_inter"),
-        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+        (col("_nab") - col("n_inter")).as("n_union"))
   }
 
   /** Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle — a full
