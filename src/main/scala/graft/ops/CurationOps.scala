@@ -278,11 +278,15 @@ object CurationOps {
       shingleK: Int = 3): DataFrame = {
     val corpus = docs.where(col(idCol) % benchMod =!= 0)
     val bench = docs.where(col(idCol) % benchMod === 0)
+    // one fused scan-side predicate (r6): [[TextOps.langStopGate]] is
+    // exactly the langIdCol/stop_mill filter conjunction this block used
+    // to phrase as two filters, evaluated once per row instead of
+    // re-tokenizing per predicate; stop_mill is then recomputed — original
+    // expression, unchanged output — for SURVIVORS only
     val gated = corpus
-      .where(TextOps.langIdCol(col(textCol)) === wantLang)
+      .where(TextOps.langStopGate(col(textCol), wantLang, minStopMill))
       .select(col(idCol), col(textCol),
         TextOps.stopwordRatioMill(col(textCol)).cast("long").as("stop_mill"))
-      .where(col("stop_mill") >= minStopMill)
     val contaminated = DedupOps.contaminatedDocs(
       corpus, bench, idCol, textCol, shingleK).select(col(idCol))
     val clean = gated.join(contaminated, Seq(idCol), "left_anti")

@@ -47,8 +47,9 @@ object StreamingCuration {
   def gateStream(docs: DataFrame, idCol: String, textCol: String,
       wantLang: String = "en", minStopMill: Long = 60): DataFrame =
     docs
-      .where(TextOps.langIdCol(col(textCol)) === wantLang)
-      .where(TextOps.stopwordRatioMill(col(textCol)).cast("long") >= minStopMill)
+      // fused form of the two-filter conjunction (r6) — exactly
+      // equivalent (see [[TextOps.langStopGate]]), one tokenize per row
+      .where(TextOps.langStopGate(col(textCol), wantLang, minStopMill))
       .select(col(idCol), PiiOps.redactPii(col(textCol)).as(textCol))
 
   /** Stateful exact dedup, first-arrival-wins over the scrubbed-text

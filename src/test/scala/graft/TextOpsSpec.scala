@@ -64,6 +64,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.langId("") == "und")
   }
 
+  test("langStopGate ≡ langIdCol/stopwordRatioMill filter conjunction, row for row") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial corpus for every when-chain branch: en/de/fr/es winners,
+    // score ties (fr-before-en order), zh by CJK ratio, empty text,
+    // token-less whitespace, stopword-free text (null ratio), and texts
+    // straddling the stop-mill threshold
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is a cat"),
+      (2L, "der hund ist nicht mit der katze und das"),
+      (3L, "le chat est dans la maison et les le la"),
+      (4L, "el perro es una mascota que vive en la casa"),
+      (5L, "the der le el and und et es"), // cross-language tie soup
+      (6L, "今天天气很好我们一起去公园散步吧"),
+      (7L, ""), (8L, "   \t  "), (9L, "zzz qqq xxx"),
+      (10L, "the the the the"), (11L, "the word word word word word word"),
+      (12L, "is it to in of a an")).toDF("doc_id", "text")
+    for (lang <- Seq("en", "de", "fr", "zh", "und"); mill <- Seq(0L, 60L, 500L)) {
+      val fused = docs.where(TextOps.langStopGate(col("text"), lang, mill))
+        .select("doc_id").as[Long].collect().sorted
+      val twoStep = docs
+        .where(TextOps.langIdCol(col("text")) === lang)
+        .where(TextOps.stopwordRatioMill(col("text")).cast("long") >= mill)
+        .select("doc_id").as[Long].collect().sorted
+      assert(fused.sameElements(twoStep), s"lang=$lang mill=$mill: " +
+        s"fused=${fused.mkString(",")} twoStep=${twoStep.mkString(",")}")
+    }
+  }
+
   test("mix64/hashToken deterministic avalanche") {
     assert(TextOps.mix64(1L) != TextOps.mix64(2L))
     assert(TextOps.hashToken("abc") == TextOps.hashToken("abc"))
