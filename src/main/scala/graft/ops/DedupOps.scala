@@ -344,8 +344,17 @@ object DedupOps {
   def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    // local checkpoints are LAZY (r6): localCheckpoint persists during
+    // whatever action first computes the RDD, so each round's convergence
+    // count doubles as the materializing action — one job per round
+    // instead of a checkpoint job plus a count job (and the edge/init
+    // frames fold into round 1's job the same way). The plan still
+    // flattens to a LogicalRDD at ck() time, so per-round analysis cost
+    // stays constant either way. The RELIABLE path stays eager: a lazy
+    // Dataset.checkpoint writes its files in a second computation pass,
+    // which is strictly worse than eager's one.
     val ck: DataFrame => DataFrame =
-      if (checkpointDir.isDefined) _.checkpoint(true) else _.localCheckpoint(true)
+      if (checkpointDir.isDefined) _.checkpoint(true) else _.localCheckpoint(false)
     val edges = ck(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
